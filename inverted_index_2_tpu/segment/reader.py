@@ -1,0 +1,163 @@
+"""Segment reader: mmap-backed columnar view of one immutable segment.
+
+Replaces the reference's file.Reader (/root/reference/file/reader.go): instead
+of walking an FST iterator term-by-term and peeking the next offset to size
+each compressed run (reader.go:44-69), a SegmentView exposes the whole segment
+as arrays — offsets, outs, blob, posting words — and serves:
+
+ * O(log n) exact / lower-bound term search (bytes.Compare semantics),
+ * range iteration [min, max] inclusive (nil = unbounded) yielding TermValues,
+ * bulk columnar access for the device loaders (models/query_engine.py) and
+   the vectorized merge (ops used by shard.merge).
+
+The _vals file is np.memmap'd (parity: reference mmaps via x/exp/mmap,
+reader.go:176-180). The retry/buffer-doubling of reader.go:79-98 has no
+equivalent: runs are self-delimiting in our codec.
+"""
+from __future__ import annotations
+
+import os
+from bisect import bisect_left, bisect_right
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..codec import keys as keys_mod
+from ..codec import packing
+from . import formats
+from .formats import MODE_DIRECT, MODE_NORMAL
+
+
+class SegmentView:
+    """Immutable view of one on-disk segment."""
+
+    def __init__(self, basedir: str, key: str):
+        self.basedir = basedir
+        self.key = key
+        path = formats.dict_path(basedir, key)
+        with open(path, "rb") as f:
+            raw = f.read()
+        hdr = formats.read_header(raw)
+        self.mode = hdr.mode
+        self.n_terms = hdr.n_terms
+        n = hdr.n_terms
+        off = formats.HEADER_SIZE
+        self.offsets = np.frombuffer(raw, dtype="<u8", count=n + 1, offset=off).astype(np.int64)
+        off += (n + 1) * 8
+        self.outs = np.frombuffer(raw, dtype="<u8", count=n, offset=off).copy()
+        off += n * 8
+        self.blob = np.frombuffer(raw, dtype=np.uint8, count=hdr.blob_len, offset=off)
+        self._raw = raw  # keep buffer alive
+        if self.mode == MODE_NORMAL:
+            vpath = formats.vals_path(basedir, key)
+            sz = os.path.getsize(vpath)
+            self.words = (
+                np.memmap(vpath, dtype="<u4", mode="r")
+                if sz
+                else np.zeros(0, dtype=np.uint32)
+            )
+        else:
+            self.words = None
+        self._keys_cache: Optional[np.ndarray] = None
+
+    # ---- term access -----------------------------------------------------
+
+    def term(self, i: int) -> bytes:
+        return self.blob[self.offsets[i] : self.offsets[i + 1]].tobytes()
+
+    @property
+    def min_term(self) -> Optional[bytes]:
+        return self.term(0) if self.n_terms else None
+
+    @property
+    def max_term(self) -> Optional[bytes]:
+        return self.term(self.n_terms - 1) if self.n_terms else None
+
+    def keys(self, width: Optional[int] = None) -> np.ndarray:
+        """Packed (n, W+1) uint32 key matrix for device search / merge."""
+        if self._keys_cache is None or (
+            width is not None and self._keys_cache.shape[1] != width + 1
+        ):
+            self._keys_cache = keys_mod.pack_blob(self.blob, self.offsets, width)
+        return self._keys_cache
+
+    @property
+    def max_term_len(self) -> int:
+        if self.n_terms == 0:
+            return 0
+        return int(np.max(np.diff(self.offsets)))
+
+    # ---- binary search (host) ---------------------------------------------
+
+    def _bisect(self, term: bytes, right: bool = False) -> int:
+        lo, hi = 0, self.n_terms
+        while lo < hi:
+            mid = (lo + hi) // 2
+            t = self.term(mid)
+            if (t <= term) if right else (t < term):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def lower_bound(self, term: Optional[bytes]) -> int:
+        return 0 if term is None else self._bisect(term)
+
+    def upper_bound(self, term: Optional[bytes]) -> int:
+        return self.n_terms if term is None else self._bisect(term, right=True)
+
+    def find(self, term: bytes) -> int:
+        """Exact-match index or -1."""
+        i = self._bisect(term)
+        if i < self.n_terms and self.term(i) == term:
+            return i
+        return -1
+
+    # ---- posting access ----------------------------------------------------
+
+    def values(self, i: int) -> np.ndarray:
+        if self.mode == MODE_DIRECT:
+            return np.array([self.outs[i]], dtype=np.uint32)
+        return packing.decode_postings(self.words, int(self.outs[i]))
+
+    def value_count(self, i: int) -> int:
+        if self.mode == MODE_DIRECT:
+            return 1
+        return int(self.words[int(self.outs[i])])
+
+    def decode_all(self, lo: int = 0, hi: Optional[int] = None):
+        """Bulk decode postings of terms [lo, hi): (values, counts, voffs)."""
+        hi = self.n_terms if hi is None else hi
+        if self.mode == MODE_DIRECT:
+            vals = self.outs[lo:hi].astype(np.uint32)
+            counts = np.ones(hi - lo, dtype=np.int64)
+            voffs = np.arange(hi - lo + 1, dtype=np.int64)
+            return vals, counts, voffs
+        return packing.decode_bulk(self.words, self.outs[lo:hi].astype(np.int64))
+
+    # ---- iteration ----------------------------------------------------------
+
+    def iterate(
+        self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None
+    ) -> Iterator[tuple[bytes, np.ndarray]]:
+        """Yield (term, values) over [min_term, max_term] inclusive.
+
+        Range semantics match the reference Reader (reader.go:136-155 +
+        manual right-boundary check at :54-58).
+        """
+        lo = self.lower_bound(min_term)
+        hi = self.upper_bound(max_term)
+        for i in range(lo, hi):
+            yield self.term(i), self.values(i)
+
+    def overlaps(self, min_term: Optional[bytes], max_term: Optional[bytes]) -> bool:
+        """True if the segment may contain terms in [min,max] — used to skip
+        segments entirely (parity with the ErrIteratorDone skip at
+        /root/reference/shard.go:257-260)."""
+        if self.n_terms == 0:
+            return False
+        if min_term is not None and self.max_term < min_term:
+            return False
+        if max_term is not None and self.min_term > max_term:
+            return False
+        return True

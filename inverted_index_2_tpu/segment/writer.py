@@ -1,0 +1,126 @@
+"""Segment writers: batch-oriented encoders with atomic publish.
+
+The reference streams TermValues one at a time into an FST builder
+(/root/reference/file/writer.go:32-59). A TPU-first design is batch-oriented:
+callers hand over whole sorted arrays (terms blob + offsets (+ postings)) and
+the writer encodes and publishes in one shot. Two modes, mirroring the
+reference exactly:
+
+ * direct mode  (ingestion, writer.go:97-119): one value per term, stored
+   inline in `outs`; NO _vals file is created.
+ * normal mode  (merge output, writer.go:123-137): per-term posting lists,
+   compressed by the block codec, `outs` = word offset of each list.
+
+Publish protocol: write `*_tmp` files, then os.rename both — the _vals file
+first, the _dict file last, so a visible _dict always has its _vals
+(the reference closes/renames fst and values together, writer.go:61-89).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..codec import packing
+from . import formats
+
+
+def new_segment_key() -> str:
+    """Unix-nanosecond decimal key (parity: /root/reference/file/writer.go:98).
+
+    time.time_ns() can collide under rapid successive calls on coarse clocks;
+    uniqueness within a directory is enforced by the caller retrying.
+    """
+    return str(time.time_ns())
+
+
+def _write_dict(path: str, mode: int, offsets: np.ndarray, outs: np.ndarray, blob: bytes) -> None:
+    with open(path, "wb") as f:
+        formats.write_header(f, mode, len(outs), len(blob))
+        offsets.astype("<u8").tofile(f)
+        outs.astype("<u8").tofile(f)
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _unique_key(basedir: str) -> str:
+    while True:
+        key = new_segment_key()
+        if not os.path.exists(formats.dict_path(basedir, key)):
+            return key
+        time.sleep(0)
+
+
+def write_direct_segment(
+    basedir: str,
+    blob: bytes,
+    offsets: np.ndarray,
+    value: np.uint32,
+    key: str | None = None,
+) -> str:
+    """Write a direct-mode segment: sorted unique terms, one shared value.
+
+    Equivalent of Shard.Put's DirectWriter path (/root/reference/shard.go:33-67):
+    one document's terms all carry the same uint32 value.
+    Returns the segment key.
+    """
+    key = key or _unique_key(basedir)
+    n = len(offsets) - 1
+    outs = np.full(n, np.uint64(value), dtype=np.uint64)
+    tmp = formats.dict_path(basedir, key) + formats.TMP_SUFFIX
+    _write_dict(tmp, formats.MODE_DIRECT, np.asarray(offsets), outs, blob)
+    os.rename(tmp, formats.dict_path(basedir, key))
+    return key
+
+
+def write_normal_segment(
+    basedir: str,
+    blob: bytes,
+    offsets: np.ndarray,
+    values: np.ndarray,
+    value_offsets: np.ndarray,
+    key: str | None = None,
+) -> str:
+    """Write a normal-mode segment from concatenated per-term posting lists.
+
+    values[value_offsets[i]:value_offsets[i+1]] is term i's sorted unique
+    posting list (all non-empty). Equivalent of the merge writer path
+    (/root/reference/shard.go:196-207 + file/writer.go:43-56).
+    Returns the segment key.
+    """
+    key = key or _unique_key(basedir)
+    words, outs = packing.encode_bulk(values, np.asarray(value_offsets, dtype=np.int64))
+    return write_normal_segment_words(basedir, blob, offsets, words, outs, key=key)
+
+
+def write_normal_segment_words(
+    basedir: str,
+    blob: bytes,
+    offsets: np.ndarray,
+    words: np.ndarray,
+    outs: np.ndarray,
+    key: str | None = None,
+) -> str:
+    """Write a normal-mode segment from already-encoded posting words."""
+    key = key or _unique_key(basedir)
+    vtmp = formats.vals_path(basedir, key) + formats.TMP_SUFFIX
+    with open(vtmp, "wb") as f:
+        np.asarray(words, dtype="<u4").tofile(f)
+        f.flush()
+        os.fsync(f.fileno())
+    dtmp = formats.dict_path(basedir, key) + formats.TMP_SUFFIX
+    _write_dict(dtmp, formats.MODE_NORMAL, np.asarray(offsets), np.asarray(outs), blob)
+    os.rename(vtmp, formats.vals_path(basedir, key))
+    os.rename(dtmp, formats.dict_path(basedir, key))
+    return key
+
+
+def terms_to_blob(terms: list[bytes]) -> tuple[bytes, np.ndarray]:
+    """Concatenate terms into (blob, offsets[n+1]). Terms must be pre-sorted."""
+    blob = b"".join(terms)
+    offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+    if terms:
+        np.cumsum([len(t) for t in terms], out=offsets[1:])
+    return blob, offsets

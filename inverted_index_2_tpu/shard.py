@@ -1,0 +1,313 @@
+"""Per-directory LSM shard engine.
+
+Replaces /root/reference/shard.go. One subdirectory = one shard; a shard is
+not aware of its siblings (shard.go:19-20). It:
+
+ * ingests one document's terms as one new immutable direct-mode segment,
+ * serves range-scoped merged reads over all live segments,
+ * accumulates timestamped tombstones and persists them to `removed.list`,
+ * compacts its smallest segments into one normal-mode segment, purging
+   removed values and empty terms.
+
+Where the reference streams through Go iterators term-by-term (shard.go:168),
+compaction here is a vectorized array program: pack → multiword lexsort →
+group → ragged union → searchsorted tombstone mask → bulk re-encode. The same
+algorithm runs on device (ops/merge.py) for large compactions.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from .codec import keys as keys_mod
+from .iterators import ClosingIterator, MergingIterator, TermValues
+from .removed_list import RemovedLists, unserialize_removed_list
+from .segment import formats
+from .segment import writer as seg_writer
+from .segment.reader import SegmentView
+from .segment.registry import Segment, Segments
+from .utils.ragged import ragged_gather
+
+REMOVED_LIST_FILE = "removed.list"
+
+
+def shard_key(term: bytes) -> str:
+    """First 10 bits of the first two term bytes, rendered %04d
+    ("0000".."1023"). Terms shorter than 2 bytes map to shard "0000"
+    regardless of content (parity: /root/reference/shard.go:362-378)."""
+    if len(term) < 2:
+        return "0000"
+    key = ((term[0] << 8) | term[1]) >> 6
+    return f"{key:04d}"
+
+
+def shard_key_u16(first_two: int) -> str:
+    return f"{first_two >> 6:04d}"
+
+
+class Shard:
+    def __init__(self, basedir: str):
+        self.basedir = basedir
+        self.segments = Segments()
+        self.removed_list = RemovedLists()
+        self._rm_file_lock = threading.Lock()
+        self._load()
+
+    # ---- lifecycle -----------------------------------------------------
+
+    def _load(self) -> None:
+        """Scan the shard dir for `*_dict` segments (ignoring `*_tmp` crash
+        litter) and the removed.list (parity: shard.go:300-359)."""
+        try:
+            entries = os.listdir(self.basedir)
+        except FileNotFoundError:
+            os.makedirs(self.basedir, exist_ok=True)
+            entries = []
+        for name in entries:
+            if name.endswith(formats.TMP_SUFFIX):
+                continue
+            if formats.is_dict_file(name):
+                key = formats.key_of_dict_file(name)
+                view = SegmentView(self.basedir, key)
+                self.segments.add(
+                    Segment(key, view.n_terms, view.min_term, view.max_term, view)
+                )
+        rl_path = os.path.join(self.basedir, REMOVED_LIST_FILE)
+        if os.path.exists(rl_path):
+            with open(rl_path, "rb") as f:
+                self.removed_list = unserialize_removed_list(f.read())
+
+    def get_key(self) -> str:
+        """Shard key = directory basename (parity: shard.go:28-30)."""
+        return os.path.basename(self.basedir)
+
+    def close(self) -> None:
+        """No-op (parity: shard.go:247-249)."""
+
+    # ---- ingestion -----------------------------------------------------
+
+    def put(self, terms: List[bytes], value: int) -> None:
+        """Ingest one document: all terms share one uint32 value; writes ONE
+        new direct-mode segment (parity: shard.go:33-67). Terms may arrive
+        unsorted / with duplicates; they are sorted+deduped vectorized."""
+        if not terms:
+            return
+        blob = b"".join(terms)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in terms], out=offsets[1:])
+        self.put_packed(arr, offsets, value)
+
+    def put_packed(self, blob: np.ndarray, offsets: np.ndarray, value: int) -> None:
+        """Batch ingestion entry point: terms as (byte array, offsets[n+1])."""
+        n = len(offsets) - 1
+        if n == 0:
+            return
+        keys = keys_mod.pack_blob(blob, offsets)
+        order = keys_mod.lexsort_rows(keys)
+        ks = keys[order]
+        if n > 1:
+            keep = np.concatenate([[True], np.any(ks[1:] != ks[:-1], axis=1)])
+            order = order[keep]
+        # rebuild sorted unique blob via ragged gather
+        lens = np.diff(offsets)[order]
+        sblob, _ = ragged_gather(blob, offsets[:-1][order], lens)
+        soffs = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(lens, out=soffs[1:])
+        key = seg_writer.write_direct_segment(
+            self.basedir, sblob.tobytes(), soffs, np.uint32(value)
+        )
+        view = SegmentView(self.basedir, key)
+        self.segments.add(Segment(key, view.n_terms, view.min_term, view.max_term, view))
+
+    # ---- read ------------------------------------------------------------
+
+    def read(
+        self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None
+    ) -> ClosingIterator:
+        """Merged sorted stream of TermValues over all live segments in
+        [min,max] inclusive; pins segments until the iterator is closed
+        (parity: shard.go:72-75, :253-278). Tombstones are NOT applied
+        (reads don't filter; only merge purges — see reference Read path)."""
+        pinned = self.segments.pin_all()
+        iters = []
+        for seg in pinned:
+            if seg.view is not None and seg.view.overlaps(min_term, max_term):
+                iters.append(
+                    (TermValues(t, v) for t, v in seg.view.iterate(min_term, max_term))
+                )
+        merged = MergingIterator(iters)
+        return ClosingIterator(merged, lambda: Segments.release(pinned))
+
+    def min_max(self) -> Optional[List[bytes]]:
+        """[min term, max term] over all segments, or None when empty
+        (parity: shard.go:280-298)."""
+        lo = hi = None
+        for seg in self.segments.snapshot():
+            if seg.min_term is None:
+                continue
+            if lo is None or seg.min_term < lo:
+                lo = seg.min_term
+            if hi is None or seg.max_term > hi:
+                hi = seg.max_term
+        if lo is None:
+            return None
+        return [lo, hi]
+
+    # ---- delete -----------------------------------------------------------
+
+    def remove(self, values) -> None:
+        """Logical delete: GC expired tombstone batches against live segment
+        timestamps, append a now-timestamped batch, persist
+        (parity: shard.go:78-120)."""
+        live_ts = [int(s.key) for s in self.segments.snapshot()]
+        self.removed_list.sync(live_ts)
+        self.removed_list.put(time.time_ns(), np.asarray(values, dtype=np.uint32))
+        self.write_removed_list()
+
+    def write_removed_list(self) -> None:
+        """Persist tombstones. Atomic tmp+rename — deliberately stronger than
+        the reference's bare os.WriteFile (shard.go:113-115, noted quirk)."""
+        data = self.removed_list.serialize()
+        path = os.path.join(self.basedir, REMOVED_LIST_FILE)
+        with self._rm_file_lock:
+            tmp = path + "_tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.rename(tmp, path)
+
+    # ---- compaction ---------------------------------------------------------
+
+    def merge(self, req_count: int, m_count: int) -> int:
+        """Merge up to m_count smallest segments into one normal-mode segment,
+        dropping removed values and empty terms; returns the number of INPUT
+        segments consumed (parity: shard.go:127-245). Skips entirely when
+        fewer than req_count segments exist."""
+        if len(self.segments) < req_count:
+            return 0
+        claimed = self.segments.claim_for_merge(m_count)
+        if len(claimed) < 2:
+            self.segments.unclaim(claimed)
+            return 0
+
+        for seg in claimed:
+            seg.pin()
+        try:
+            out = self._merge_segments([s.view for s in claimed])
+        finally:
+            Segments.release(claimed)
+
+        if out is not None:
+            blob, offsets, values, voffs = out
+            if len(offsets) > 1:
+                key = seg_writer.write_normal_segment(
+                    self.basedir, blob, offsets, values, voffs
+                )
+                view = SegmentView(self.basedir, key)
+                self.segments.add(
+                    Segment(key, view.n_terms, view.min_term, view.max_term, view)
+                )
+
+        # make inputs invisible to new readers, then delete once readers drain
+        # (non-blocking: deletion runs at the last unpin — see
+        # Segment.drop_when_drained)
+        self.segments.detach(claimed)
+        basedir = self.basedir
+        for seg in claimed:
+            seg.drop_when_drained(
+                lambda key=seg.key: formats.remove_segment(basedir, key)
+            )
+        return len(claimed)
+
+    def _merge_segments(self, views: List[SegmentView]):
+        """Vectorized k-way merge + tombstone purge.
+
+        Replaces the reference's streaming loop (shard.go:168-212): instead of
+        a loser-tree pulling one term at a time, ALL terms of the claimed
+        segments are packed into a key matrix, lexsorted, grouped, and their
+        values unioned/purged with array ops.
+        Returns (blob, offsets, values, value_offsets) or None when everything
+        was purged (then no output segment is written, shard.go:196-205)."""
+        views = [v for v in views if v.n_terms > 0]
+        if not views:
+            return None
+        W = max(keys_mod.width_words(v.max_term_len) for v in views)
+        keys_all = np.concatenate([v.keys(W) for v in views], axis=0)
+        n_per = np.array([v.n_terms for v in views], dtype=np.int64)
+        view_base = np.zeros(len(views) + 1, dtype=np.int64)
+        np.cumsum(n_per, out=view_base[1:])
+
+        order = keys_mod.lexsort_rows(keys_all)
+        ks = keys_all[order]
+        N = len(order)
+        if N == 0:
+            return None
+        new_group = np.concatenate([[True], np.any(ks[1:] != ks[:-1], axis=1)])
+        group_id = np.cumsum(new_group) - 1
+        n_groups = int(group_id[-1]) + 1
+
+        # decode all postings per view, concatenated with global value bases
+        vals_parts, counts_parts, vstart_parts = [], [], []
+        vbase = 0
+        for v in views:
+            vals, counts, voffs = v.decode_all()
+            vals_parts.append(vals)
+            counts_parts.append(counts)
+            vstart_parts.append(voffs[:-1] + vbase)
+            vbase += len(vals)
+        all_vals = np.concatenate(vals_parts)
+        g_counts = np.concatenate(counts_parts)
+        g_vstart = np.concatenate(vstart_parts)
+
+        # values in sorted-term order, tagged with group ids
+        starts_sorted = g_vstart[order]
+        counts_sorted = g_counts[order]
+        flat_vals, rep = ragged_gather(all_vals, starts_sorted, counts_sorted)
+        flat_groups = group_id[rep]
+
+        # union + dedupe per group: unique on (group << 32 | value)
+        pairs = (flat_groups.astype(np.uint64) << np.uint64(32)) | flat_vals.astype(np.uint64)
+        pairs = np.unique(pairs)
+
+        # tombstone purge (vectorized binary search, replaces shard.go:181-190)
+        removed = self.removed_list.values()
+        if len(removed):
+            vals_only = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            pos = np.searchsorted(removed, vals_only)
+            pos_c = np.minimum(pos, len(removed) - 1)
+            hit = removed[pos_c] == vals_only
+            hit &= pos < len(removed)
+            pairs = pairs[~hit]
+
+        if len(pairs) == 0:
+            return None
+
+        out_groups = (pairs >> np.uint64(32)).astype(np.int64)
+        out_vals = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        kept, group_counts = np.unique(out_groups, return_counts=True)
+        voffs = np.zeros(len(kept) + 1, dtype=np.int64)
+        np.cumsum(group_counts, out=voffs[1:])
+
+        # representative original term per kept group -> rebuild blob
+        first_pos_of_group = np.nonzero(new_group)[0]  # sorted position of each group head
+        rep_orig = order[first_pos_of_group[kept]]  # index into concatenated views
+        view_idx = np.searchsorted(view_base, rep_orig, side="right") - 1
+        local_idx = rep_orig - view_base[view_idx]
+
+        blob_parts = [v.blob for v in views]
+        blob_base = np.zeros(len(views) + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blob_parts], out=blob_base[1:])
+        all_blob = np.concatenate(blob_parts) if blob_parts else np.zeros(0, np.uint8)
+        term_starts = np.concatenate([v.offsets[:-1] for v in views]) + 0
+        term_lens = np.concatenate([np.diff(v.offsets) for v in views])
+        g_tstart = term_starts[rep_orig] + blob_base[view_idx]
+        g_tlen = term_lens[rep_orig]
+        out_blob, _ = ragged_gather(all_blob, g_tstart, g_tlen)
+        out_offsets = np.zeros(len(kept) + 1, dtype=np.int64)
+        np.cumsum(g_tlen, out=out_offsets[1:])
+
+        return out_blob.tobytes(), out_offsets, out_vals, voffs

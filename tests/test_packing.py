@@ -1,0 +1,100 @@
+"""Posting codec unit tests (mirror of file/writer_test.go round trips and
+the size comparison of file/bitmask_test.go:14-32)."""
+import numpy as np
+import pytest
+
+from inverted_index_2_tpu.codec import packing as P
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 127, 128, 129, 255, 256, 1000, 4096, 10_000])
+def test_round_trip_random(rng, n):
+    vals = np.unique(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    words = P.encode_postings(vals)
+    assert np.array_equal(P.decode_postings(words), vals)
+    assert P.encoded_length(words) == len(words)
+
+
+def test_empty_values():
+    words = P.encode_postings(np.zeros(0, dtype=np.uint32))
+    assert words.tolist() == [0]
+    assert P.decode_postings(words).tolist() == []
+
+
+def test_dense_run():
+    vals = np.arange(1000, dtype=np.uint32)  # deltas all 1 -> stored 0 -> b=0
+    words = P.encode_postings(vals)
+    # 8 blocks of (header+anchor), plus count word
+    assert len(words) == 1 + 8 * 2
+    assert np.array_equal(P.decode_postings(words), vals)
+
+
+def test_extremes():
+    vals = np.array([0, 1, 2**31, 2**32 - 1], dtype=np.uint32)
+    words = P.encode_postings(vals)
+    assert np.array_equal(P.decode_postings(words), vals)
+
+
+def test_single_value():
+    for v in [0, 5, 2**32 - 1]:
+        words = P.encode_postings(np.array([v], dtype=np.uint32))
+        assert P.decode_postings(words).tolist() == [v]
+
+
+def test_not_strictly_increasing_rejected():
+    with pytest.raises(ValueError):
+        P.encode_postings(np.array([3, 3], dtype=np.uint32))
+
+
+def test_encode_bulk_matches_single(rng):
+    lists = [
+        np.unique(rng.integers(0, 2**32, size=int(s), dtype=np.uint32))
+        for s in rng.integers(0, 2000, size=100)
+    ]
+    lists[7] = np.zeros(0, dtype=np.uint32)
+    voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lists], out=voffs[1:])
+    values = np.concatenate(lists)
+    words, outs = P.encode_bulk(values, voffs)
+    pos = 0
+    for i, l in enumerate(lists):
+        ref = P.encode_postings(l)
+        assert outs[i] == pos
+        assert np.array_equal(words[pos : pos + len(ref)], ref)
+        pos += len(ref)
+    assert pos == len(words)
+
+
+def test_decode_bulk(rng):
+    lists = [
+        np.unique(rng.integers(0, 10_000_000, size=int(s), dtype=np.uint32))
+        for s in rng.integers(0, 3000, size=64)
+    ]
+    voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lists], out=voffs[1:])
+    words, outs = P.encode_bulk(np.concatenate(lists), voffs)
+    vals, counts, out_voffs = P.decode_bulk(words, outs, chunk=7)
+    for i, l in enumerate(lists):
+        assert np.array_equal(vals[out_voffs[i] : out_voffs[i + 1]], l)
+
+
+def test_compression_ratio_vs_baseline(rng):
+    """BASELINE.md: ratio within 10% of intcomp (delta+bitpack, 128-blocks).
+
+    We bound our size against an analytic model of intcomp's binary packing:
+    ceil(128*b/32) words per block + 1 header word per block, b = bitwidth of
+    the block's plain deltas. Our layout stores delta-1 (never wider than the
+    plain delta for sorted-unique input) and costs 4b+2 words per block."""
+    for target_n, universe in [(1000, 10_000_000), (10_000, 2**32 - 1), (200, 50_000)]:
+        vals = np.unique(rng.integers(0, universe, size=target_n, dtype=np.uint32))
+        ours = len(P.encode_postings(vals)) * 4  # bytes
+        # analytic intcomp-like size
+        n = len(vals)
+        ref_bytes = 0
+        for s in range(0, n, 128):
+            blk = vals[s : s + 128].astype(np.int64)
+            d = np.diff(blk)
+            prev = vals[s - 1] if s else 0
+            d = np.concatenate([[blk[0] - int(prev)], d])
+            b = int(d.max()).bit_length()
+            ref_bytes += 4 + (128 * b + 31) // 32 * 4
+        assert ours <= ref_bytes * 1.10, (target_n, universe, ours, ref_bytes)
