@@ -219,13 +219,17 @@ class InvertedIndex:
 
         def scan(s: Shard):
             mine = shard_prefixes[id(s)]
-            greatest = mine[-1]
             it = s.read(mine[0], None)
             try:
                 for tv in it:
-                    term_prefix = tv.term[: len(greatest)]
-                    if greatest < term_prefix:
-                        break  # past every prefix: early stop (:266-271)
+                    # Early stop once the term is past EVERY prefix's range.
+                    # (The reference stops when past the lexicographically
+                    # greatest prefix, inverted_index.go:266-271 — which
+                    # wrongly drops matches of a shorter prefix that contains
+                    # the greatest one, e.g. prefixes [ban, band] lose
+                    # "banjo" for "ban". Monotone-correct version here.)
+                    if all(tv.term[: len(p)] > p for p in mine):
+                        break
                     for p in mine:
                         if tv.term.startswith(p):
                             with found_m:

@@ -1,0 +1,348 @@
+"""Device-resident query engine — the flagship "model" of this framework.
+
+The reference serves queries by opening files and walking iterators per call
+(/root/reference/inverted_index.go:300, shard.go:72). A TPU serves queries as
+batched array programs over an immutable DEVICE SNAPSHOT of the index:
+
+    IndexSnapshot ("parameters"):
+        keys              (N, W+1) uint32   global sorted term dictionary
+        words             (M,)     uint32   packed posting blocks (codec)
+        block_woff        (B,)     int32    word offset of every block
+        term_block_start  (N+1,)   int32    first block of each term
+        counts            (N,)     int32    postings per term
+        removed           (R,)     uint32   sorted tombstones (optional)
+
+    QueryEngine ("forward passes"), all jit-compiled, static shapes:
+        lookup:   Q terms -> (found, postings (Q, L), counts)
+        AND/OR:   Q x K terms -> combined posting sets
+        prefix:   device range search + host union
+
+Snapshot semantics match a reference Read(nil, nil) over the whole index
+(union across segments, NO tombstone filtering — tombstones act at merge,
+see inverted_index_test.go:59-82 flow); pass apply_removed=True to purge at
+build, or filter_removed=True per query batch for the vectorized-tombstone
+query path (north star: "removed_list.go's tombstones applied as vectorized
+bitmask filters").
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..codec import keys as keys_mod
+from ..codec import packing
+from ..ops import decode as dec
+from ..ops import dict_search as ds
+from ..ops import setops
+from ..shard import merge_views
+
+
+@dataclass
+class IndexSnapshot:
+    """Immutable device-resident image of one index (or one shard group)."""
+
+    keys: jnp.ndarray               # (N, W+1) uint32
+    words: jnp.ndarray              # (M,) uint32, padded by >= WIN zeros
+    block_woff: jnp.ndarray         # (B,) int32
+    term_block_start: jnp.ndarray   # (N+1,) int32
+    counts: jnp.ndarray             # (N,) int32
+    removed: jnp.ndarray            # (R,) uint32 sorted
+    width: int                      # W (words per packed term, excl. len)
+    # host-side mirrors for host ops (prefix union, debugging)
+    host_values: np.ndarray = field(repr=False, default=None)
+    host_voffs: np.ndarray = field(repr=False, default=None)
+    host_blob: np.ndarray = field(repr=False, default=None)
+    host_offsets: np.ndarray = field(repr=False, default=None)
+
+    @property
+    def n_terms(self) -> int:
+        return int(self.keys.shape[0])
+
+
+def _empty_snapshot(width: int = 1) -> IndexSnapshot:
+    return IndexSnapshot(
+        keys=jnp.zeros((0, width + 1), dtype=jnp.uint32),
+        words=jnp.zeros((dec.WIN,), dtype=jnp.uint32),
+        block_woff=jnp.zeros((1,), dtype=jnp.int32),
+        term_block_start=jnp.zeros((1,), dtype=jnp.int32),
+        counts=jnp.zeros((0,), dtype=jnp.int32),
+        removed=jnp.zeros((0,), dtype=jnp.uint32),
+        width=width,
+        host_values=np.zeros(0, dtype=np.uint32),
+        host_voffs=np.zeros(1, dtype=np.int64),
+        host_blob=np.zeros(0, dtype=np.uint8),
+        host_offsets=np.zeros(1, dtype=np.int64),
+    )
+
+
+def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None):
+    """Lower merged (blob, offsets, values, voffs) arrays to device tables."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n == 0:
+        return _empty_snapshot(width or 1)
+    blob_arr = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, bytes) else blob
+    keys = keys_mod.pack_blob(blob_arr, offsets, width)
+    W = keys.shape[1] - 1
+
+    words, outs = packing.encode_bulk(np.asarray(values, dtype=np.uint32), voffs)
+    counts, nblocks, block_off, _ = packing.scan_term_blocks(words, outs)
+    nb1 = np.maximum(nblocks, 1)
+    tbs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(nb1, out=tbs[1:])
+    # flatten block offsets to term order (vectorized ragged copy)
+    flat = np.zeros(tbs[-1], dtype=np.int32)
+    maxnb = block_off.shape[1]
+    col = np.arange(maxnb, dtype=np.int64)
+    mask = col[None, :] < nb1[:, None]
+    flat[(tbs[:-1][:, None] + col[None, :])[mask]] = block_off[mask]
+    words_pad = np.concatenate([words, np.zeros(dec.WIN, dtype=np.uint32)])
+
+    rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
+    return IndexSnapshot(
+        keys=jnp.asarray(keys),
+        words=jnp.asarray(words_pad),
+        block_woff=jnp.asarray(flat),
+        term_block_start=jnp.asarray(tbs),
+        counts=jnp.asarray(counts.astype(np.int32)),
+        removed=jnp.asarray(rem),
+        width=W,
+        host_values=np.asarray(values, dtype=np.uint32),
+        host_voffs=np.asarray(voffs, dtype=np.int64),
+        host_blob=np.asarray(blob_arr),
+        host_offsets=offsets,
+    )
+
+
+def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = None) -> IndexSnapshot:
+    """Freeze an InvertedIndex into a device snapshot.
+
+    Pins all segments of all shards, merges them logically (global sorted
+    terms + unioned values — the same array program as compaction), encodes
+    postings with the block codec and uploads the tables to the default
+    device. Equivalent read semantics to Read(nil, nil).
+    """
+    from ..segment.registry import Segments
+
+    views, pinned_all, removed_parts = [], [], []
+    for sh in index._snapshot():
+        pinned = sh.segments.pin_all()
+        pinned_all.append(pinned)
+        views.extend(s.view for s in pinned if s.view is not None)
+        removed_parts.append(sh.removed_list.values())
+    try:
+        merged = merge_views(views, None)
+    finally:
+        for pinned in pinned_all:
+            Segments.release(pinned)
+    removed = (
+        np.sort(np.concatenate(removed_parts)) if removed_parts else np.zeros(0, np.uint32)
+    )
+    if merged is None:
+        snap = _empty_snapshot(width or 1)
+        snap.removed = jnp.asarray(removed)
+        return snap
+    blob, offsets, values, voffs = merged
+    if apply_removed and len(removed):
+        keep = ~np.isin(values, removed, assume_unique=False)
+        # recompute per-term counts after the purge; drop empty terms
+        term_of = np.repeat(np.arange(len(voffs) - 1), np.diff(voffs))
+        values = values[keep]
+        term_of = term_of[keep]
+        new_counts = np.bincount(term_of, minlength=len(voffs) - 1)
+        nz = new_counts > 0
+        lens = np.diff(offsets)[nz]
+        starts = offsets[:-1][nz]
+        from ..utils.ragged import ragged_gather
+
+        blob_arr = np.frombuffer(blob, dtype=np.uint8)
+        nb, _ = ragged_gather(blob_arr, starts, lens)
+        offsets = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        blob = nb.tobytes()
+        voffs = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
+        np.cumsum(new_counts[nz], out=voffs[1:])
+        removed = np.zeros(0, np.uint32)
+    return build_snapshot_arrays(blob, offsets, values, voffs, removed, width)
+
+
+# ---------------------------------------------------------------------------
+# jitted forward steps (pure functions of snapshot arrays)
+# ---------------------------------------------------------------------------
+
+
+def lookup_step(keys, words, block_woff, term_block_start, counts, qkeys, L: int):
+    """Batched exact-term lookup: (found (Q,), postings (Q, L), counts (Q,)).
+
+    One fused program: multiword binary search -> block gather -> bit-plane
+    decode. Misses return count 0.
+    """
+    idx, found = ds.lookup_rows(keys, qkeys)
+    vals, n = dec.gather_postings(words, block_woff, term_block_start, counts, idx, L)
+    n = jnp.where(found, n, 0)
+    return found, vals, n
+
+
+def boolean_step(
+    keys, words, block_woff, term_block_start, counts,
+    qkeys, k_valid, L: int, op: str, removed=None,
+):
+    """Batched boolean query: qkeys (Q, K, W+1), k_valid (Q,).
+
+    AND: missing/absent term => empty result. OR: misses contribute nothing.
+    Optional vectorized tombstone filtering of the combined result.
+    """
+    Q, K, Wp1 = qkeys.shape
+    flat = qkeys.reshape(Q * K, Wp1)
+    idx, found = ds.lookup_rows(keys, flat)
+    vals, n = dec.gather_postings(words, block_woff, term_block_start, counts, idx, L)
+    n = jnp.where(found, n, 0)
+    lists = vals.reshape(Q, K, L)
+    ncnt = n.reshape(Q, K)
+    if op == "and":
+        out, oc = setops.intersect_many(lists, ncnt, k_valid)
+    elif op == "or":
+        out, oc = setops.union_many(lists, ncnt, k_valid)
+    else:
+        raise ValueError(op)
+    if removed is not None and removed.shape[0] > 0:
+        out, oc = setops.filter_removed(out, oc, removed)
+    return out, oc
+
+
+def prefix_range_step(keys, lo_keys, hi_keys):
+    """Device prefix -> dictionary range [lo, hi) (PrefixSearch kernel).
+
+    hi_keys must be the 0xff-saturated prefix key with length word 0xFFFFFFFF
+    (strictly greater than every term sharing the prefix)."""
+    lo = ds.searchsorted_rows(keys, lo_keys)
+    hi = ds.searchsorted_rows(keys, hi_keys)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# host-facing engine
+# ---------------------------------------------------------------------------
+
+_JIT_LOOKUP = jax.jit(lookup_step, static_argnames=("L",))
+_JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op"))
+_JIT_PREFIX = jax.jit(prefix_range_step)
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-x // m) * m)
+
+
+class QueryEngine:
+    """Batched query serving over a frozen IndexSnapshot.
+
+    Q is padded to buckets so jit caches stay small; L (posting pad length)
+    is fixed per engine (counts, not sentinels, define validity so long
+    lists truncate at L — size L to the corpus' max posting length).
+    """
+
+    def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256):
+        self.snap = snapshot
+        self.L = L
+        self.q_bucket = q_bucket
+        # module-level jit caches: shared across engine instances so fresh
+        # snapshots of same-shaped indexes reuse compiled programs
+        self._lookup = _JIT_LOOKUP
+        self._boolean = _JIT_BOOLEAN
+        self._prefix = _JIT_PREFIX
+
+    @classmethod
+    def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
+        return cls(snapshot_index(index, apply_removed=apply_removed), L=L, **kw)
+
+    # -- exact lookup --------------------------------------------------------
+
+    def lookup_device(self, qkeys: jnp.ndarray):
+        s = self.snap
+        return self._lookup(
+            s.keys, s.words, s.block_woff, s.term_block_start, s.counts, qkeys, self.L
+        )
+
+    def lookup(self, terms: Sequence[bytes]) -> List[Optional[np.ndarray]]:
+        """Host convenience: exact postings per term (None for misses)."""
+        if not terms:
+            return []
+        s = self.snap
+        if s.n_terms == 0:
+            return [None] * len(terms)
+        Q = _round_up(len(terms), self.q_bucket)
+        qk = keys_mod.pack_terms(list(terms), width=s.width)
+        pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
+        qk = np.concatenate([qk, pad], axis=0)
+        found, vals, n = self.lookup_device(jnp.asarray(qk))
+        found, vals, n = np.asarray(found), np.asarray(vals), np.asarray(n)
+        out = []
+        for i in range(len(terms)):
+            out.append(vals[i, : n[i]].copy() if found[i] else None)
+        return out
+
+    # -- boolean queries ---------------------------------------------------------
+
+    def boolean(self, queries: Sequence[Sequence[bytes]], op: str, filter_removed: bool = False):
+        """Batch of AND/OR queries; each query is 1..K terms.
+
+        Returns list of np arrays (sorted unique values). A missing term makes
+        an AND query empty; contributes nothing to an OR query.
+        """
+        if not queries:
+            return []
+        s = self.snap
+        K = max(len(q) for q in queries)
+        Q = _round_up(len(queries), self.q_bucket)
+        Wp1 = s.width + 1
+        qk = np.zeros((Q, K, Wp1), dtype=np.uint32)
+        kv = np.zeros(Q, dtype=np.int32)
+        for i, q in enumerate(queries):
+            kt = keys_mod.pack_terms(list(q), width=s.width)
+            qk[i, : len(q)] = kt
+            kv[i] = len(q)
+        if s.n_terms == 0:
+            return [np.zeros(0, np.uint32) for _ in queries]
+        out, oc = self._boolean(
+            s.keys, s.words, s.block_woff, s.term_block_start, s.counts,
+            jnp.asarray(qk), jnp.asarray(kv), self.L, op,
+            s.removed if filter_removed else None,
+        )
+        out, oc = np.asarray(out), np.asarray(oc)
+        return [out[i, : oc[i]].copy() for i in range(len(queries))]
+
+    # -- prefix search --------------------------------------------------------------
+
+    def prefix_search(self, prefixes: Sequence[bytes]) -> Dict[bytes, np.ndarray]:
+        """Device range resolution + host ragged union.
+
+        Parity with InvertedIndex.prefix_search (inverted_index.go:192-295):
+        unmatched prefixes absent; values sorted unique.
+        """
+        s = self.snap
+        if s.n_terms == 0 or not prefixes:
+            return {}
+        Wp1 = s.width + 1
+        lo_k = keys_mod.pack_terms(list(prefixes), width=s.width)
+        hi_k = np.zeros((len(prefixes), Wp1), dtype=np.uint32)
+        for i, p in enumerate(prefixes):
+            padded = p + b"\xff" * (s.width * 4 - len(p))
+            hi_k[i] = keys_mod.pack_one(padded[: s.width * 4], s.width)
+            hi_k[i, -1] = 0xFFFFFFFF  # length word: greater than any real term
+        lo, hi = self._prefix(s.keys, jnp.asarray(lo_k), jnp.asarray(hi_k))
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        out: Dict[bytes, np.ndarray] = {}
+        for i, p in enumerate(prefixes):
+            if hi[i] <= lo[i]:
+                continue
+            vals = self.snap.host_values[
+                self.snap.host_voffs[lo[i]] : self.snap.host_voffs[hi[i]]
+            ]
+            out[p] = np.unique(vals)
+        return out

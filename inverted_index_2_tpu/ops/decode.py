@@ -1,0 +1,94 @@
+"""On-device posting-list decode (bit-plane codec, jax.numpy program).
+
+Decodes the codec/packing.py layout (delta + per-block bit-planes) for a BATCH
+of terms into a fixed-shape (Q, L) padded matrix — the device replacement for
+the reference's per-term `intcomp.UncompressUint32` call
+(/root/reference/file/reader.go:100). The sequential block-offset scan of the
+file layout is precomputed at snapshot-build time into a flat `block_woff`
+array, so the device program is pure gathers + shifts + masked adds + cumsum:
+no data-dependent shapes, everything static for XLA.
+
+Layout recap per block (see codec/packing.py): [header(b | n_blk<<8), anchor,
+b*4 plane words]; delta-1 values, 128 lanes, plane word w*4+g packs bit w of
+lanes g*32..g*32+31.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 128
+WIN = 2 + 127 + 1  # worst-case block window incl. +1 slack for double fetch
+
+
+def decode_blocks(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode block windows -> (values (..., 128) uint32, n_blk (...,) int32).
+
+    window: (..., WIN) uint32 — [header, anchor, packed...] (garbage beyond
+    the block's own packed words is masked off via the header's bitwidth).
+    Horizontal layout: delta j occupies bits [j*b, j*b+b) of the packed
+    region; decoded with a per-lane double-word fetch — all uint32 ops
+    (TPU has no native 64-bit): lo = word[w0] >> s, hi = word[w0+1] << (32-s).
+    """
+    header = window[..., 0]
+    b = (header & 0xFF).astype(jnp.int32)          # (...,)
+    n_blk = ((header >> 8) & 0xFF).astype(jnp.int32)
+    anchor = window[..., 1]
+
+    j = jnp.arange(BLOCK, dtype=jnp.int32)          # lane = delta index
+    bitpos = j * b[..., None]                        # (..., 128)
+    w0 = 2 + (bitpos >> 5)
+    s = (bitpos & 31).astype(jnp.uint32)
+    g0 = jnp.take_along_axis(window, w0, axis=-1)
+    g1 = jnp.take_along_axis(window, w0 + 1, axis=-1)
+    lo = g0 >> s
+    hi = jnp.where(s > 0, g1 << (jnp.uint32(32) - s), jnp.uint32(0))
+    mask = jnp.where(
+        b > 0,
+        jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(32) - jnp.minimum(b, 32).astype(jnp.uint32)),
+        jnp.uint32(0),
+    )
+    d = (lo | hi) & mask[..., None]
+
+    # v[0] = anchor; v[k+1] = v[k] + d[k] + 1
+    steps = d[..., : BLOCK - 1] + jnp.uint32(1)
+    csum = jnp.cumsum(steps, axis=-1, dtype=jnp.uint32)
+    vals = anchor[..., None] + jnp.concatenate(
+        [jnp.zeros((*csum.shape[:-1], 1), dtype=jnp.uint32), csum], axis=-1
+    )
+    return vals, n_blk
+
+
+def gather_postings(
+    words: jnp.ndarray,
+    block_woff: jnp.ndarray,
+    term_block_start: jnp.ndarray,
+    counts: jnp.ndarray,
+    term_idx: jnp.ndarray,
+    L: int,
+):
+    """Decode postings of `term_idx` terms into a (Q, L) padded matrix.
+
+    words:            (M,) uint32 — the snapshot's packed posting words
+                      (padded by >= WIN trailing zeros by the snapshot builder)
+    block_woff:       (B,) int32 — word offset of every block, in term order
+    term_block_start: (N+1,) int32 — first block index of each term
+    counts:           (N,) int32 — posting count per term
+    term_idx:         (Q,) int32 — which terms to decode
+    L:                static pad length (multiple of 128); values beyond a
+                      term's count are UNDEFINED — consumers mask by count.
+
+    Returns (vals (Q, L) uint32, counts (Q,) int32 — clamped to L).
+    """
+    assert L % BLOCK == 0
+    K = L // BLOCK
+    tbs = term_block_start[term_idx]          # (Q,)
+    n = counts[term_idx]                       # (Q,)
+    nb = (n + BLOCK - 1) // BLOCK
+
+    k = jnp.arange(K, dtype=jnp.int32)
+    g = tbs[:, None] + jnp.minimum(k[None, :], jnp.maximum(nb[:, None] - 1, 0))
+    woff = block_woff[g]                       # (Q, K)
+    win = words[woff[..., None] + jnp.arange(WIN, dtype=jnp.int32)]  # (Q, K, WIN)
+    vals, _ = decode_blocks(win)               # (Q, K, 128)
+    return vals.reshape(vals.shape[0], K * BLOCK), jnp.minimum(n, L)

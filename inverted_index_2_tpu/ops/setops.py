@@ -1,0 +1,132 @@
+"""Sorted-set operations over padded posting matrices (device).
+
+The reference unions posting lists pairwise inside its k-way merging iterator
+(MergeTermValues, /root/reference/file/types.go:14-22) and filters tombstones
+by per-value binary search (/root/reference/shard.go:181-190). Here posting
+lists are rows of fixed-shape (Q, L) uint32 matrices with per-row counts, and
+AND/OR/tombstone-filter are batched array programs:
+
+ * intersect_many / union_many: boolean AND / OR of K lists per query
+   (BASELINE config 3: 2-8 terms, mean posting length 1k)
+ * filter_removed: vectorized sorted-membership mask
+
+Padding convention: rows are valid in [0, count); garbage beyond. Compaction
+to the front uses a single sort per op (padding slots forced to SENTINEL=max
+then counted out). Values equal to 0xFFFFFFFF remain correct: counts, not
+sentinels, define validity.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _valid_mask(L: int, counts: jnp.ndarray) -> jnp.ndarray:
+    return jnp.arange(L, dtype=jnp.int32)[None, :] < counts[:, None]
+
+
+def _batched_searchsorted(haystack: jnp.ndarray, needles: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise searchsorted: haystack (Q, L) sorted rows, needles (Q, P)."""
+    return jax.vmap(lambda h, x: jnp.searchsorted(h, x))(haystack, needles)
+
+
+def member_mask(
+    lists: jnp.ndarray, counts: jnp.ndarray, probes: jnp.ndarray
+) -> jnp.ndarray:
+    """For each row: is probes[q, j] a member of lists[q, :counts[q]]?
+
+    lists rows must be sorted ascending within [0, count). Garbage beyond the
+    count is neutralized by clamping to SENTINEL before the search.
+    """
+    L = lists.shape[1]
+    clean = jnp.where(_valid_mask(L, counts), lists, SENTINEL)
+    clean = jnp.sort(clean, axis=1)
+    pos = _batched_searchsorted(clean, probes)
+    pos_c = jnp.minimum(pos, L - 1)
+    hit = jnp.take_along_axis(clean, pos_c, axis=1) == probes
+    return hit & (pos < counts[:, None])
+
+
+def intersect_many(
+    lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarray
+):
+    """Boolean AND of K sorted lists per query.
+
+    lists: (Q, K, L) sorted rows; counts: (Q, K); k_valid: (Q,) number of
+    lists actually present per query (queries may have 2..K terms).
+    Returns (vals (Q, L) compacted ascending, out_counts (Q,)).
+    Empty/missing required list => empty result (AND semantics).
+    """
+    Q, K, L = lists.shape
+    base = lists[:, 0, :]
+    base_n = counts[:, 0]
+    keep = _valid_mask(L, base_n)
+    for j in range(1, K):
+        active = (j < k_valid)[:, None]
+        hit = member_mask(lists[:, j, :], counts[:, j], base)
+        keep &= jnp.where(active, hit, True)
+    packed = jnp.where(keep, base, SENTINEL)
+    # count first, then compact (ties with genuine SENTINEL values are safe:
+    # they sort last and the count keeps them)
+    out_counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return jnp.sort(packed, axis=1), out_counts
+
+
+def union_many(lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarray):
+    """Boolean OR of K sorted lists per query.
+
+    Returns (vals (Q, K*L) compacted ascending unique, out_counts (Q,)).
+    """
+    Q, K, L = lists.shape
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :, None] < k_valid[:, None, None]
+    vmask = jnp.arange(L, dtype=jnp.int32)[None, None, :] < counts[:, :, None]
+    valid = (kmask & vmask).reshape(Q, K * L)
+    flat = jnp.where(valid, lists.reshape(Q, K * L), SENTINEL)
+    n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    # Sort: invalid slots (== SENTINEL) land last. A genuine 0xFFFFFFFF value
+    # is bit-identical to the sentinel, so any at the validity boundary are
+    # interchangeable — the first n_valid slots always hold exactly the valid
+    # multiset. No 64-bit tagging needed (TPU has no native uint64 anyway).
+    vals = jnp.sort(flat, axis=1)
+    in_region = jnp.arange(K * L, dtype=jnp.int32)[None, :] < n_valid[:, None]
+    first = jnp.concatenate(
+        [jnp.ones((Q, 1), dtype=bool), vals[:, 1:] != vals[:, :-1]], axis=1
+    )
+    uniq = in_region & first
+    out_counts = jnp.sum(uniq, axis=1).astype(jnp.int32)
+    # compact unique values to the front (order preserved: rank is monotone)
+    rank = (jnp.cumsum(uniq, axis=1) - 1).astype(jnp.int32)
+    out = jnp.full((Q, K * L), SENTINEL, dtype=jnp.uint32)
+    qi = jnp.arange(Q, dtype=jnp.int32)[:, None]
+    dst = jnp.where(uniq, rank, K * L - 1)
+    out = out.at[qi, dst].set(jnp.where(uniq, vals, SENTINEL))
+    return out, out_counts
+
+
+def filter_removed(
+    vals: jnp.ndarray, counts: jnp.ndarray, removed: jnp.ndarray
+):
+    """Drop tombstoned values from each sorted row; compact to front.
+
+    removed: (R,) sorted uint32 (may be empty). The reference's per-value
+    slices.BinarySearch (/root/reference/shard.go:183-190) becomes one
+    vectorized searchsorted over the whole batch.
+    Returns (vals, counts) with survivors ascending.
+    """
+    Q, L = vals.shape
+    R = removed.shape[0]
+    valid = _valid_mask(L, counts)
+    if R == 0:
+        return vals, counts
+    pos = jnp.searchsorted(removed, vals.reshape(-1)).reshape(Q, L)
+    hit = removed[jnp.minimum(pos, R - 1)] == vals
+    hit &= pos < R
+    keep = valid & ~hit
+    # compact survivors to the front: dropped slots -> SENTINEL, one sort.
+    # Genuine 0xFFFFFFFF survivors are interchangeable with padding at the
+    # count boundary (same bits), so [0, out_count) is exactly the survivors.
+    out_vals = jnp.sort(jnp.where(keep, vals, SENTINEL), axis=1)
+    out_counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return out_vals, out_counts

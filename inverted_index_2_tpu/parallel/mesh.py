@@ -1,0 +1,205 @@
+"""Multi-chip sharding: the index's shard axis mapped onto a device Mesh.
+
+The reference parallelizes across up to 1024 prefix shards with goroutines in
+one process (/root/reference/inverted_index.go:46-103). Here the same shard
+axis becomes a `jax.sharding.Mesh` axis: the 10-bit shard-key space is split
+into contiguous ranges, one per device; each device holds the frozen snapshot
+of its shard range (dictionary + postings), padded to a common shape and
+stacked. Queries are replicated to all devices (fan-out); each device answers
+for terms it owns; results merge with a `psum` over ICI — exactness holds
+because a term's postings live on EXACTLY ONE device (disjoint key ranges),
+so the sum has a single non-zero contributor per query.
+
+This is the DP-like axis of this workload (SURVEY §2.2): there is no tensor
+to split per-op; scaling = partitioning index state + fan-out/merge
+collectives.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..codec import keys as keys_mod
+from ..codec import packing
+from ..models import query_engine as qe
+from ..ops import decode as dec
+from ..shard import merge_views
+
+SHARD_AXIS = "shards"
+
+# padding key row: sorts after every real term (length word 0xFFFFFFFF is
+# impossible for a real term) and can never equal a real query key.
+_PAD_WORD = 0xFFFFFFFF
+
+
+@dataclass
+class ShardedSnapshot:
+    """Per-device snapshot partitions, padded to equal shapes and stacked.
+
+    Leading axis = device along the `shards` mesh axis.
+    """
+
+    keys: jnp.ndarray               # (D, Nmax, W+1)
+    words: jnp.ndarray              # (D, Mmax)
+    block_woff: jnp.ndarray         # (D, Bmax)
+    term_block_start: jnp.ndarray   # (D, Nmax+1)
+    counts: jnp.ndarray             # (D, Nmax)
+    mesh: Mesh
+    width: int
+
+    @property
+    def n_devices(self) -> int:
+        return self.keys.shape[0]
+
+
+def _pad_partition(snap: qe.IndexSnapshot, Nmax: int, Mmax: int, Bmax: int, W: int):
+    """Pad one device partition to the common shape (host numpy)."""
+    n = snap.n_terms
+    keys = np.full((Nmax, W + 1), _PAD_WORD, dtype=np.uint32)
+    if n:
+        k = np.asarray(snap.keys)
+        keys[:n, : k.shape[1]] = k
+        if k.shape[1] < W + 1:  # widen: move length word to last column
+            keys[:n, W] = k[:, -1]
+            keys[:n, k.shape[1] - 1 : W] = 0
+    words = np.zeros(Mmax, dtype=np.uint32)
+    w = np.asarray(snap.words)
+    words[: len(w)] = w
+    bwoff = np.zeros(Bmax, dtype=np.int32)
+    b = np.asarray(snap.block_woff)
+    bwoff[: len(b)] = b
+    tbs = np.zeros(Nmax + 1, dtype=np.int32)
+    t = np.asarray(snap.term_block_start)
+    tbs[: len(t)] = t
+    tbs[len(t) :] = t[-1] if len(t) else 0
+    counts = np.zeros(Nmax, dtype=np.int32)
+    c = np.asarray(snap.counts)
+    counts[: len(c)] = c
+    return keys, words, bwoff, tbs, counts
+
+
+def shard_ranges(n_devices: int, fanout: int = 1024) -> List[range]:
+    """Contiguous split of the shard-key space ("0000".."1023") per device."""
+    per = -(-fanout // n_devices)
+    return [range(d * per, min((d + 1) * per, fanout)) for d in range(n_devices)]
+
+
+def build_sharded_snapshot(
+    index, mesh: Mesh, width: Optional[int] = None
+) -> ShardedSnapshot:
+    """Freeze an InvertedIndex into per-device partitions along `mesh`'s
+    shard axis. Shard dirs are routed to devices by contiguous shard-key
+    ranges (global term order = device order for terms >= 2 bytes)."""
+    n_dev = mesh.shape[SHARD_AXIS]
+    ranges = shard_ranges(n_dev)
+    parts: List[qe.IndexSnapshot] = []
+    for r in ranges:
+        views = []
+        for sh in index._snapshot():
+            try:
+                k = int(sh.get_key())
+            except ValueError:
+                continue
+            if k in r:
+                views.extend(
+                    s.view for s in sh.segments.snapshot() if s.view is not None
+                )
+        merged = merge_views(views, None)
+        if merged is None:
+            parts.append(qe._empty_snapshot(width or 1))
+        else:
+            blob, offsets, values, voffs = merged
+            parts.append(qe.build_snapshot_arrays(blob, offsets, values, voffs, None, width))
+    return stack_partitions(parts, mesh)
+
+
+def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapshot:
+    W = max(p.width for p in parts)
+    Nmax = max(max(p.n_terms for p in parts), 1)
+    Mmax = max(max(int(p.words.shape[0]) for p in parts), dec.WIN)
+    Bmax = max(max(int(p.block_woff.shape[0]) for p in parts), 1)
+    padded = [_pad_partition(p, Nmax, Mmax, Bmax, W) for p in parts]
+    stack = lambda i: np.stack([pp[i] for pp in padded], axis=0)
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    return ShardedSnapshot(
+        keys=jax.device_put(stack(0), shard),
+        words=jax.device_put(stack(1), shard),
+        block_woff=jax.device_put(stack(2), shard),
+        term_block_start=jax.device_put(stack(3), shard),
+        counts=jax.device_put(stack(4), shard),
+        mesh=mesh,
+        width=W,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPMD query steps (shard_map over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def _local_lookup(keys, words, bwoff, tbs, counts, qkeys, L):
+    """Per-device block: answer for owned terms, zero elsewhere."""
+    found, vals, n = qe.lookup_step(keys[0], words[0], bwoff[0], tbs[0], counts[0], qkeys, L)
+    vals = jnp.where((found & (n > 0))[:, None], vals, jnp.uint32(0))
+    n = jnp.where(found, n, 0)
+    return found, vals, n
+
+
+def make_sharded_lookup(snap: ShardedSnapshot, L: int):
+    """Compile the fan-out lookup: queries replicated in, results psum'd over
+    ICI (single owner per term => sum == owner's answer)."""
+
+    def step(keys, words, bwoff, tbs, counts, qkeys):
+        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, qkeys, L)
+        found = jax.lax.psum(found.astype(jnp.int32), SHARD_AXIS) > 0
+        vals = jax.lax.psum(vals, SHARD_AXIS)
+        n = jax.lax.psum(n, SHARD_AXIS)
+        return found, vals, n
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
+    """Fan-out boolean queries: per-term postings fetched on the owning
+    device, merged by psum, then the set op runs replicated (its inputs are
+    already global)."""
+    from ..ops import setops
+
+    def step(keys, words, bwoff, tbs, counts, qkeys, k_valid):
+        Q, K, Wp1 = qkeys.shape
+        flat = qkeys.reshape(Q * K, Wp1)
+        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, flat, L)
+        vals = jax.lax.psum(vals, SHARD_AXIS)
+        n = jax.lax.psum(n, SHARD_AXIS)
+        lists = vals.reshape(Q, K, L)
+        ncnt = n.reshape(Q, K)
+        if op == "and":
+            return setops.intersect_many(lists, ncnt, k_valid)
+        return setops.union_many(lists, ncnt, k_valid)
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def default_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (SHARD_AXIS,))

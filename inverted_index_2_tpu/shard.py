@@ -197,7 +197,7 @@ class Shard:
         for seg in claimed:
             seg.pin()
         try:
-            out = self._merge_segments([s.view for s in claimed])
+            out = merge_views([s.view for s in claimed], self.removed_list.values())
         finally:
             Segments.release(claimed)
 
@@ -223,91 +223,93 @@ class Shard:
             )
         return len(claimed)
 
-    def _merge_segments(self, views: List[SegmentView]):
-        """Vectorized k-way merge + tombstone purge.
 
-        Replaces the reference's streaming loop (shard.go:168-212): instead of
-        a loser-tree pulling one term at a time, ALL terms of the claimed
-        segments are packed into a key matrix, lexsorted, grouped, and their
-        values unioned/purged with array ops.
-        Returns (blob, offsets, values, value_offsets) or None when everything
-        was purged (then no output segment is written, shard.go:196-205)."""
-        views = [v for v in views if v.n_terms > 0]
-        if not views:
-            return None
-        W = max(keys_mod.width_words(v.max_term_len) for v in views)
-        keys_all = np.concatenate([v.keys(W) for v in views], axis=0)
-        n_per = np.array([v.n_terms for v in views], dtype=np.int64)
-        view_base = np.zeros(len(views) + 1, dtype=np.int64)
-        np.cumsum(n_per, out=view_base[1:])
 
-        order = keys_mod.lexsort_rows(keys_all)
-        ks = keys_all[order]
-        N = len(order)
-        if N == 0:
-            return None
-        new_group = np.concatenate([[True], np.any(ks[1:] != ks[:-1], axis=1)])
-        group_id = np.cumsum(new_group) - 1
-        n_groups = int(group_id[-1]) + 1
+def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
+    """Vectorized k-way merge + tombstone purge over segment views.
 
-        # decode all postings per view, concatenated with global value bases
-        vals_parts, counts_parts, vstart_parts = [], [], []
-        vbase = 0
-        for v in views:
-            vals, counts, voffs = v.decode_all()
-            vals_parts.append(vals)
-            counts_parts.append(counts)
-            vstart_parts.append(voffs[:-1] + vbase)
-            vbase += len(vals)
-        all_vals = np.concatenate(vals_parts)
-        g_counts = np.concatenate(counts_parts)
-        g_vstart = np.concatenate(vstart_parts)
+    Replaces the reference's streaming loop (shard.go:168-212): instead of
+    a loser-tree pulling one term at a time, ALL terms of the input segments
+    are packed into a key matrix, lexsorted, grouped, and their values
+    unioned/purged with array ops. Used by Shard.merge (compaction) and by
+    the device snapshot builder (models/query_engine.py).
 
-        # values in sorted-term order, tagged with group ids
-        starts_sorted = g_vstart[order]
-        counts_sorted = g_counts[order]
-        flat_vals, rep = ragged_gather(all_vals, starts_sorted, counts_sorted)
-        flat_groups = group_id[rep]
+    removed: sorted uint32 tombstones (may be None/empty).
+    Returns (blob, offsets, values, value_offsets) or None when everything
+    was purged (then no output segment is written, shard.go:196-205)."""
+    views = [v for v in views if v.n_terms > 0]
+    if not views:
+        return None
+    W = max(keys_mod.width_words(v.max_term_len) for v in views)
+    keys_all = np.concatenate([v.keys(W) for v in views], axis=0)
+    n_per = np.array([v.n_terms for v in views], dtype=np.int64)
+    view_base = np.zeros(len(views) + 1, dtype=np.int64)
+    np.cumsum(n_per, out=view_base[1:])
 
-        # union + dedupe per group: unique on (group << 32 | value)
-        pairs = (flat_groups.astype(np.uint64) << np.uint64(32)) | flat_vals.astype(np.uint64)
-        pairs = np.unique(pairs)
+    order = keys_mod.lexsort_rows(keys_all)
+    ks = keys_all[order]
+    N = len(order)
+    if N == 0:
+        return None
+    new_group = np.concatenate([[True], np.any(ks[1:] != ks[:-1], axis=1)])
+    group_id = np.cumsum(new_group) - 1
 
-        # tombstone purge (vectorized binary search, replaces shard.go:181-190)
-        removed = self.removed_list.values()
-        if len(removed):
-            vals_only = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            pos = np.searchsorted(removed, vals_only)
-            pos_c = np.minimum(pos, len(removed) - 1)
-            hit = removed[pos_c] == vals_only
-            hit &= pos < len(removed)
-            pairs = pairs[~hit]
+    # decode all postings per view, concatenated with global value bases
+    vals_parts, counts_parts, vstart_parts = [], [], []
+    vbase = 0
+    for v in views:
+        vals, counts, voffs = v.decode_all()
+        vals_parts.append(vals)
+        counts_parts.append(counts)
+        vstart_parts.append(voffs[:-1] + vbase)
+        vbase += len(vals)
+    all_vals = np.concatenate(vals_parts)
+    g_counts = np.concatenate(counts_parts)
+    g_vstart = np.concatenate(vstart_parts)
 
-        if len(pairs) == 0:
-            return None
+    # values in sorted-term order, tagged with group ids
+    starts_sorted = g_vstart[order]
+    counts_sorted = g_counts[order]
+    flat_vals, rep = ragged_gather(all_vals, starts_sorted, counts_sorted)
+    flat_groups = group_id[rep]
 
-        out_groups = (pairs >> np.uint64(32)).astype(np.int64)
-        out_vals = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        kept, group_counts = np.unique(out_groups, return_counts=True)
-        voffs = np.zeros(len(kept) + 1, dtype=np.int64)
-        np.cumsum(group_counts, out=voffs[1:])
+    # union + dedupe per group: unique on (group << 32 | value)
+    pairs = (flat_groups.astype(np.uint64) << np.uint64(32)) | flat_vals.astype(np.uint64)
+    pairs = np.unique(pairs)
 
-        # representative original term per kept group -> rebuild blob
-        first_pos_of_group = np.nonzero(new_group)[0]  # sorted position of each group head
-        rep_orig = order[first_pos_of_group[kept]]  # index into concatenated views
-        view_idx = np.searchsorted(view_base, rep_orig, side="right") - 1
-        local_idx = rep_orig - view_base[view_idx]
+    # tombstone purge (vectorized binary search, replaces shard.go:181-190)
+    if removed is not None and len(removed):
+        vals_only = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        pos = np.searchsorted(removed, vals_only)
+        pos_c = np.minimum(pos, len(removed) - 1)
+        hit = removed[pos_c] == vals_only
+        hit &= pos < len(removed)
+        pairs = pairs[~hit]
 
-        blob_parts = [v.blob for v in views]
-        blob_base = np.zeros(len(views) + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in blob_parts], out=blob_base[1:])
-        all_blob = np.concatenate(blob_parts) if blob_parts else np.zeros(0, np.uint8)
-        term_starts = np.concatenate([v.offsets[:-1] for v in views]) + 0
-        term_lens = np.concatenate([np.diff(v.offsets) for v in views])
-        g_tstart = term_starts[rep_orig] + blob_base[view_idx]
-        g_tlen = term_lens[rep_orig]
-        out_blob, _ = ragged_gather(all_blob, g_tstart, g_tlen)
-        out_offsets = np.zeros(len(kept) + 1, dtype=np.int64)
-        np.cumsum(g_tlen, out=out_offsets[1:])
+    if len(pairs) == 0:
+        return None
 
-        return out_blob.tobytes(), out_offsets, out_vals, voffs
+    out_groups = (pairs >> np.uint64(32)).astype(np.int64)
+    out_vals = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    kept, group_counts = np.unique(out_groups, return_counts=True)
+    voffs = np.zeros(len(kept) + 1, dtype=np.int64)
+    np.cumsum(group_counts, out=voffs[1:])
+
+    # representative original term per kept group -> rebuild blob
+    first_pos_of_group = np.nonzero(new_group)[0]  # sorted position of group heads
+    rep_orig = order[first_pos_of_group[kept]]  # index into concatenated views
+    view_idx = np.searchsorted(view_base, rep_orig, side="right") - 1
+
+    blob_parts = [v.blob for v in views]
+    blob_base = np.zeros(len(views) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blob_parts], out=blob_base[1:])
+    all_blob = np.concatenate(blob_parts) if blob_parts else np.zeros(0, np.uint8)
+    term_starts = np.concatenate([v.offsets[:-1] for v in views])
+    term_lens = np.concatenate([np.diff(v.offsets) for v in views])
+    g_tstart = term_starts[rep_orig] + blob_base[view_idx]
+    g_tlen = term_lens[rep_orig]
+    out_blob, _ = ragged_gather(all_blob, g_tstart, g_tlen)
+    out_offsets = np.zeros(len(kept) + 1, dtype=np.int64)
+    np.cumsum(g_tlen, out=out_offsets[1:])
+
+    return out_blob.tobytes(), out_offsets, out_vals, voffs

@@ -3,16 +3,23 @@
 Multi-chip TPU hardware is not available in CI; sharding/mesh tests run on
 8 virtual CPU devices (the analogue of the reference validating concurrency
 with real goroutine storms in-process — inverted_index_test.go:84-138).
-Must run before jax is imported anywhere.
+
+NOTE: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel), so this
+must FORCE-overwrite — a setdefault is silently ignored and every jit then
+compiles over the tunnel (~60s each). Must run before jax initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,197 @@
+"""Device ops vs. host oracles (runs on the CPU test platform)."""
+import bisect
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from inverted_index_2_tpu.codec import keys as K
+from inverted_index_2_tpu.codec import packing as P
+from inverted_index_2_tpu.ops import decode as D
+from inverted_index_2_tpu.ops import dict_search as DS
+from inverted_index_2_tpu.ops import setops as S
+
+_jit_intersect = jax.jit(S.intersect_many)
+_jit_union = jax.jit(S.union_many)
+_jit_filter = jax.jit(S.filter_removed)
+_jit_gather = jax.jit(D.gather_postings, static_argnums=(5,))
+
+
+class TestDictSearch:
+    def test_searchsorted_and_lookup(self, rng):
+        terms = sorted(
+            {
+                bytes(rng.integers(97, 123, size=int(l), dtype=np.uint8))
+                for l in rng.integers(1, 10, size=500)
+            }
+        )
+        keys = K.pack_terms(terms)
+        W = keys.shape[1] - 1
+        queries = terms[::3] + [
+            bytes(rng.integers(97, 123, size=int(l), dtype=np.uint8))
+            for l in rng.integers(1, 10, size=100)
+        ]
+        qk = K.pack_terms(queries, width=W)
+        got = np.asarray(DS.searchsorted_rows(jnp.asarray(keys), jnp.asarray(qk)))
+        want = [bisect.bisect_left(terms, q) for q in queries]
+        assert got.tolist() == want
+
+        idx, found = DS.lookup_rows(jnp.asarray(keys), jnp.asarray(qk))
+        idx, found = np.asarray(idx), np.asarray(found)
+        for i, q in enumerate(queries):
+            if q in terms:
+                assert found[i] and terms[idx[i]] == q
+            else:
+                assert not found[i]
+
+    def test_empty_dict(self):
+        keys = jnp.zeros((0, 3), dtype=jnp.uint32)
+        q = jnp.zeros((4, 3), dtype=jnp.uint32)
+        idx, found = DS.lookup_rows(keys, q)
+        assert not np.asarray(found).any()
+
+    def test_jit_compiles(self, rng):
+        keys = jnp.asarray(K.pack_terms(sorted({b"aa", b"bb", b"cc"})))
+        q = jnp.asarray(K.pack_terms([b"bb", b"zz"], width=keys.shape[1] - 1))
+        f = jax.jit(DS.lookup_rows)
+        idx, found = f(keys, q)
+        assert np.asarray(found).tolist() == [True, False]
+
+
+def _snapshot_arrays(lists):
+    """Encode posting lists and build the device block tables."""
+    voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lists], out=voffs[1:])
+    words, outs = P.encode_bulk(np.concatenate(lists) if lists else np.zeros(0, np.uint32), voffs)
+    counts, nblocks, block_off, block_b = P.scan_term_blocks(words, outs)
+    # flatten per-term block offsets into term order
+    tbs = np.zeros(len(lists) + 1, dtype=np.int32)
+    np.cumsum(np.maximum(nblocks, 1), out=tbs[1:])
+    flat = np.zeros(tbs[-1], dtype=np.int32)
+    for i in range(len(lists)):
+        nbi = max(int(nblocks[i]), 1)
+        flat[tbs[i] : tbs[i] + nbi] = block_off[i, :nbi]
+    words_pad = np.concatenate([words, np.zeros(D.WIN, dtype=np.uint32)])
+    return (
+        jnp.asarray(words_pad),
+        jnp.asarray(flat),
+        jnp.asarray(tbs),
+        jnp.asarray(counts.astype(np.int32)),
+    )
+
+
+class TestDecode:
+    def test_gather_postings_matches_host(self, rng):
+        lists = [
+            np.unique(rng.integers(0, 1_000_000, size=int(s), dtype=np.uint32))
+            for s in rng.integers(1, 900, size=60)
+        ]
+        words, flat, tbs, counts = _snapshot_arrays(lists)
+        term_idx = jnp.asarray(rng.integers(0, len(lists), size=40).astype(np.int32))
+        L = 1024
+        vals, cnts = _jit_gather(words, flat, tbs, counts, term_idx, L)
+        vals, cnts = np.asarray(vals), np.asarray(cnts)
+        for q, t in enumerate(np.asarray(term_idx)):
+            want = lists[t]
+            assert cnts[q] == len(want)
+            assert np.array_equal(vals[q, : len(want)], want)
+
+    def test_long_lists_truncate_to_L(self, rng):
+        lists = [np.unique(rng.integers(0, 2**31, size=5000, dtype=np.uint32))]
+        words, flat, tbs, counts = _snapshot_arrays(lists)
+        L = 512
+        vals, cnts = _jit_gather(words, flat, tbs, counts, jnp.asarray([0], dtype=jnp.int32), L)
+        assert int(cnts[0]) == L
+        assert np.array_equal(np.asarray(vals)[0], lists[0][:L])
+
+
+def _pad_rows(rows, L):
+    Q = len(rows)
+    out = np.zeros((Q, L), dtype=np.uint32)
+    counts = np.zeros(Q, dtype=np.int32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        counts[i] = len(r)
+    return out, counts
+
+
+class TestSetOps:
+    def test_intersect_many(self, rng):
+        Q, Kk, L = 20, 4, 256
+        lists = []
+        kv = rng.integers(2, Kk + 1, size=Q).astype(np.int32)
+        for q in range(Q):
+            row = [
+                np.unique(rng.integers(0, 400, size=int(rng.integers(1, L)), dtype=np.uint32))
+                for _ in range(Kk)
+            ]
+            lists.append(row)
+        mat = np.zeros((Q, Kk, L), dtype=np.uint32)
+        cnt = np.zeros((Q, Kk), dtype=np.int32)
+        for q in range(Q):
+            for j in range(Kk):
+                mat[q, j, : len(lists[q][j])] = lists[q][j]
+                cnt[q, j] = len(lists[q][j])
+        vals, oc = _jit_intersect(jnp.asarray(mat), jnp.asarray(cnt), jnp.asarray(kv))
+        vals, oc = np.asarray(vals), np.asarray(oc)
+        for q in range(Q):
+            want = set(lists[q][0])
+            for j in range(1, kv[q]):
+                want &= set(lists[q][j])
+            got = vals[q, : oc[q]].tolist()
+            assert got == sorted(want), q
+
+    def test_union_many(self, rng):
+        Q, Kk, L = 12, 3, 128
+        kv = rng.integers(1, Kk + 1, size=Q).astype(np.int32)
+        rows = [
+            [
+                np.unique(rng.integers(0, 300, size=int(rng.integers(1, L)), dtype=np.uint32))
+                for _ in range(Kk)
+            ]
+            for _ in range(Q)
+        ]
+        mat = np.zeros((Q, Kk, L), dtype=np.uint32)
+        cnt = np.zeros((Q, Kk), dtype=np.int32)
+        for q in range(Q):
+            for j in range(Kk):
+                mat[q, j, : len(rows[q][j])] = rows[q][j]
+                cnt[q, j] = len(rows[q][j])
+        vals, oc = _jit_union(jnp.asarray(mat), jnp.asarray(cnt), jnp.asarray(kv))
+        vals, oc = np.asarray(vals), np.asarray(oc)
+        for q in range(Q):
+            want = set()
+            for j in range(kv[q]):
+                want |= set(rows[q][j])
+            assert vals[q, : oc[q]].tolist() == sorted(want), q
+
+    def test_filter_removed(self, rng):
+        Q, L = 10, 128
+        rows = [
+            np.unique(rng.integers(0, 500, size=int(rng.integers(0, L)), dtype=np.uint32))
+            for _ in range(Q)
+        ]
+        vals, cnt = _pad_rows(rows, L)
+        removed = np.unique(rng.integers(0, 500, size=60, dtype=np.uint32))
+        out, oc = _jit_filter(jnp.asarray(vals), jnp.asarray(cnt), jnp.asarray(removed))
+        out, oc = np.asarray(out), np.asarray(oc)
+        rs = set(removed.tolist())
+        for q in range(Q):
+            want = [v for v in rows[q].tolist() if v not in rs]
+            assert out[q, : oc[q]].tolist() == want, q
+
+    def test_sentinel_value_is_a_real_value(self):
+        # 0xFFFFFFFF must survive set ops as a legitimate posting value
+        a = np.array([[5, 0xFFFFFFFF]], dtype=np.uint32)
+        b = np.array([[0xFFFFFFFF, 0]], dtype=np.uint32)
+        mat = np.zeros((1, 2, 4), dtype=np.uint32)
+        mat[0, 0, :2] = a
+        mat[0, 1, :2] = [0xFFFFFFFF, 0]
+        mat[0, 1, :2].sort()
+        cnt = np.array([[2, 2]], dtype=np.int32)
+        vals, oc = _jit_intersect(jnp.asarray(mat), jnp.asarray(cnt), jnp.asarray([2]))
+        assert np.asarray(vals)[0, : int(oc[0])].tolist() == [0xFFFFFFFF]
+        vals, oc = _jit_union(jnp.asarray(mat), jnp.asarray(cnt), jnp.asarray([2]))
+        assert np.asarray(vals)[0, : int(oc[0])].tolist() == [0, 5, 0xFFFFFFFF]

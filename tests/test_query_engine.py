@@ -1,0 +1,114 @@
+"""QueryEngine (device snapshot) vs. host-iterator oracle — the differential
+harness of SURVEY §7 step 7: the same index is read through the streaming host
+path and through the device batch path; result sets must be identical."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from inverted_index_2_tpu import InvertedIndex, to_slice
+from inverted_index_2_tpu.models.query_engine import QueryEngine, snapshot_index
+
+
+def build_index(tmp_path, rng, n_docs=60, n_terms=40):
+    ii = InvertedIndex(str(tmp_path))
+    vocab = [f"term{i:03d}".encode() for i in range(n_terms)] + [b"a", b"", b"\xff\xff"]
+    truth = {}
+    for doc in range(1, n_docs + 1):
+        k = int(rng.integers(1, 6))
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)]
+        ii.put(terms, doc)
+        for t in terms:
+            truth.setdefault(t, set()).add(doc)
+    return ii, truth
+
+
+def test_lookup_matches_host_read(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng)
+    eng = QueryEngine.from_index(ii, L=256)
+    terms = sorted(truth.keys()) + [b"missing", b"zzzz"]
+    got = eng.lookup(terms)
+    for t, g in zip(terms, got):
+        if t in truth:
+            assert g is not None and g.tolist() == sorted(truth[t]), t
+        else:
+            assert g is None, t
+
+
+def test_lookup_after_merge_and_remove(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng)
+    ii.put_removed([1, 2, 3])
+    while ii.merge(2, 100, 2) > 0:
+        pass
+    # oracle: host read stream
+    host = {tv.term: tv.values.tolist() for tv in to_slice(ii.read(None, None))}
+    eng = QueryEngine.from_index(ii, L=256)
+    got = eng.lookup(sorted(host.keys()))
+    for t, g in zip(sorted(host.keys()), got):
+        assert g.tolist() == host[t], t
+
+
+def test_apply_removed_at_build(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng, n_docs=30)
+    ii.put_removed([5, 6])
+    eng = QueryEngine.from_index(ii, L=256, apply_removed=True)
+    for t, docs in truth.items():
+        want = sorted(docs - {5, 6})
+        got = eng.lookup([t])[0]
+        if want:
+            assert got is not None and got.tolist() == want, t
+        else:
+            assert got is None or len(got) == 0
+
+
+def test_boolean_and_or(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng, n_docs=80)
+    eng = QueryEngine.from_index(ii, L=256)
+    vocab = sorted(truth.keys())
+    queries = []
+    for _ in range(25):
+        k = int(rng.integers(2, 5))
+        queries.append([vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)])
+    queries.append([vocab[0], b"missing-term"])
+
+    got_and = eng.boolean(queries, op="and")
+    got_or = eng.boolean(queries, op="or")
+    for q, ga, go in zip(queries, got_and, got_or):
+        sets = [truth.get(t, set()) for t in q]
+        want_and = set.intersection(*sets) if sets else set()
+        want_or = set.union(*sets)
+        assert ga.tolist() == sorted(want_and), q
+        assert go.tolist() == sorted(want_or), q
+
+
+def test_boolean_filter_removed(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng, n_docs=40)
+    ii.put_removed([7, 8, 9])
+    eng = QueryEngine.from_index(ii, L=256)
+    vocab = sorted(truth.keys())
+    q = [vocab[:2], vocab[2:5]]
+    got = eng.boolean(q, op="or", filter_removed=True)
+    for terms, g in zip(q, got):
+        want = sorted(set.union(*[truth.get(t, set()) for t in terms]) - {7, 8, 9})
+        assert g.tolist() == want
+
+
+def test_prefix_search_matches_host(tmp_path, rng):
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"apple", b"apricot", b"banana", b"band", b"bandana"], 1)
+    ii.put([b"applesauce", b"banjo"], 2)
+    eng = QueryEngine.from_index(ii, L=128)
+    prefixes = [b"ap", b"ban", b"band", b"zzz", b"apple"]
+    want = ii.prefix_search(prefixes)
+    got = eng.prefix_search(prefixes)
+    assert set(got.keys()) == set(want.keys())
+    for p in want:
+        assert got[p].tolist() == want[p].tolist(), p
+
+
+def test_empty_index_engine(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    eng = QueryEngine.from_index(ii)
+    assert eng.lookup([b"x"]) == [None]
+    assert eng.prefix_search([b"x"]) == {}
+    assert [g.tolist() for g in eng.boolean([[b"x", b"y"]], op="and")] == [[]]
