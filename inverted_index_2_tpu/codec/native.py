@@ -1,0 +1,127 @@
+"""ctypes loader for the native C++ host codec (native/codec.cpp).
+
+The native library implements the exact wire layout of packing.py; this
+module exposes drop-in bulk encode/decode that packing.py dispatches to when
+the shared object is present (built via `make -C native`, auto-built on first
+import when a compiler is available). Falls back silently to the numpy
+implementations otherwise — results are bit-identical either way (asserted by
+tests/test_native.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_here, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libtpicodec.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("TPI_DISABLE_NATIVE"):
+            return None
+        if not os.path.exists(_SO_PATH) and os.path.exists(
+            os.path.join(_NATIVE_DIR, "Makefile")
+        ):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(_SO_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+
+        u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+
+        lib.tpi_encode_bulk_size.restype = ctypes.c_int64
+        lib.tpi_encode_bulk_size.argtypes = [u32p, i64p, ctypes.c_int64, i64p]
+        lib.tpi_encode_bulk_fill.restype = None
+        lib.tpi_encode_bulk_fill.argtypes = [u32p, i64p, ctypes.c_int64, i64p, u32p]
+        lib.tpi_decode_counts.restype = None
+        lib.tpi_decode_counts.argtypes = [u32p, i64p, ctypes.c_int64, i64p]
+        lib.tpi_decode_bulk.restype = ctypes.c_int32
+        lib.tpi_decode_bulk.argtypes = [u32p, i64p, ctypes.c_int64, u32p, i64p]
+        lib.tpi_scan_blocks.restype = None
+        lib.tpi_scan_blocks.argtypes = [u32p, i64p, ctypes.c_int64, i64p, i32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode_bulk(values: np.ndarray, value_offsets: np.ndarray):
+    """Native bulk encode; layout-identical to packing.encode_bulk (numpy)."""
+    lib = _load()
+    assert lib is not None
+    values = np.ascontiguousarray(values, dtype=np.uint32)
+    voffs = np.ascontiguousarray(value_offsets, dtype=np.int64)
+    T = len(voffs) - 1
+    outs = np.zeros(max(T, 1), dtype=np.int64)
+    if T == 0:
+        return np.zeros(0, dtype=np.uint32), outs[:0]
+    total = lib.tpi_encode_bulk_size(values, voffs, T, outs)
+    if total < 0:
+        raise ValueError("encode requires strictly increasing values per list")
+    words = np.zeros(total, dtype=np.uint32)
+    lib.tpi_encode_bulk_fill(values, voffs, T, outs, words)
+    return words, outs
+
+
+def decode_bulk(words: np.ndarray, outs: np.ndarray):
+    """Native bulk decode; mirrors packing.decode_bulk (numpy)."""
+    lib = _load()
+    assert lib is not None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    outs = np.ascontiguousarray(outs, dtype=np.int64)
+    T = len(outs)
+    counts = np.zeros(max(T, 1), dtype=np.int64)
+    if T == 0:
+        return np.zeros(0, np.uint32), counts[:0], np.zeros(1, np.int64)
+    lib.tpi_decode_counts(words, outs, T, counts)
+    counts = counts[:T]
+    voffs = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(counts, out=voffs[1:])
+    values = np.zeros(int(voffs[-1]), dtype=np.uint32)
+    rc = lib.tpi_decode_bulk(words, outs, T, values, voffs)
+    if rc != 0:
+        raise ValueError("native decode: malformed posting block")
+    return values, counts, voffs
+
+
+def scan_blocks(words: np.ndarray, outs: np.ndarray, tbs: np.ndarray) -> np.ndarray:
+    """Native block-offset scan for the device snapshot builder."""
+    lib = _load()
+    assert lib is not None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    outs = np.ascontiguousarray(outs, dtype=np.int64)
+    tbs = np.ascontiguousarray(tbs, dtype=np.int64)
+    flat = np.zeros(int(tbs[-1]), dtype=np.int32)
+    lib.tpi_scan_blocks(words, outs, len(outs), tbs, flat)
+    return flat

@@ -72,11 +72,22 @@ def encode_postings(values: np.ndarray) -> np.ndarray:
 
 
 def encode_bulk(values: np.ndarray, value_offsets: np.ndarray):
-    """Encode many posting lists at once (vectorized over all blocks).
+    """Encode many posting lists at once.
 
     values[value_offsets[i]:value_offsets[i+1]] is term i's sorted unique list.
     Returns (words uint32, outs int64) with outs[i] = word offset of list i.
+    Dispatches to the native C++ codec when built (bit-identical layout);
+    falls back to the vectorized numpy implementation below.
     """
+    from . import native
+
+    if native.available() and len(value_offsets) > 1:
+        return native.encode_bulk(values, value_offsets)
+    return _encode_bulk_np(values, value_offsets)
+
+
+def _encode_bulk_np(values: np.ndarray, value_offsets: np.ndarray):
+    """Vectorized numpy reference implementation of encode_bulk."""
     values = np.ascontiguousarray(values, dtype=np.uint32)
     value_offsets = np.asarray(value_offsets, dtype=np.int64)
     T = len(value_offsets) - 1
@@ -206,10 +217,20 @@ def scan_term_blocks(words: np.ndarray, outs: np.ndarray):
 def decode_bulk(words: np.ndarray, outs: np.ndarray, chunk: int = 65536):
     """Decode many posting lists; returns (values concat, counts, value_offsets).
 
-    Vectorized over terms in chunks; used by the merge/compaction path to
-    materialize all postings of the input segments at once (replaces the
-    reference's per-term streaming loop at /root/reference/shard.go:168-212).
+    Used by the merge/compaction path to materialize all postings of the
+    input segments at once (replaces the reference's per-term streaming loop
+    at /root/reference/shard.go:168-212). Dispatches to the native C++ codec
+    when built; numpy fallback below.
     """
+    from . import native
+
+    if native.available() and len(outs) > 0:
+        return native.decode_bulk(words, outs)
+    return _decode_bulk_np(words, outs, chunk)
+
+
+def _decode_bulk_np(words: np.ndarray, outs: np.ndarray, chunk: int = 65536):
+    """Vectorized numpy reference implementation of decode_bulk."""
     words = np.asarray(words, dtype=np.uint32)
     outs = np.asarray(outs, dtype=np.int64)
     counts, nblocks, block_off, block_b = scan_term_blocks(words, outs)

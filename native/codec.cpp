@@ -1,0 +1,162 @@
+// Native host codec for inverted_index_2_tpu.
+//
+// Implements the exact posting-block layout of codec/packing.py (delta +
+// per-block horizontal bit-packing, blocks of 128, self-delimiting) as tight
+// scalar C++ for the HOST side of the pipeline: segment writing (merge
+// output encode) and bulk decode feeding the vectorized merge. The reference
+// gets this layer from the Go library `ronanh/intcomp`
+// (/root/reference/file/writer.go:49, reader.go:100); the device side uses
+// the Pallas/XLA decoder in ops/decode.py over the same bytes.
+//
+// ABI: plain C functions, loaded via ctypes (codec/native.py). All offsets
+// are in 32-bit words. Thread-safe (no globals); release the GIL around
+// calls from Python.
+//
+// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int64_t kBlock = 128;
+
+inline int bit_length(uint32_t x) { return x ? 32 - __builtin_clz(x) : 0; }
+
+inline int64_t packed_words(int64_t n_blk, int64_t b) {
+  int64_t nd = n_blk > 0 ? n_blk - 1 : 0;
+  return (nd * b + 31) / 32;
+}
+
+// Width of the largest (delta - 1) in values[s .. s+n_blk) (relative deltas).
+inline int block_width(const uint32_t* v, int64_t n_blk) {
+  uint32_t maxd = 0;
+  for (int64_t j = 0; j + 1 < n_blk; ++j) {
+    maxd |= v[j + 1] - v[j] - 1;  // OR keeps the max bit width
+  }
+  return bit_length(maxd);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: compute per-list word offsets and the total output size.
+// outs[T] receives each list's word offset; returns total words, or -1 when
+// some list is not strictly increasing (the layout's precondition).
+int64_t tpi_encode_bulk_size(const uint32_t* values, const int64_t* voffs,
+                             int64_t T, int64_t* outs) {
+  int64_t pos = 0;
+  for (int64_t t = 0; t < T; ++t) {
+    outs[t] = pos;
+    const int64_t n = voffs[t + 1] - voffs[t];
+    pos += 1;  // count word
+    const uint32_t* v = values + voffs[t];
+    for (int64_t j = 0; j + 1 < n; ++j) {
+      if (v[j + 1] <= v[j]) return -1;
+    }
+    for (int64_t s = 0; s < n; s += kBlock) {
+      const int64_t n_blk = (n - s) < kBlock ? (n - s) : kBlock;
+      const int b = block_width(v + s, n_blk);
+      pos += 2 + packed_words(n_blk, b);
+    }
+  }
+  return pos;
+}
+
+// Pass 2: fill the output buffer (sized by pass 1; zero-initialized by caller).
+void tpi_encode_bulk_fill(const uint32_t* values, const int64_t* voffs,
+                          int64_t T, const int64_t* outs, uint32_t* words) {
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t n = voffs[t + 1] - voffs[t];
+    const uint32_t* v = values + voffs[t];
+    int64_t pos = outs[t];
+    words[pos++] = static_cast<uint32_t>(n);
+    for (int64_t s = 0; s < n; s += kBlock) {
+      const int64_t n_blk = (n - s) < kBlock ? (n - s) : kBlock;
+      const int b = block_width(v + s, n_blk);
+      words[pos] = static_cast<uint32_t>(b) | (static_cast<uint32_t>(n_blk) << 8);
+      words[pos + 1] = v[s];
+      uint32_t* packed = words + pos + 2;
+      int64_t bitpos = 0;
+      for (int64_t j = 0; j + 1 < n_blk; ++j, bitpos += b) {
+        const uint64_t d = v[s + j + 1] - v[s + j] - 1;
+        const uint64_t c = d << (bitpos & 31);
+        packed[bitpos >> 5] |= static_cast<uint32_t>(c);
+        const uint32_t hi = static_cast<uint32_t>(c >> 32);
+        if (hi) packed[(bitpos >> 5) + 1] |= hi;
+      }
+      pos += 2 + packed_words(n_blk, b);
+    }
+  }
+}
+
+// Pass 1 of decode: per-list value counts (reads just the count words).
+void tpi_decode_counts(const uint32_t* words, const int64_t* outs, int64_t T,
+                       int64_t* counts) {
+  for (int64_t t = 0; t < T; ++t) counts[t] = words[outs[t]];
+}
+
+// Pass 2 of decode: fill out_values at out_voffs (exclusive prefix sums of
+// counts). Returns 0 on success, -1 on a malformed block header.
+int32_t tpi_decode_bulk(const uint32_t* words, const int64_t* outs, int64_t T,
+                        uint32_t* out_values, const int64_t* out_voffs) {
+  for (int64_t t = 0; t < T; ++t) {
+    int64_t pos = outs[t];
+    const int64_t n = words[pos++];
+    uint32_t* dst = out_values + out_voffs[t];
+    int64_t produced = 0;
+    while (produced < n) {
+      const uint32_t header = words[pos];
+      const int b = header & 0xFF;
+      const int64_t n_blk = (header >> 8) & 0xFF;
+      if (n_blk <= 0 || n_blk > kBlock || produced + n_blk > n) return -1;
+      uint32_t cur = words[pos + 1];
+      const uint32_t* packed = words + pos + 2;
+      dst[produced++] = cur;
+      if (b == 0) {
+        for (int64_t j = 1; j < n_blk; ++j) dst[produced++] = ++cur;
+      } else {
+        const uint64_t mask = (b == 32) ? 0xFFFFFFFFull : ((1ull << b) - 1);
+        int64_t bitpos = 0;
+        for (int64_t j = 1; j < n_blk; ++j, bitpos += b) {
+          const int64_t w0 = bitpos >> 5;
+          const int s = bitpos & 31;
+          uint64_t window = packed[w0];
+          if (s + b > 32) window |= static_cast<uint64_t>(packed[w0 + 1]) << 32;
+          const uint32_t d = static_cast<uint32_t>((window >> s) & mask);
+          cur += d + 1;
+          dst[produced++] = cur;
+        }
+      }
+      pos += 2 + packed_words(n_blk, b);
+    }
+  }
+  return 0;
+}
+
+// Scan block tables (device snapshot builder): for each list, record each
+// block's word offset into flat[], laid out per term at tbs[t]..tbs[t+1].
+void tpi_scan_blocks(const uint32_t* words, const int64_t* outs, int64_t T,
+                     const int64_t* tbs, int32_t* flat) {
+  for (int64_t t = 0; t < T; ++t) {
+    int64_t pos = outs[t];
+    const int64_t n = words[pos++];
+    int64_t k = tbs[t];
+    if (n == 0) {  // one unused slot; zero to match the numpy builder exactly
+      flat[k] = 0;
+      continue;
+    }
+    int64_t seen = 0;
+    while (seen < n) {
+      const uint32_t header = words[pos];
+      const int b = header & 0xFF;
+      const int64_t n_blk = (header >> 8) & 0xFF;
+      flat[k++] = static_cast<int32_t>(pos);
+      seen += n_blk;
+      pos += 2 + packed_words(n_blk, b);
+    }
+  }
+}
+
+}  // extern "C"
