@@ -13,6 +13,7 @@ BENCH_Q (10_000), BENCH_ITERS (20).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import tempfile
@@ -46,10 +47,13 @@ def gen_corpus(n_terms: int, mean_len: int, seed: int = 0):
 
 
 def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
+    """Sustained query throughput: `iters` staged batches of Q queries each
+    are consumed by ONE dispatched lax.scan program (results reduced on
+    device to counts + a checksum so the measurement is compute-bound, not
+    result-download-bound). Per-dispatch latency is reported separately."""
     import jax
     import jax.numpy as jnp
 
-    from inverted_index_2_tpu.codec import keys as keys_mod
     from inverted_index_2_tpu.models.query_engine import (
         boolean_step,
         build_snapshot_arrays,
@@ -63,47 +67,70 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     n = snap.n_terms
 
     rng = np.random.default_rng(1)
-    lookup = jax.jit(lookup_step, static_argnames=("L",))
-    # pre-pack query batches (packing is not the measured kernel)
     host_keys = np.asarray(snap.keys)
-    batches = []
-    for _ in range(iters):
-        idx = rng.integers(0, n, size=Q)
-        batches.append(jnp.asarray(host_keys[idx]))
+    tables = (snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts)
 
-    # warmup
-    f, v, c = lookup(snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts, batches[0], L)
-    jax.block_until_ready(c)
+    # ---- batched exact lookup, scan over staged batches ----
+    idx = rng.integers(0, n, size=(iters, Q))
+    staged = jnp.asarray(host_keys[idx])  # (I, Q, W+1)
+
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def scan_lookup(keys, words, bwoff, tbs, counts, staged, L):
+        def body(carry, qk):
+            f, v, c = lookup_step(keys, words, bwoff, tbs, counts, qk, L)
+            chk = jnp.bitwise_xor.reduce(v[:, 0]) ^ jnp.uint32(jnp.sum(c))
+            return carry ^ chk, jnp.sum(c)
+        return jax.lax.scan(body, jnp.uint32(0), staged)
+
+    chk, csum = scan_lookup(*tables, staged, L)
+    jax.block_until_ready(chk)  # warmup/compile
     t0 = time.monotonic()
-    for b in batches:
-        f, v, c = lookup(snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts, b, L)
-    jax.block_until_ready(c)
+    chk, csum = scan_lookup(*tables, staged, L)
+    jax.block_until_ready(chk)
     dt = time.monotonic() - t0
     lookup_qps = Q * iters / dt
 
-    # boolean AND, K in 2..8 (use K=4 batch)
-    K = 4
-    booland = jax.jit(boolean_step, static_argnames=("L", "op"))
-    bbatches = []
-    for _ in range(max(4, iters // 2)):
-        idx = rng.integers(0, n, size=(Q, K))
-        bbatches.append(jnp.asarray(host_keys[idx]))
-    kv = jnp.full((Q,), K, dtype=jnp.int32)
-    o, oc = booland(snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts, bbatches[0], kv, L, "and", None)
-    jax.block_until_ready(oc)
+    # single-dispatch latency (includes tunnel RPC)
+    lookup1 = jax.jit(lookup_step, static_argnames=("L",))
+    b0 = staged[0]
+    f, v, c = lookup1(*tables, b0, L)
+    jax.block_until_ready(c)
     t0 = time.monotonic()
-    for b in bbatches:
-        o, oc = booland(snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts, b, kv, L, "and", None)
-    jax.block_until_ready(oc)
+    reps = 5
+    for _ in range(reps):
+        f, v, c = lookup1(*tables, b0, L)
+        jax.block_until_ready(c)
+    dispatch_ms = (time.monotonic() - t0) / reps * 1e3
+
+    # ---- boolean AND (K=4), scan over staged batches ----
+    K = 4
+    and_iters = max(4, iters // 2)
+    bidx = rng.integers(0, n, size=(and_iters, Q, K))
+    bstaged = jnp.asarray(host_keys[bidx])  # (I, Q, K, W+1)
+    kv = jnp.full((Q,), K, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def scan_and(keys, words, bwoff, tbs, counts, staged, kv, L):
+        def body(carry, qk):
+            o, oc = boolean_step(keys, words, bwoff, tbs, counts, qk, kv, L, "and", None)
+            return carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0]), None
+        out, _ = jax.lax.scan(body, jnp.uint32(0), staged)
+        return out
+
+    chk2 = scan_and(*tables, bstaged, kv, L)
+    jax.block_until_ready(chk2)
+    t0 = time.monotonic()
+    chk2 = scan_and(*tables, bstaged, kv, L)
+    jax.block_until_ready(chk2)
     dt = time.monotonic() - t0
-    and_qps = Q * len(bbatches) / dt
-    # decoded posting bytes touched per AND query batch
+    and_qps = Q * and_iters / dt
     mean_cnt = float(np.minimum(np.diff(voffs), L).mean())
-    and_gbps = (Q * len(bbatches) * K * mean_cnt * 4) / dt / 1e9
+    and_gbps = (Q * and_iters * K * mean_cnt * 4) / dt / 1e9
 
     return {
         "snapshot_build_s": round(build_s, 3),
         "lookup_qps": round(lookup_qps),
+        "lookup_dispatch_ms": round(dispatch_ms, 2),
         "and_qps": round(and_qps),
         "intersect_gbps": round(and_gbps, 2),
         "n_terms": n,
@@ -111,23 +138,43 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     }
 
 
-def bench_ingest(n_terms=200_000, batch=20_000):
-    """Real Put path: terms/sec through shard routing + segment writes."""
+def bench_ingest(n_terms=1_000_000, batch=250_000):
+    """Real Put path, BASELINE config 1 shape: single-shard ingest of 1M
+    terms (common 2-byte prefix => one shard) through the vectorized packed
+    router. Terms/sec includes routing, sort/dedupe, and segment publish."""
     from inverted_index_2_tpu import InvertedIndex
 
     rng = np.random.default_rng(2)
-    raw = rng.integers(97, 123, size=(n_terms, 12), dtype=np.uint8)
-    docs = [
-        [raw[i].tobytes() for i in range(s, min(s + batch, n_terms))]
-        for s in range(0, n_terms, batch)
-    ]
+    width = 12
+    raw = rng.integers(97, 123, size=(n_terms, width), dtype=np.uint8)
+    raw[:, 0] = ord("a")
+    raw[:, 1] = ord("a")  # common 2-byte prefix -> one shard
+    blob = np.ascontiguousarray(raw).reshape(-1)
     d = tempfile.mkdtemp(prefix="bench_idx_")
     ii = InvertedIndex(d)
     t0 = time.monotonic()
-    for val, doc in enumerate(docs, 1):
-        ii.put(doc, val)
+    val = 0
+    for s in range(0, n_terms, batch):
+        e = min(s + batch, n_terms)
+        offsets = np.arange(e - s + 1, dtype=np.int64) * width
+        val += 1
+        ii.put_packed(blob[s * width : e * width], offsets, val)
     dt = time.monotonic() - t0
-    return {"ingest_terms_per_s": round(n_terms / dt), "ingest_s": round(dt, 3)}
+    # multi-shard routed variant (BASELINE config 4 shape: random prefixes)
+    rng2 = np.random.default_rng(3)
+    raw2 = rng2.integers(97, 123, size=(200_000, width), dtype=np.uint8)
+    blob2 = np.ascontiguousarray(raw2).reshape(-1)
+    d2 = tempfile.mkdtemp(prefix="bench_idx2_")
+    ii2 = InvertedIndex(d2)
+    t0 = time.monotonic()
+    offsets2 = np.arange(len(raw2) + 1, dtype=np.int64) * width
+    ii2.put_packed(blob2, offsets2, 1)
+    dt2 = time.monotonic() - t0
+    return {
+        "ingest_terms_per_s": round(n_terms / dt),
+        "ingest_s": round(dt, 3),
+        "ingest_routed_terms_per_s": round(len(raw2) / dt2),
+    }
 
 
 def bench_compression(values, voffs):

@@ -93,11 +93,60 @@ class InvertedIndex:
         (parity: inverted_index.go:113-145)."""
         if not terms:
             return
-        terms = sorted(terms, key=shard_key)
-        for group in group_by(terms, shard_key):
-            key = shard_key(group[0])
+        blob = b"".join(terms)
+        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in terms], out=offsets[1:])
+        self.put_packed(np.frombuffer(blob, dtype=np.uint8), offsets, value)
+
+    def put_packed(self, blob: np.ndarray, offsets: np.ndarray, value: int) -> None:
+        """Vectorized ingestion: terms as (uint8 array, offsets[n+1]).
+
+        One global lexsort orders terms by (shard key, term bytes); shard
+        groups fall out as contiguous slices, each written as one direct
+        segment via the shard's pre-sorted fast path. Replaces the
+        reference's per-term sort + grouping-iterator walk
+        (inverted_index.go:116-136) with array ops.
+        """
+        from .codec import keys as keys_mod
+        from .utils.ragged import ragged_gather
+
+        n = len(offsets) - 1
+        if n == 0:
+            return
+        keys = keys_mod.pack_blob(blob, offsets)
+        # shard id from the first two bytes (shard.go:362-378 semantics):
+        # terms shorter than 2 bytes -> shard 0
+        first_word = keys[:, 0]
+        two = ((first_word >> 16) & 0xFFFF).astype(np.uint32)
+        lens = np.diff(offsets)
+        shard_ids = np.where(lens >= 2, two >> 6, 0).astype(np.uint32)
+
+        cols = [keys[:, c] for c in range(keys.shape[1] - 1, -1, -1)]
+        order = np.lexsort(tuple(cols) + (shard_ids,))
+        ks = keys[order]
+        sh = shard_ids[order]
+        if n > 1:
+            keep = np.concatenate(
+                [[True], np.any(ks[1:] != ks[:-1], axis=1) | (sh[1:] != sh[:-1])]
+            )
+            order = order[keep]
+            sh = sh[keep]
+        slens = lens[order]
+        sblob, _ = ragged_gather(blob, offsets[:-1][order], slens)
+        soffs = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(slens, out=soffs[1:])
+        sblob_b = sblob.tobytes()
+
+        # contiguous shard group boundaries
+        bounds = np.concatenate(
+            [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [len(sh)]]
+        )
+        for g in range(len(bounds) - 1):
+            lo, hi = int(bounds[g]), int(bounds[g + 1])
+            key = f"{int(sh[lo]):04d}"
             shard = self._find_shard(key) or self._new_shard(key)
-            shard.put(group, value)
+            sub_off = soffs[lo : hi + 1] - soffs[lo]
+            shard.put_sorted(sblob_b[soffs[lo] : soffs[hi]], sub_off, value)
 
     # ---- delete ------------------------------------------------------------
 
@@ -185,6 +234,24 @@ class InvertedIndex:
             return s.read(min_term, max_term)
 
         return SequentialDynamicIterator(pick_next)
+
+    # ---- observability --------------------------------------------------------
+
+    def stats(self) -> Dict[str, int]:
+        """Lightweight counters (the reference's only metrics are merge
+        counts + optional merge-duration logs, inverted_index.go:97-99;
+        this is the structured equivalent)."""
+        shards = self._snapshot()
+        seg_counts = [len(s.segments) for s in shards]
+        return {
+            "shards": len(shards),
+            "segments": int(sum(seg_counts)),
+            "max_segments_per_shard": int(max(seg_counts, default=0)),
+            "terms": int(
+                sum(seg.terms for s in shards for seg in s.segments.snapshot())
+            ),
+            "removed_batches": int(sum(len(s.removed_list) for s in shards)),
+        }
 
     # ---- prefix search -----------------------------------------------------------
 

@@ -118,9 +118,15 @@ class Shard:
         sblob, _ = ragged_gather(blob, offsets[:-1][order], lens)
         soffs = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(lens, out=soffs[1:])
-        key = seg_writer.write_direct_segment(
-            self.basedir, sblob.tobytes(), soffs, np.uint32(value)
-        )
+        self.put_sorted(sblob.tobytes(), soffs, value)
+
+    def put_sorted(self, blob: bytes, offsets: np.ndarray, value: int) -> None:
+        """Fast path: terms already SORTED and UNIQUE (the vectorized router
+        in InvertedIndex.put_packed sorts globally once). Writes one
+        direct-mode segment and publishes it."""
+        if len(offsets) <= 1:
+            return
+        key = seg_writer.write_direct_segment(self.basedir, blob, offsets, np.uint32(value))
         view = SegmentView(self.basedir, key)
         self.segments.add(Segment(key, view.n_terms, view.min_term, view.max_term, view))
 
