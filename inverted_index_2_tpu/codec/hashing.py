@@ -1,0 +1,102 @@
+"""Open-addressing hash table over packed term keys (exact batched lookup).
+
+Binary search costs ~log2(N) dependent HBM gathers per query — TPU-hostile
+(each step is a tiny serialized gather). For EXACT lookups (the headline
+query path; range/prefix still binary-search) a linear-probe hash table cuts
+that to ~2-4 gathers: hash the packed key row with vector ops (no memory
+traffic), probe `slots[(h+i) & mask]`, verify the full key row once.
+
+Exactness: the table stores term INDEXES; every probe hit is verified against
+the full packed key (word-exact, includes the length tiebreak), so hash
+collisions cannot produce false positives. Load factor <= 0.5.
+
+The hash is FNV-1a over the key words INCLUDING trailing zero padding —
+deliberately, so the same term hashed at different pad widths agrees once
+repacked to the snapshot's width (hash inputs are the snapshot-width rows on
+both build and query side).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = np.uint32(2166136261)
+FNV_PRIME = np.uint32(16777619)
+
+
+def hash_rows_np(keys: np.ndarray) -> np.ndarray:
+    """FNV-1a over each row's uint32 words (vectorized numpy)."""
+    with np.errstate(over="ignore"):
+        h = np.full(keys.shape[0], FNV_OFFSET, dtype=np.uint32)
+        for c in range(keys.shape[1]):
+            h = (h ^ keys[:, c]) * FNV_PRIME
+    return h
+
+
+def hash_rows_jnp(keys):
+    """Identical math in jax.numpy (device side)."""
+    import jax.numpy as jnp
+
+    h = jnp.full(keys.shape[:-1], FNV_OFFSET, dtype=jnp.uint32)
+    for c in range(keys.shape[-1]):
+        h = (h ^ keys[..., c]) * FNV_PRIME
+    return h
+
+
+def table_size(n: int) -> int:
+    s = 1
+    while s < max(2 * n, 8):
+        s <<= 1
+    return s
+
+
+def build_table_np(hashes: np.ndarray) -> np.ndarray:
+    """Vectorized linear-probe insertion (numpy fallback; native is faster).
+
+    Round-based: every pending key attempts slot (h + offset) & mask; the
+    first claimant of each free slot wins, losers retry with offset+1.
+    Terminates: each round places >= 1 key (a free slot always exists at
+    load <= 0.5).
+    """
+    n = len(hashes)
+    S = table_size(n)
+    mask = np.uint32(S - 1)
+    slots = np.full(S, -1, dtype=np.int32)
+    pending = np.arange(n, dtype=np.int64)
+    offset = np.zeros(n, dtype=np.uint32)
+    while len(pending):
+        pos = (hashes[pending] + offset[pending]) & mask
+        order = np.argsort(pos, kind="stable")
+        pos_sorted = pos[order]
+        first = np.concatenate([[True], pos_sorted[1:] != pos_sorted[:-1]])
+        winners_local = order[first]
+        win_pos = pos[winners_local]
+        free = slots[win_pos] < 0
+        winners = winners_local[free]
+        slots[win_pos[free]] = pending[winners].astype(np.int32)
+        placed = np.zeros(len(pending), dtype=bool)
+        placed[winners] = True
+        offset[pending[~placed]] += 1
+        pending = pending[~placed]
+    return slots
+
+
+def build_table(keys: np.ndarray) -> np.ndarray:
+    """Build the slot table for packed key rows (native C++ when available)."""
+    hashes = hash_rows_np(np.ascontiguousarray(keys, dtype=np.uint32))
+    from . import native
+
+    if native.available() and hasattr(native, "hash_build"):
+        return native.hash_build(hashes)
+    return build_table_np(hashes)
+
+
+def max_probe_len(slots: np.ndarray, hashes: np.ndarray) -> int:
+    """Longest probe chain in the table (host check / device trip bound)."""
+    S = len(slots)
+    mask = np.uint32(S - 1)
+    occupied = slots >= 0
+    idx = slots[occupied].astype(np.int64)
+    pos = np.nonzero(occupied)[0].astype(np.int64)
+    home = (hashes[idx] & mask).astype(np.int64)
+    dist = (pos - home) % S
+    return int(dist.max()) + 1 if len(dist) else 1

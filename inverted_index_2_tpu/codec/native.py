@@ -53,7 +53,12 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
+        return _bind(lib)
 
+
+def _bind(lib):
+    global _lib
+    try:
         u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
@@ -68,8 +73,13 @@ def _load():
         lib.tpi_decode_bulk.argtypes = [u32p, i64p, ctypes.c_int64, u32p, i64p]
         lib.tpi_scan_blocks.restype = None
         lib.tpi_scan_blocks.argtypes = [u32p, i64p, ctypes.c_int64, i64p, i32p]
-        _lib = lib
-        return _lib
+        lib.tpi_hash_build.restype = None
+        lib.tpi_hash_build.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
+    except AttributeError:
+        # stale shared object (symbol set changed): fall back to numpy
+        return None
+    _lib = lib
+    return _lib
 
 
 def available() -> bool:
@@ -113,6 +123,21 @@ def decode_bulk(words: np.ndarray, outs: np.ndarray):
     if rc != 0:
         raise ValueError("native decode: malformed posting block")
     return values, counts, voffs
+
+
+def hash_build(hashes: np.ndarray) -> np.ndarray:
+    """Native linear-probe hash-table build (see codec/hashing.py)."""
+    lib = _load()
+    assert lib is not None
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint32)
+    n = len(hashes)
+    S = 1
+    while S < max(2 * n, 8):
+        S <<= 1
+    slots = np.full(S, -1, dtype=np.int32)
+    if n:
+        lib.tpi_hash_build(hashes, n, slots, S)
+    return slots
 
 
 def scan_blocks(words: np.ndarray, outs: np.ndarray, tbs: np.ndarray) -> np.ndarray:

@@ -35,6 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..codec import hashing
 from ..codec import keys as keys_mod
 from ..codec import packing
 from ..ops import decode as dec
@@ -54,6 +55,8 @@ class IndexSnapshot:
     counts: jnp.ndarray             # (N,) int32
     removed: jnp.ndarray            # (R,) uint32 sorted
     width: int                      # W (words per packed term, excl. len)
+    hash_slots: jnp.ndarray = None  # (S,) int32 linear-probe table (-1 empty)
+    max_probes: int = 1             # static probe bound (longest chain)
     # host-side mirrors for host ops (prefix union, debugging)
     host_values: np.ndarray = field(repr=False, default=None)
     host_voffs: np.ndarray = field(repr=False, default=None)
@@ -74,6 +77,8 @@ def _empty_snapshot(width: int = 1) -> IndexSnapshot:
         counts=jnp.zeros((0,), dtype=jnp.int32),
         removed=jnp.zeros((0,), dtype=jnp.uint32),
         width=width,
+        hash_slots=jnp.full((8,), -1, dtype=jnp.int32),
+        max_probes=1,
         host_values=np.zeros(0, dtype=np.uint32),
         host_voffs=np.zeros(1, dtype=np.int64),
         host_blob=np.zeros(0, dtype=np.uint8),
@@ -105,6 +110,8 @@ def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None
     words_pad = np.concatenate([words, np.zeros(dec.WIN, dtype=np.uint32)])
 
     rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
+    slots = hashing.build_table(keys)
+    max_probes = hashing.max_probe_len(slots, hashing.hash_rows_np(keys))
     return IndexSnapshot(
         keys=jnp.asarray(keys),
         words=jnp.asarray(words_pad),
@@ -113,6 +120,8 @@ def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None
         counts=jnp.asarray(counts.astype(np.int32)),
         removed=jnp.asarray(rem),
         width=W,
+        hash_slots=jnp.asarray(slots),
+        max_probes=max_probes,
         host_values=np.asarray(values, dtype=np.uint32),
         host_voffs=np.asarray(voffs, dtype=np.int64),
         host_blob=np.asarray(blob_arr),
@@ -177,13 +186,24 @@ def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = No
 # ---------------------------------------------------------------------------
 
 
-def lookup_step(keys, words, block_woff, term_block_start, counts, qkeys, L: int):
+def _resolve(keys, qkeys, slots=None, max_probes: int = 0):
+    """Exact term -> index resolution: hash probe when a table is provided
+    (2-4 gathers), else multiword binary search (log2 N gathers)."""
+    if slots is not None:
+        return ds.hash_lookup_rows(keys, slots, qkeys, max_probes)
+    return ds.lookup_rows(keys, qkeys)
+
+
+def lookup_step(
+    keys, words, block_woff, term_block_start, counts, qkeys, L: int,
+    slots=None, max_probes: int = 0,
+):
     """Batched exact-term lookup: (found (Q,), postings (Q, L), counts (Q,)).
 
-    One fused program: multiword binary search -> block gather -> bit-plane
-    decode. Misses return count 0.
+    One fused program: hash probe (or binary search) -> block gather ->
+    bit-unpack decode. Misses return count 0.
     """
-    idx, found = ds.lookup_rows(keys, qkeys)
+    idx, found = _resolve(keys, qkeys, slots, max_probes)
     vals, n = dec.gather_postings(words, block_woff, term_block_start, counts, idx, L)
     n = jnp.where(found, n, 0)
     return found, vals, n
@@ -192,6 +212,7 @@ def lookup_step(keys, words, block_woff, term_block_start, counts, qkeys, L: int
 def boolean_step(
     keys, words, block_woff, term_block_start, counts,
     qkeys, k_valid, L: int, op: str, removed=None,
+    slots=None, max_probes: int = 0,
 ):
     """Batched boolean query: qkeys (Q, K, W+1), k_valid (Q,).
 
@@ -200,7 +221,7 @@ def boolean_step(
     """
     Q, K, Wp1 = qkeys.shape
     flat = qkeys.reshape(Q * K, Wp1)
-    idx, found = ds.lookup_rows(keys, flat)
+    idx, found = _resolve(keys, flat, slots, max_probes)
     vals, n = dec.gather_postings(words, block_woff, term_block_start, counts, idx, L)
     n = jnp.where(found, n, 0)
     lists = vals.reshape(Q, K, L)
@@ -230,8 +251,8 @@ def prefix_range_step(keys, lo_keys, hi_keys):
 # host-facing engine
 # ---------------------------------------------------------------------------
 
-_JIT_LOOKUP = jax.jit(lookup_step, static_argnames=("L",))
-_JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op"))
+_JIT_LOOKUP = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
+_JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op", "max_probes"))
 _JIT_PREFIX = jax.jit(prefix_range_step)
 
 
@@ -266,7 +287,8 @@ class QueryEngine:
     def lookup_device(self, qkeys: jnp.ndarray):
         s = self.snap
         return self._lookup(
-            s.keys, s.words, s.block_woff, s.term_block_start, s.counts, qkeys, self.L
+            s.keys, s.words, s.block_woff, s.term_block_start, s.counts, qkeys,
+            self.L, s.hash_slots, s.max_probes,
         )
 
     def lookup(self, terms: Sequence[bytes]) -> List[Optional[np.ndarray]]:
@@ -313,6 +335,7 @@ class QueryEngine:
             s.keys, s.words, s.block_woff, s.term_block_start, s.counts,
             jnp.asarray(qk), jnp.asarray(kv), self.L, op,
             s.removed if filter_removed else None,
+            s.hash_slots, s.max_probes,
         )
         out, oc = np.asarray(out), np.asarray(oc)
         return [out[i, : oc[i]].copy() for i in range(len(queries))]

@@ -51,8 +51,10 @@ class ShardedSnapshot:
     block_woff: jnp.ndarray         # (D, Bmax)
     term_block_start: jnp.ndarray   # (D, Nmax+1)
     counts: jnp.ndarray             # (D, Nmax)
+    hash_slots: jnp.ndarray         # (D, S) common power-of-two table size
     mesh: Mesh
     width: int
+    max_probes: int = 1
 
     @property
     def n_devices(self) -> int:
@@ -121,11 +123,44 @@ def build_sharded_snapshot(
 
 
 def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapshot:
+    from ..codec import hashing
+
     W = max(p.width for p in parts)
     Nmax = max(max(p.n_terms for p in parts), 1)
     Mmax = max(max(int(p.words.shape[0]) for p in parts), dec.WIN)
     Bmax = max(max(int(p.block_woff.shape[0]) for p in parts), 1)
     padded = [_pad_partition(p, Nmax, Mmax, Bmax, W) for p in parts]
+    # per-device hash tables at ONE power-of-two size (the probe math uses
+    # S-1 as the mask, so every device must share S)
+    S = hashing.table_size(Nmax)
+    tables, probes = [], 1
+    for pp in padded:
+        keys_np, _, _, _, counts_np = pp
+        n = int((keys_np[:, -1] != 0xFFFFFFFF).sum())  # real rows (pad has len word max)
+        h = hashing.hash_rows_np(keys_np[:n])
+        slots = np.full(S, -1, dtype=np.int32)
+        mask = np.uint32(S - 1)
+        if n:
+            from ..codec import native
+
+            if native.available():
+                native._load().tpi_hash_build(
+                    np.ascontiguousarray(h), n, slots, S
+                )
+            else:
+                full = hashing.build_table_np(h)
+                # rebuild at size S if the fallback chose a different size
+                if len(full) != S:
+                    slots = np.full(S, -1, dtype=np.int32)
+                    for i, hv in enumerate(h):
+                        pos = np.uint32(hv) & mask
+                        while slots[pos] >= 0:
+                            pos = (pos + np.uint32(1)) & mask
+                        slots[pos] = i
+                else:
+                    slots = full
+            probes = max(probes, hashing.max_probe_len(slots, h))
+        tables.append(slots)
     stack = lambda i: np.stack([pp[i] for pp in padded], axis=0)
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     return ShardedSnapshot(
@@ -134,8 +169,10 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
         block_woff=jax.device_put(stack(2), shard),
         term_block_start=jax.device_put(stack(3), shard),
         counts=jax.device_put(stack(4), shard),
+        hash_slots=jax.device_put(np.stack(tables, axis=0), shard),
         mesh=mesh,
         width=W,
+        max_probes=probes,
     )
 
 
@@ -144,9 +181,12 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
 # ---------------------------------------------------------------------------
 
 
-def _local_lookup(keys, words, bwoff, tbs, counts, qkeys, L):
+def _local_lookup(keys, words, bwoff, tbs, counts, slots, qkeys, L, max_probes):
     """Per-device block: answer for owned terms, zero elsewhere."""
-    found, vals, n = qe.lookup_step(keys[0], words[0], bwoff[0], tbs[0], counts[0], qkeys, L)
+    found, vals, n = qe.lookup_step(
+        keys[0], words[0], bwoff[0], tbs[0], counts[0], qkeys, L,
+        slots[0], max_probes,
+    )
     vals = jnp.where((found & (n > 0))[:, None], vals, jnp.uint32(0))
     n = jnp.where(found, n, 0)
     return found, vals, n
@@ -155,9 +195,10 @@ def _local_lookup(keys, words, bwoff, tbs, counts, qkeys, L):
 def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     """Compile the fan-out lookup: queries replicated in, results psum'd over
     ICI (single owner per term => sum == owner's answer)."""
+    probes = snap.max_probes
 
-    def step(keys, words, bwoff, tbs, counts, qkeys):
-        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, qkeys, L)
+    def step(keys, words, bwoff, tbs, counts, slots, qkeys):
+        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, slots, qkeys, L, probes)
         found = jax.lax.psum(found.astype(jnp.int32), SHARD_AXIS) > 0
         vals = jax.lax.psum(vals, SHARD_AXIS)
         n = jax.lax.psum(n, SHARD_AXIS)
@@ -166,10 +207,15 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     mapped = shard_map(
         step,
         mesh=snap.mesh,
-        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+        in_specs=(P(SHARD_AXIS),) * 6 + (P(),),
         out_specs=(P(), P(), P()),
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def call(keys, words, bwoff, tbs, counts, qkeys):
+        return jitted(keys, words, bwoff, tbs, counts, snap.hash_slots, qkeys)
+
+    return call
 
 
 def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
@@ -178,10 +224,12 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     already global)."""
     from ..ops import setops
 
-    def step(keys, words, bwoff, tbs, counts, qkeys, k_valid):
+    probes = snap.max_probes
+
+    def step(keys, words, bwoff, tbs, counts, slots, qkeys, k_valid):
         Q, K, Wp1 = qkeys.shape
         flat = qkeys.reshape(Q * K, Wp1)
-        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, flat, L)
+        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, slots, flat, L, probes)
         vals = jax.lax.psum(vals, SHARD_AXIS)
         n = jax.lax.psum(n, SHARD_AXIS)
         lists = vals.reshape(Q, K, L)
@@ -193,10 +241,15 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     mapped = shard_map(
         step,
         mesh=snap.mesh,
-        in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
+        in_specs=(P(SHARD_AXIS),) * 6 + (P(), P()),
         out_specs=(P(), P()),
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def call(keys, words, bwoff, tbs, counts, qkeys, k_valid):
+        return jitted(keys, words, bwoff, tbs, counts, snap.hash_slots, qkeys, k_valid)
+
+    return call
 
 
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -159,4 +159,16 @@ void tpi_scan_blocks(const uint32_t* words, const int64_t* outs, int64_t T,
   }
 }
 
+// Linear-probe hash table build: slots (size S, power of two) pre-filled
+// with -1; inserts term index i at the first free slot from hashes[i] & mask.
+void tpi_hash_build(const uint32_t* hashes, int64_t N, int32_t* slots,
+                    int64_t S) {
+  const uint32_t mask = static_cast<uint32_t>(S - 1);
+  for (int64_t i = 0; i < N; ++i) {
+    uint32_t pos = hashes[i] & mask;
+    while (slots[pos] >= 0) pos = (pos + 1) & mask;
+    slots[pos] = static_cast<int32_t>(i);
+  }
+}
+
 }  // extern "C"
