@@ -64,9 +64,9 @@ def _bind(lib):
         i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
         lib.tpi_encode_bulk_size.restype = ctypes.c_int64
-        lib.tpi_encode_bulk_size.argtypes = [u32p, i64p, ctypes.c_int64, i64p]
+        lib.tpi_encode_bulk_size.argtypes = [u32p, i64p, ctypes.c_int64, i64p, ctypes.c_int32]
         lib.tpi_encode_bulk_fill.restype = None
-        lib.tpi_encode_bulk_fill.argtypes = [u32p, i64p, ctypes.c_int64, i64p, u32p]
+        lib.tpi_encode_bulk_fill.argtypes = [u32p, i64p, ctypes.c_int64, i64p, u32p, ctypes.c_int32]
         lib.tpi_decode_counts.restype = None
         lib.tpi_decode_counts.argtypes = [u32p, i64p, ctypes.c_int64, i64p]
         lib.tpi_decode_bulk.restype = ctypes.c_int32
@@ -86,7 +86,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def encode_bulk(values: np.ndarray, value_offsets: np.ndarray):
+def encode_bulk(values: np.ndarray, value_offsets: np.ndarray, byte_align: bool = False):
     """Native bulk encode; layout-identical to packing.encode_bulk (numpy)."""
     lib = _load()
     assert lib is not None
@@ -96,11 +96,11 @@ def encode_bulk(values: np.ndarray, value_offsets: np.ndarray):
     outs = np.zeros(max(T, 1), dtype=np.int64)
     if T == 0:
         return np.zeros(0, dtype=np.uint32), outs[:0]
-    total = lib.tpi_encode_bulk_size(values, voffs, T, outs)
+    total = lib.tpi_encode_bulk_size(values, voffs, T, outs, 1 if byte_align else 0)
     if total < 0:
         raise ValueError("encode requires strictly increasing values per list")
     words = np.zeros(total, dtype=np.uint32)
-    lib.tpi_encode_bulk_fill(values, voffs, T, outs, words)
+    lib.tpi_encode_bulk_fill(values, voffs, T, outs, words, 1 if byte_align else 0)
     return words, outs
 
 

@@ -71,22 +71,29 @@ def encode_postings(values: np.ndarray) -> np.ndarray:
     return words
 
 
-def encode_bulk(values: np.ndarray, value_offsets: np.ndarray):
+def encode_bulk(values: np.ndarray, value_offsets: np.ndarray, byte_align: bool = False):
     """Encode many posting lists at once.
 
     values[value_offsets[i]:value_offsets[i+1]] is term i's sorted unique list.
     Returns (words uint32, outs int64) with outs[i] = word offset of list i.
     Dispatches to the native C++ codec when built (bit-identical layout);
     falls back to the vectorized numpy implementation below.
+
+    byte_align=True rounds each block's bit width up to a whole number of
+    bytes (b in {0,8,16,24,32}). Same wire layout (a byte-multiple b is just a
+    particular b), ~15-50% larger, but every delta's bytes land at STATIC
+    word/shift positions — the device decoder then needs no dynamic per-lane
+    gather. Used for the DEVICE snapshot arena only; the on-disk segment
+    codec always stores exact widths (the compression-ratio contract).
     """
     from . import native
 
     if native.available() and len(value_offsets) > 1:
-        return native.encode_bulk(values, value_offsets)
-    return _encode_bulk_np(values, value_offsets)
+        return native.encode_bulk(values, value_offsets, byte_align)
+    return _encode_bulk_np(values, value_offsets, byte_align)
 
 
-def _encode_bulk_np(values: np.ndarray, value_offsets: np.ndarray):
+def _encode_bulk_np(values: np.ndarray, value_offsets: np.ndarray, byte_align: bool = False):
     """Vectorized numpy reference implementation of encode_bulk."""
     values = np.ascontiguousarray(values, dtype=np.uint32)
     value_offsets = np.asarray(value_offsets, dtype=np.int64)
@@ -122,6 +129,8 @@ def _encode_bulk_np(values: np.ndarray, value_offsets: np.ndarray):
 
     maxd = d.max(axis=1) if d.shape[1] else np.zeros(B, dtype=np.uint64)
     b = _bit_length(maxd)  # (B,) in [0, 32]
+    if byte_align:
+        b = ((b + 7) // 8) * 8 * (b > 0)
 
     pw = _packed_words(blen, b)          # packed words per block
     block_words = 2 + pw

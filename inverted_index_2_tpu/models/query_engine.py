@@ -96,7 +96,9 @@ def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None
     keys = keys_mod.pack_blob(blob_arr, offsets, width)
     W = keys.shape[1] - 1
 
-    words, outs = packing.encode_bulk(np.asarray(values, dtype=np.uint32), voffs)
+    # device arena: byte-aligned widths (static-extraction decode; the
+    # on-disk segment codec keeps exact widths for the compression contract)
+    words, outs = packing.encode_bulk(np.asarray(values, dtype=np.uint32), voffs, byte_align=True)
     counts, nblocks, block_off, _ = packing.scan_term_blocks(words, outs)
     nb1 = np.maximum(nblocks, 1)
     tbs = np.zeros(n + 1, dtype=np.int32)
@@ -204,7 +206,9 @@ def lookup_step(
     bit-unpack decode. Misses return count 0.
     """
     idx, found = _resolve(keys, qkeys, slots, max_probes)
-    vals, n = dec.gather_postings(words, block_woff, term_block_start, counts, idx, L)
+    vals, n = dec.gather_postings(
+        words, block_woff, term_block_start, counts, idx, L, byte_aligned=True
+    )
     n = jnp.where(found, n, 0)
     return found, vals, n
 
@@ -222,7 +226,9 @@ def boolean_step(
     Q, K, Wp1 = qkeys.shape
     flat = qkeys.reshape(Q * K, Wp1)
     idx, found = _resolve(keys, flat, slots, max_probes)
-    vals, n = dec.gather_postings(words, block_woff, term_block_start, counts, idx, L)
+    vals, n = dec.gather_postings(
+        words, block_woff, term_block_start, counts, idx, L, byte_aligned=True
+    )
     n = jnp.where(found, n, 0)
     lists = vals.reshape(Q, K, L)
     ncnt = n.reshape(Q, K)

@@ -59,6 +59,63 @@ def decode_blocks(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return vals, n_blk
 
 
+def decode_blocks_ba(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Byte-aligned decode: window blocks encoded with b in {0,8,16,24,32}
+    (codec encode_bulk(byte_align=True), the DEVICE arena layout).
+
+    With whole-byte widths every delta's bytes sit at STATIC word positions,
+    so extraction is strided slices + shifts + interleaves — zero dynamic
+    gathers (the generic decode_blocks' per-lane take_along_axis was measured
+    at ~4x the cost of the window fetch itself on v5e). All four byte classes
+    are decoded unconditionally (cheap VPU work) and selected by each block's
+    class.
+    """
+    header = window[..., 0]
+    b = (header & 0xFF).astype(jnp.int32)
+    cls = b >> 3  # bytes per delta: 0..4
+    n_blk = ((header >> 8) & 0xFF).astype(jnp.int32)
+    anchor = window[..., 1]
+
+    def interleave(parts):
+        # parts: list of (..., G) arrays -> (..., G*len) interleaved
+        st = jnp.stack(parts, axis=-1)
+        return st.reshape(*st.shape[:-2], -1)
+
+    # class 1: words 2..34, 4 deltas per word
+    w = window[..., 2:34]
+    d1 = interleave([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, w >> 24])
+    # class 2: words 2..66, 2 deltas per word
+    w = window[..., 2:66]
+    d2 = interleave([w & 0xFFFF, w >> 16])
+    # class 3: 3 words carry 4 deltas; groups of 32
+    w0 = window[..., 2:98:3]
+    w1 = window[..., 3:98:3]
+    w2 = window[..., 4:98:3]
+    d3 = interleave(
+        [
+            w0 & 0xFFFFFF,
+            (w0 >> 24) | ((w1 & 0xFFFF) << 8),
+            (w1 >> 16) | ((w2 & 0xFF) << 16),
+            w2 >> 8,
+        ]
+    )
+    # class 4: one word per delta
+    d4 = window[..., 2:130]
+
+    c = cls[..., None]
+    d = jnp.where(c == 1, d1, jnp.uint32(0))
+    d = jnp.where(c == 2, d2, d)
+    d = jnp.where(c == 3, d3, d)
+    d = jnp.where(c == 4, d4, d)
+
+    steps = d[..., : BLOCK - 1] + jnp.uint32(1)
+    csum = jnp.cumsum(steps, axis=-1, dtype=jnp.uint32)
+    vals = anchor[..., None] + jnp.concatenate(
+        [jnp.zeros((*csum.shape[:-1], 1), dtype=jnp.uint32), csum], axis=-1
+    )
+    return vals, n_blk
+
+
 def gather_postings(
     words: jnp.ndarray,
     block_woff: jnp.ndarray,
@@ -66,6 +123,7 @@ def gather_postings(
     counts: jnp.ndarray,
     term_idx: jnp.ndarray,
     L: int,
+    byte_aligned: bool = False,
 ):
     """Decode postings of `term_idx` terms into a (Q, L) padded matrix.
 
@@ -90,5 +148,6 @@ def gather_postings(
     g = tbs[:, None] + jnp.minimum(k[None, :], jnp.maximum(nb[:, None] - 1, 0))
     woff = block_woff[g]                       # (Q, K)
     win = words[woff[..., None] + jnp.arange(WIN, dtype=jnp.int32)]  # (Q, K, WIN)
-    vals, _ = decode_blocks(win)               # (Q, K, 128)
+    decode = decode_blocks_ba if byte_aligned else decode_blocks
+    vals, _ = decode(win)                      # (Q, K, 128)
     return vals.reshape(vals.shape[0], K * BLOCK), jnp.minimum(n, L)

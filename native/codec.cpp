@@ -29,12 +29,14 @@ inline int64_t packed_words(int64_t n_blk, int64_t b) {
 }
 
 // Width of the largest (delta - 1) in values[s .. s+n_blk) (relative deltas).
-inline int block_width(const uint32_t* v, int64_t n_blk) {
+inline int block_width(const uint32_t* v, int64_t n_blk, int32_t byte_align) {
   uint32_t maxd = 0;
   for (int64_t j = 0; j + 1 < n_blk; ++j) {
     maxd |= v[j + 1] - v[j] - 1;  // OR keeps the max bit width
   }
-  return bit_length(maxd);
+  int b = bit_length(maxd);
+  if (byte_align && b > 0) b = (b + 7) / 8 * 8;
+  return b;
 }
 
 }  // namespace
@@ -45,7 +47,7 @@ extern "C" {
 // outs[T] receives each list's word offset; returns total words, or -1 when
 // some list is not strictly increasing (the layout's precondition).
 int64_t tpi_encode_bulk_size(const uint32_t* values, const int64_t* voffs,
-                             int64_t T, int64_t* outs) {
+                             int64_t T, int64_t* outs, int32_t byte_align) {
   int64_t pos = 0;
   for (int64_t t = 0; t < T; ++t) {
     outs[t] = pos;
@@ -57,7 +59,7 @@ int64_t tpi_encode_bulk_size(const uint32_t* values, const int64_t* voffs,
     }
     for (int64_t s = 0; s < n; s += kBlock) {
       const int64_t n_blk = (n - s) < kBlock ? (n - s) : kBlock;
-      const int b = block_width(v + s, n_blk);
+      const int b = block_width(v + s, n_blk, byte_align);
       pos += 2 + packed_words(n_blk, b);
     }
   }
@@ -66,7 +68,8 @@ int64_t tpi_encode_bulk_size(const uint32_t* values, const int64_t* voffs,
 
 // Pass 2: fill the output buffer (sized by pass 1; zero-initialized by caller).
 void tpi_encode_bulk_fill(const uint32_t* values, const int64_t* voffs,
-                          int64_t T, const int64_t* outs, uint32_t* words) {
+                          int64_t T, const int64_t* outs, uint32_t* words,
+                          int32_t byte_align) {
   for (int64_t t = 0; t < T; ++t) {
     const int64_t n = voffs[t + 1] - voffs[t];
     const uint32_t* v = values + voffs[t];
@@ -74,7 +77,7 @@ void tpi_encode_bulk_fill(const uint32_t* values, const int64_t* voffs,
     words[pos++] = static_cast<uint32_t>(n);
     for (int64_t s = 0; s < n; s += kBlock) {
       const int64_t n_blk = (n - s) < kBlock ? (n - s) : kBlock;
-      const int b = block_width(v + s, n_blk);
+      const int b = block_width(v + s, n_blk, byte_align);
       words[pos] = static_cast<uint32_t>(b) | (static_cast<uint32_t>(n_blk) << 8);
       words[pos + 1] = v[s];
       uint32_t* packed = words + pos + 2;

@@ -195,3 +195,32 @@ class TestSetOps:
         assert np.asarray(vals)[0, : int(oc[0])].tolist() == [0xFFFFFFFF]
         vals, oc = _jit_union(jnp.asarray(mat), jnp.asarray(cnt), jnp.asarray([2]))
         assert np.asarray(vals)[0, : int(oc[0])].tolist() == [0, 5, 0xFFFFFFFF]
+
+
+class TestByteAlignedDecode:
+    def test_ba_decoder_matches_generic(self, rng):
+        lists = [
+            np.unique(rng.integers(0, 5_000_000, size=int(s), dtype=np.uint32))
+            for s in rng.integers(1, 900, size=50)
+        ]
+        voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum([len(l) for l in lists], out=voffs[1:])
+        words, outs = P.encode_bulk(np.concatenate(lists), voffs, byte_align=True)
+        counts, nblocks, block_off, _ = P.scan_term_blocks(words, outs)
+        nb1 = np.maximum(nblocks, 1)
+        tbs = np.zeros(len(lists) + 1, dtype=np.int32)
+        np.cumsum(nb1, out=tbs[1:])
+        flat = np.zeros(tbs[-1], dtype=np.int32)
+        for i in range(len(lists)):
+            flat[tbs[i] : tbs[i] + nb1[i]] = block_off[i, : nb1[i]]
+        wpad = jnp.asarray(np.concatenate([words, np.zeros(D.WIN, np.uint32)]))
+        term_idx = jnp.asarray(rng.integers(0, len(lists), size=40).astype(np.int32))
+        L = 1024
+        f = jax.jit(D.gather_postings, static_argnums=(5, 6))
+        va, ca = f(wpad, jnp.asarray(flat), jnp.asarray(tbs),
+                   jnp.asarray(counts.astype(np.int32)), term_idx, L, True)
+        va, ca = np.asarray(va), np.asarray(ca)
+        for q, t in enumerate(np.asarray(term_idx)):
+            want = lists[t][:L]
+            assert ca[q] == len(want)
+            assert np.array_equal(va[q, : len(want)], want), q

@@ -98,3 +98,22 @@ def test_compression_ratio_vs_baseline(rng):
             b = int(d.max()).bit_length()
             ref_bytes += 4 + (128 * b + 31) // 32 * 4
         assert ours <= ref_bytes * 1.10, (target_n, universe, ours, ref_bytes)
+
+
+def test_byte_align_round_trip(rng):
+    """Device-arena variant: widths rounded to whole bytes; same wire format."""
+    lists = [
+        np.unique(rng.integers(0, 2**32, size=int(s), dtype=np.uint32))
+        for s in rng.integers(0, 2000, size=60)
+    ]
+    voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lists], out=voffs[1:])
+    values = np.concatenate(lists)
+    words, outs = P.encode_bulk(values, voffs, byte_align=True)
+    # generic decoder reads it fine (byte-multiple b is just a particular b)
+    vals, counts, out_voffs = P.decode_bulk(words, outs)
+    for i, l in enumerate(lists):
+        assert np.array_equal(vals[out_voffs[i] : out_voffs[i + 1]], l)
+    # native and numpy builders agree on the byte-aligned layout too
+    wnp, onp = P._encode_bulk_np(values, voffs, byte_align=True)
+    assert np.array_equal(words, wnp) and np.array_equal(outs, onp)
