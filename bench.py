@@ -68,37 +68,37 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
 
     rng = np.random.default_rng(1)
     host_keys = np.asarray(snap.keys)
-    tables = (snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts)
+    tables = (snap.keys, snap.blocks, snap.term_block_start, snap.counts)
 
     # ---- batched exact lookup, scan over staged batches ----
     idx = rng.integers(0, n, size=(iters, Q))
     staged = jnp.asarray(host_keys[idx])  # (I, Q, W+1)
 
-    @functools.partial(jax.jit, static_argnames=("L",))
-    def scan_lookup(keys, words, bwoff, tbs, counts, staged, L):
+    @functools.partial(jax.jit, static_argnames=("L", "mp"))
+    def scan_lookup(keys, blocks, tbs, counts, slots, staged, L, mp):
         def body(carry, qk):
-            f, v, c = lookup_step(keys, words, bwoff, tbs, counts, qk, L)
+            f, v, c = lookup_step(keys, blocks, tbs, counts, qk, L, slots, mp)
             chk = jnp.bitwise_xor.reduce(v[:, 0]) ^ jnp.uint32(jnp.sum(c))
             return carry ^ chk, jnp.sum(c)
         return jax.lax.scan(body, jnp.uint32(0), staged)
 
-    chk, csum = scan_lookup(*tables, staged, L)
+    chk, csum = scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)
     jax.block_until_ready(chk)  # warmup/compile
     t0 = time.monotonic()
-    chk, csum = scan_lookup(*tables, staged, L)
+    chk, csum = scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)
     jax.block_until_ready(chk)
     dt = time.monotonic() - t0
     lookup_qps = Q * iters / dt
 
     # single-dispatch latency (includes tunnel RPC)
-    lookup1 = jax.jit(lookup_step, static_argnames=("L",))
+    lookup1 = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
     b0 = staged[0]
-    f, v, c = lookup1(*tables, b0, L)
+    f, v, c = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
     jax.block_until_ready(c)
     t0 = time.monotonic()
     reps = 5
     for _ in range(reps):
-        f, v, c = lookup1(*tables, b0, L)
+        f, v, c = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
         jax.block_until_ready(c)
     dispatch_ms = (time.monotonic() - t0) / reps * 1e3
 
@@ -109,18 +109,18 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     bstaged = jnp.asarray(host_keys[bidx])  # (I, Q, K, W+1)
     kv = jnp.full((Q,), K, dtype=jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("L",))
-    def scan_and(keys, words, bwoff, tbs, counts, staged, kv, L):
+    @functools.partial(jax.jit, static_argnames=("L", "mp"))
+    def scan_and(keys, blocks, tbs, counts, slots, staged, kv, L, mp):
         def body(carry, qk):
-            o, oc = boolean_step(keys, words, bwoff, tbs, counts, qk, kv, L, "and", None)
+            o, oc = boolean_step(keys, blocks, tbs, counts, qk, kv, L, "and", None, slots, mp)
             return carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0]), None
         out, _ = jax.lax.scan(body, jnp.uint32(0), staged)
         return out
 
-    chk2 = scan_and(*tables, bstaged, kv, L)
+    chk2 = scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes)
     jax.block_until_ready(chk2)
     t0 = time.monotonic()
-    chk2 = scan_and(*tables, bstaged, kv, L)
+    chk2 = scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes)
     jax.block_until_ready(chk2)
     dt = time.monotonic() - t0
     and_qps = Q * and_iters / dt

@@ -24,11 +24,19 @@ FNV_PRIME = np.uint32(16777619)
 
 
 def hash_rows_np(keys: np.ndarray) -> np.ndarray:
-    """FNV-1a over each row's uint32 words (vectorized numpy)."""
+    """FNV-1a fold + murmur-style avalanche (vectorized numpy).
+
+    The avalanche matters: raw FNV over structured term bytes clusters badly
+    under the power-of-two mask, inflating linear-probe chains."""
     with np.errstate(over="ignore"):
         h = np.full(keys.shape[0], FNV_OFFSET, dtype=np.uint32)
         for c in range(keys.shape[1]):
             h = (h ^ keys[:, c]) * FNV_PRIME
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x7FEB352D)
+        h ^= h >> np.uint32(15)
+        h *= np.uint32(0x846CA68B)
+        h ^= h >> np.uint32(16)
     return h
 
 
@@ -39,12 +47,19 @@ def hash_rows_jnp(keys):
     h = jnp.full(keys.shape[:-1], FNV_OFFSET, dtype=jnp.uint32)
     for c in range(keys.shape[-1]):
         h = (h ^ keys[..., c]) * FNV_PRIME
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> jnp.uint32(16))
     return h
 
 
 def table_size(n: int) -> int:
+    """Power-of-two size at load factor <= 0.25 (short probe chains beat the
+    memory cost: the table is 16 bytes/term at 4x)."""
     s = 1
-    while s < max(2 * n, 8):
+    while s < max(4 * n, 8):
         s <<= 1
     return s
 

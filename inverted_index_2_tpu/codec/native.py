@@ -130,10 +130,10 @@ def hash_build(hashes: np.ndarray) -> np.ndarray:
     lib = _load()
     assert lib is not None
     hashes = np.ascontiguousarray(hashes, dtype=np.uint32)
+    from .hashing import table_size
+
     n = len(hashes)
-    S = 1
-    while S < max(2 * n, 8):
-        S <<= 1
+    S = table_size(n)
     slots = np.full(S, -1, dtype=np.int32)
     if n:
         lib.tpi_hash_build(hashes, n, slots, S)

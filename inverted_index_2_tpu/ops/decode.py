@@ -75,6 +75,20 @@ def decode_blocks_ba(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     cls = b >> 3  # bytes per delta: 0..4
     n_blk = ((header >> 8) & 0xFF).astype(jnp.int32)
     anchor = window[..., 1]
+    W = window.shape[-1]
+
+    def sl(lo, hi, step=1):
+        """Static slice clipped to the window, zero-padded to full length.
+        Narrow windows (arena stride < worst-case) are valid as long as every
+        real block fits; lanes past a block's packed words are masked by
+        n_blk downstream."""
+        hi_c = min(hi, W)
+        part = window[..., lo:hi_c:step]
+        want = -(-(hi - lo) // step)
+        if part.shape[-1] < want:
+            pad = jnp.zeros((*part.shape[:-1], want - part.shape[-1]), dtype=jnp.uint32)
+            part = jnp.concatenate([part, pad], axis=-1)
+        return part
 
     def interleave(parts):
         # parts: list of (..., G) arrays -> (..., G*len) interleaved
@@ -82,15 +96,15 @@ def decode_blocks_ba(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         return st.reshape(*st.shape[:-2], -1)
 
     # class 1: words 2..34, 4 deltas per word
-    w = window[..., 2:34]
+    w = sl(2, 34)
     d1 = interleave([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, w >> 24])
     # class 2: words 2..66, 2 deltas per word
-    w = window[..., 2:66]
+    w = sl(2, 66)
     d2 = interleave([w & 0xFFFF, w >> 16])
     # class 3: 3 words carry 4 deltas; groups of 32
-    w0 = window[..., 2:98:3]
-    w1 = window[..., 3:98:3]
-    w2 = window[..., 4:98:3]
+    w0 = sl(2, 98, 3)
+    w1 = sl(3, 98, 3)
+    w2 = sl(4, 98, 3)
     d3 = interleave(
         [
             w0 & 0xFFFFFF,
@@ -100,7 +114,7 @@ def decode_blocks_ba(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         ]
     )
     # class 4: one word per delta
-    d4 = window[..., 2:130]
+    d4 = sl(2, 130)
 
     c = cls[..., None]
     d = jnp.where(c == 1, d1, jnp.uint32(0))
@@ -150,4 +164,29 @@ def gather_postings(
     win = words[woff[..., None] + jnp.arange(WIN, dtype=jnp.int32)]  # (Q, K, WIN)
     decode = decode_blocks_ba if byte_aligned else decode_blocks
     vals, _ = decode(win)                      # (Q, K, 128)
+    return vals.reshape(vals.shape[0], K * BLOCK), jnp.minimum(n, L)
+
+
+def gather_postings_arena(
+    blocks: jnp.ndarray,
+    term_block_start: jnp.ndarray,
+    counts: jnp.ndarray,
+    term_idx: jnp.ndarray,
+    L: int,
+):
+    """Arena variant of gather_postings: blocks pre-copied into a fixed-stride
+    (B, stride) matrix at snapshot build. A whole-ROW gather is ~4x faster on
+    v5e than the elementwise window gather from the flat words array (rows
+    are contiguous vector loads), at a memory cost of stride/avg_block_words.
+    Blocks are byte-aligned (decode_blocks_ba).
+    """
+    assert L % BLOCK == 0
+    K = L // BLOCK
+    tbs = term_block_start[term_idx]
+    n = counts[term_idx]
+    nb = (n + BLOCK - 1) // BLOCK
+    k = jnp.arange(K, dtype=jnp.int32)
+    g = tbs[:, None] + jnp.minimum(k[None, :], jnp.maximum(nb[:, None] - 1, 0))
+    win = blocks[g]                             # (Q, K, stride) row gather
+    vals, _ = decode_blocks_ba(win)
     return vals.reshape(vals.shape[0], K * BLOCK), jnp.minimum(n, L)

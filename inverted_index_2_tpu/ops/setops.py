@@ -32,15 +32,27 @@ def _batched_searchsorted(haystack: jnp.ndarray, needles: jnp.ndarray) -> jnp.nd
     return jax.vmap(lambda h, x: jnp.searchsorted(h, x))(haystack, needles)
 
 
+# above this probe-matrix volume, the O(P*L) broadcast beats the
+# gather-heavy batched binary search on TPU only up to VMEM/HBM limits
+_BROADCAST_LIMIT = 512 * 512
+
+
 def member_mask(
     lists: jnp.ndarray, counts: jnp.ndarray, probes: jnp.ndarray
 ) -> jnp.ndarray:
     """For each row: is probes[q, j] a member of lists[q, :counts[q]]?
 
-    lists rows must be sorted ascending within [0, count). Garbage beyond the
-    count is neutralized by clamping to SENTINEL before the search.
+    lists rows must be sorted ascending within [0, count). For small rows the
+    membership test is a broadcast equality reduction — pure VPU compares, no
+    dynamic gathers (TPU gathers have high per-element cost). Larger rows
+    fall back to a batched binary search.
     """
     L = lists.shape[1]
+    P = probes.shape[1]
+    if P * L <= _BROADCAST_LIMIT:
+        vm = _valid_mask(L, counts)  # (Q, L)
+        eq = probes[:, :, None] == lists[:, None, :]  # (Q, P, L)
+        return jnp.any(eq & vm[:, None, :], axis=-1)
     clean = jnp.where(_valid_mask(L, counts), lists, SENTINEL)
     clean = jnp.sort(clean, axis=1)
     pos = _batched_searchsorted(clean, probes)

@@ -47,8 +47,7 @@ class ShardedSnapshot:
     """
 
     keys: jnp.ndarray               # (D, Nmax, W+1)
-    words: jnp.ndarray              # (D, Mmax)
-    block_woff: jnp.ndarray         # (D, Bmax)
+    blocks: jnp.ndarray             # (D, Bmax, stride) block row arenas
     term_block_start: jnp.ndarray   # (D, Nmax+1)
     counts: jnp.ndarray             # (D, Nmax)
     hash_slots: jnp.ndarray         # (D, S) common power-of-two table size
@@ -61,7 +60,7 @@ class ShardedSnapshot:
         return self.keys.shape[0]
 
 
-def _pad_partition(snap: qe.IndexSnapshot, Nmax: int, Mmax: int, Bmax: int, W: int):
+def _pad_partition(snap: qe.IndexSnapshot, Nmax: int, Bmax: int, stride: int, W: int):
     """Pad one device partition to the common shape (host numpy)."""
     n = snap.n_terms
     keys = np.full((Nmax, W + 1), _PAD_WORD, dtype=np.uint32)
@@ -71,12 +70,9 @@ def _pad_partition(snap: qe.IndexSnapshot, Nmax: int, Mmax: int, Bmax: int, W: i
         if k.shape[1] < W + 1:  # widen: move length word to last column
             keys[:n, W] = k[:, -1]
             keys[:n, k.shape[1] - 1 : W] = 0
-    words = np.zeros(Mmax, dtype=np.uint32)
-    w = np.asarray(snap.words)
-    words[: len(w)] = w
-    bwoff = np.zeros(Bmax, dtype=np.int32)
-    b = np.asarray(snap.block_woff)
-    bwoff[: len(b)] = b
+    blocks = np.zeros((Bmax, stride), dtype=np.uint32)
+    bl = np.asarray(snap.blocks)
+    blocks[: bl.shape[0], : bl.shape[1]] = bl
     tbs = np.zeros(Nmax + 1, dtype=np.int32)
     t = np.asarray(snap.term_block_start)
     tbs[: len(t)] = t
@@ -84,7 +80,7 @@ def _pad_partition(snap: qe.IndexSnapshot, Nmax: int, Mmax: int, Bmax: int, W: i
     counts = np.zeros(Nmax, dtype=np.int32)
     c = np.asarray(snap.counts)
     counts[: len(c)] = c
-    return keys, words, bwoff, tbs, counts
+    return keys, blocks, tbs, counts
 
 
 def shard_ranges(n_devices: int, fanout: int = 1024) -> List[range]:
@@ -127,15 +123,15 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
 
     W = max(p.width for p in parts)
     Nmax = max(max(p.n_terms for p in parts), 1)
-    Mmax = max(max(int(p.words.shape[0]) for p in parts), dec.WIN)
-    Bmax = max(max(int(p.block_woff.shape[0]) for p in parts), 1)
-    padded = [_pad_partition(p, Nmax, Mmax, Bmax, W) for p in parts]
+    Bmax = max(max(int(p.blocks.shape[0]) for p in parts), 1)
+    stride = max(int(p.blocks.shape[1]) for p in parts)
+    padded = [_pad_partition(p, Nmax, Bmax, stride, W) for p in parts]
     # per-device hash tables at ONE power-of-two size (the probe math uses
     # S-1 as the mask, so every device must share S)
     S = hashing.table_size(Nmax)
     tables, probes = [], 1
     for pp in padded:
-        keys_np, _, _, _, counts_np = pp
+        keys_np, _, _, counts_np = pp
         n = int((keys_np[:, -1] != 0xFFFFFFFF).sum())  # real rows (pad has len word max)
         h = hashing.hash_rows_np(keys_np[:n])
         slots = np.full(S, -1, dtype=np.int32)
@@ -165,10 +161,9 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
     shard = NamedSharding(mesh, P(SHARD_AXIS))
     return ShardedSnapshot(
         keys=jax.device_put(stack(0), shard),
-        words=jax.device_put(stack(1), shard),
-        block_woff=jax.device_put(stack(2), shard),
-        term_block_start=jax.device_put(stack(3), shard),
-        counts=jax.device_put(stack(4), shard),
+        blocks=jax.device_put(stack(1), shard),
+        term_block_start=jax.device_put(stack(2), shard),
+        counts=jax.device_put(stack(3), shard),
         hash_slots=jax.device_put(np.stack(tables, axis=0), shard),
         mesh=mesh,
         width=W,
@@ -181,10 +176,10 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
 # ---------------------------------------------------------------------------
 
 
-def _local_lookup(keys, words, bwoff, tbs, counts, slots, qkeys, L, max_probes):
+def _local_lookup(keys, blocks, tbs, counts, slots, qkeys, L, max_probes):
     """Per-device block: answer for owned terms, zero elsewhere."""
     found, vals, n = qe.lookup_step(
-        keys[0], words[0], bwoff[0], tbs[0], counts[0], qkeys, L,
+        keys[0], blocks[0], tbs[0], counts[0], qkeys, L,
         slots[0], max_probes,
     )
     vals = jnp.where((found & (n > 0))[:, None], vals, jnp.uint32(0))
@@ -197,8 +192,8 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     ICI (single owner per term => sum == owner's answer)."""
     probes = snap.max_probes
 
-    def step(keys, words, bwoff, tbs, counts, slots, qkeys):
-        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, slots, qkeys, L, probes)
+    def step(keys, blocks, tbs, counts, slots, qkeys):
+        found, vals, n = _local_lookup(keys, blocks, tbs, counts, slots, qkeys, L, probes)
         found = jax.lax.psum(found.astype(jnp.int32), SHARD_AXIS) > 0
         vals = jax.lax.psum(vals, SHARD_AXIS)
         n = jax.lax.psum(n, SHARD_AXIS)
@@ -207,13 +202,13 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     mapped = shard_map(
         step,
         mesh=snap.mesh,
-        in_specs=(P(SHARD_AXIS),) * 6 + (P(),),
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(),),
         out_specs=(P(), P(), P()),
     )
     jitted = jax.jit(mapped)
 
-    def call(keys, words, bwoff, tbs, counts, qkeys):
-        return jitted(keys, words, bwoff, tbs, counts, snap.hash_slots, qkeys)
+    def call(keys, blocks, tbs, counts, qkeys):
+        return jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys)
 
     return call
 
@@ -226,10 +221,10 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
 
     probes = snap.max_probes
 
-    def step(keys, words, bwoff, tbs, counts, slots, qkeys, k_valid):
+    def step(keys, blocks, tbs, counts, slots, qkeys, k_valid):
         Q, K, Wp1 = qkeys.shape
         flat = qkeys.reshape(Q * K, Wp1)
-        found, vals, n = _local_lookup(keys, words, bwoff, tbs, counts, slots, flat, L, probes)
+        found, vals, n = _local_lookup(keys, blocks, tbs, counts, slots, flat, L, probes)
         vals = jax.lax.psum(vals, SHARD_AXIS)
         n = jax.lax.psum(n, SHARD_AXIS)
         lists = vals.reshape(Q, K, L)
@@ -241,13 +236,13 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     mapped = shard_map(
         step,
         mesh=snap.mesh,
-        in_specs=(P(SHARD_AXIS),) * 6 + (P(), P()),
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
         out_specs=(P(), P()),
     )
     jitted = jax.jit(mapped)
 
-    def call(keys, words, bwoff, tbs, counts, qkeys, k_valid):
-        return jitted(keys, words, bwoff, tbs, counts, snap.hash_slots, qkeys, k_valid)
+    def call(keys, blocks, tbs, counts, qkeys, k_valid):
+        return jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys, k_valid)
 
     return call
 

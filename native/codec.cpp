@@ -14,8 +14,10 @@
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -159,6 +161,88 @@ void tpi_scan_blocks(const uint32_t* words, const int64_t* outs, int64_t T,
       seen += n_blk;
       pos += 2 + packed_words(n_blk, b);
     }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Ingestion sort: order terms by (shard key, term bytes), dedupe exactly.
+// Shard key = first 10 bits of the first two bytes; terms shorter than
+// 2 bytes route to shard 0 (reference shard.go:362-378 semantics).
+// Sorting uses an 8-byte big-endian prefix as the primary key (single
+// integer compare for almost all pairs) with full memcmp + length only on
+// prefix ties — the scalar-core mirror of the packed-word key design.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct TermRef {
+  uint64_t prefix;  // first 8 bytes, big-endian, zero-padded
+  int32_t idx;
+  uint16_t shard;
+};
+
+inline uint64_t prefix8(const uint8_t* p, int64_t len) {
+  uint64_t v = 0;
+  const int64_t m = len < 8 ? len : 8;
+  for (int64_t i = 0; i < m; ++i) v |= static_cast<uint64_t>(p[i]) << (56 - 8 * i);
+  return v;
+}
+
+}  // namespace
+
+// order[] receives the sorted-unique term indexes; shard_of[] their shard ids
+// (aligned with order). Returns the unique count m.
+int64_t tpi_ingest_sort(const uint8_t* blob, const int64_t* offsets, int64_t n,
+                        int32_t* order, uint16_t* shard_of) {
+  std::vector<TermRef> refs(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = offsets[i];
+    const int64_t len = offsets[i + 1] - off;
+    const uint8_t* p = blob + off;
+    refs[i].prefix = prefix8(p, len);
+    refs[i].idx = static_cast<int32_t>(i);
+    refs[i].shard =
+        len >= 2 ? static_cast<uint16_t>(((p[0] << 8) | p[1]) >> 6) : 0;
+  }
+  auto full_cmp = [&](const TermRef& a, const TermRef& b) {
+    const int64_t la = offsets[a.idx + 1] - offsets[a.idx];
+    const int64_t lb = offsets[b.idx + 1] - offsets[b.idx];
+    const int64_t m = la < lb ? la : lb;
+    const int c = std::memcmp(blob + offsets[a.idx], blob + offsets[b.idx],
+                              static_cast<size_t>(m));
+    if (c) return c;
+    return la < lb ? -1 : (la > lb ? 1 : 0);
+  };
+  std::sort(refs.begin(), refs.end(), [&](const TermRef& a, const TermRef& b) {
+    if (a.shard != b.shard) return a.shard < b.shard;
+    if (a.prefix != b.prefix) return a.prefix < b.prefix;
+    return full_cmp(a, b) < 0;
+  });
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i > 0 && refs[i].shard == refs[i - 1].shard &&
+        refs[i].prefix == refs[i - 1].prefix && full_cmp(refs[i], refs[i - 1]) == 0) {
+      continue;  // duplicate term
+    }
+    order[m] = refs[i].idx;
+    shard_of[m] = refs[i].shard;
+    ++m;
+  }
+  return m;
+}
+
+// Gather terms order[0..m) into a packed (out_blob, out_offsets[m+1]) pair.
+void tpi_concat_terms(const uint8_t* blob, const int64_t* offsets,
+                      const int32_t* order, int64_t m, uint8_t* out_blob,
+                      int64_t* out_offsets) {
+  int64_t pos = 0;
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t off = offsets[order[i]];
+    const int64_t len = offsets[order[i] + 1] - off;
+    std::memcpy(out_blob + pos, blob + off, static_cast<size_t>(len));
+    pos += len;
+    out_offsets[i + 1] = pos;
   }
 }
 

@@ -47,7 +47,7 @@ def test_sharded_lookup_exact(built, mesh8):
     import jax.numpy as jnp2
 
     found, vals, n = lookup(
-        snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts,
+        snap.keys, snap.blocks, snap.term_block_start, snap.counts,
         jnp2.asarray(qk),
     )
     found, vals, n = np.asarray(found), np.asarray(vals), np.asarray(n)
@@ -77,7 +77,7 @@ def test_sharded_boolean_and(built, mesh8):
     for i, q in enumerate(queries):
         qk[i] = K.pack_terms(q, width=snap.width)
     out, oc = booland(
-        snap.keys, snap.words, snap.block_woff, snap.term_block_start, snap.counts,
+        snap.keys, snap.blocks, snap.term_block_start, snap.counts,
         jnp2.asarray(qk), jnp2.asarray(kv),
     )
     out, oc = np.asarray(out), np.asarray(oc)
