@@ -75,6 +75,12 @@ def _bind(lib):
         lib.tpi_scan_blocks.argtypes = [u32p, i64p, ctypes.c_int64, i64p, i32p]
         lib.tpi_hash_build.restype = None
         lib.tpi_hash_build.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
+        u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+        u16p = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
+        lib.tpi_ingest_sort.restype = ctypes.c_int64
+        lib.tpi_ingest_sort.argtypes = [u8p, i64p, ctypes.c_int64, i32p, u16p]
+        lib.tpi_concat_terms.restype = None
+        lib.tpi_concat_terms.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p, i64p]
     except AttributeError:
         # stale shared object (symbol set changed): fall back to numpy
         return None
@@ -123,6 +129,40 @@ def decode_bulk(words: np.ndarray, outs: np.ndarray):
     if rc != 0:
         raise ValueError("native decode: malformed posting block")
     return values, counts, voffs
+
+
+def ingest_sort(blob: np.ndarray, offsets: np.ndarray):
+    """Sort terms by (shard key, bytes) and dedupe (see codec.cpp).
+
+    Returns (order int32 (m,), shard_of uint16 (m,)).
+    """
+    lib = _load()
+    assert lib is not None
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    order = np.zeros(max(n, 1), dtype=np.int32)
+    shard_of = np.zeros(max(n, 1), dtype=np.uint16)
+    if n == 0:
+        return order[:0], shard_of[:0]
+    m = lib.tpi_ingest_sort(blob, offsets, n, order, shard_of)
+    return order[:m], shard_of[:m]
+
+
+def concat_terms(blob: np.ndarray, offsets: np.ndarray, order: np.ndarray):
+    """Gather terms in `order` into a fresh (blob, offsets) pair."""
+    lib = _load()
+    assert lib is not None
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    m = len(order)
+    lens = offsets[order + 1] - offsets[order]
+    out_blob = np.zeros(int(lens.sum()), dtype=np.uint8)
+    out_offsets = np.zeros(m + 1, dtype=np.int64)
+    if m:
+        lib.tpi_concat_terms(blob, offsets, order, m, out_blob, out_offsets)
+    return out_blob, out_offsets
 
 
 def hash_build(hashes: np.ndarray) -> np.ndarray:

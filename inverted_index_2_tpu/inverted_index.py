@@ -108,10 +108,27 @@ class InvertedIndex:
         (inverted_index.go:116-136) with array ops.
         """
         from .codec import keys as keys_mod
+        from .codec import native
         from .utils.ragged import ragged_gather
 
         n = len(offsets) - 1
         if n == 0:
+            return
+        if native.available():
+            # C++ fast path: (shard, bytes) sort + dedupe + blob gather
+            order, shard_of = native.ingest_sort(blob, offsets)
+            sblob, soffs = native.concat_terms(blob, offsets, order)
+            sblob_b = sblob.tobytes()
+            sh = shard_of.astype(np.uint32)
+            bounds = np.concatenate(
+                [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [len(sh)]]
+            )
+            for g in range(len(bounds) - 1):
+                lo, hi = int(bounds[g]), int(bounds[g + 1])
+                key = f"{int(sh[lo]):04d}"
+                shard = self._find_shard(key) or self._new_shard(key)
+                sub_off = soffs[lo : hi + 1] - soffs[lo]
+                shard.put_sorted(sblob_b[soffs[lo] : soffs[hi]], sub_off, value)
             return
         keys = keys_mod.pack_blob(blob, offsets)
         # shard id from the first two bytes (shard.go:362-378 semantics):
