@@ -349,6 +349,35 @@ class QueryEngine:
         out, oc = np.asarray(out), np.asarray(oc)
         return [out[i, : oc[i]].copy() for i in range(len(queries))]
 
+    # -- range read -----------------------------------------------------------------
+
+    def read_range(self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None):
+        """Sorted (term, values) stream over [min,max] inclusive from the
+        frozen snapshot — device range resolution (two key searches), host
+        materialization from the snapshot mirrors. Matches
+        InvertedIndex.read() semantics on the frozen state."""
+        s = self.snap
+        if s.n_terms == 0:
+            return
+        lo = 0 if min_term is None else int(
+            np.asarray(self._prefix(s.keys,
+                jnp.asarray(keys_mod.pack_terms([min_term], width=s.width)),
+                jnp.asarray(keys_mod.pack_terms([min_term], width=s.width)))[0])[0]
+        )
+        if max_term is None:
+            hi = s.n_terms
+        else:
+            qk = keys_mod.pack_terms([max_term], width=s.width)
+            hi = int(np.asarray(ds.searchsorted_rows(s.keys, jnp.asarray(qk), side="right"))[0])
+        for i in range(lo, hi):
+            t = self.snap.host_blob[
+                self.snap.host_offsets[i] : self.snap.host_offsets[i + 1]
+            ].tobytes()
+            vals = self.snap.host_values[
+                self.snap.host_voffs[i] : self.snap.host_voffs[i + 1]
+            ]
+            yield t, vals
+
     # -- prefix search --------------------------------------------------------------
 
     def prefix_search(self, prefixes: Sequence[bytes]) -> Dict[bytes, np.ndarray]:

@@ -1,0 +1,54 @@
+"""Device compaction vs the host merge oracle: bit-identical output."""
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from inverted_index_2_tpu import Shard
+from inverted_index_2_tpu.ops.merge import merge_views_device
+from inverted_index_2_tpu.shard import merge_views
+
+
+def _views(tmp_path, rng, n_docs=25):
+    sh = Shard(os.path.join(str(tmp_path), "s"))
+    vocab = [f"t{i:02d}".encode() for i in range(30)] + [b"", b"a", b"\xff\xffx"]
+    for doc in range(1, n_docs + 1):
+        k = int(rng.integers(1, 7))
+        sh.put([vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)], doc)
+    return [s.view for s in sh.segments.snapshot()]
+
+
+def _norm(res):
+    if res is None:
+        return None
+    blob, offsets, values, voffs = res
+    return (
+        bytes(blob),
+        np.asarray(offsets).tolist(),
+        np.asarray(values).tolist(),
+        np.asarray(voffs).tolist(),
+    )
+
+
+def test_device_merge_matches_host(tmp_path, rng):
+    views = _views(tmp_path, rng)
+    host = merge_views(views, None)
+    dev = merge_views_device(views, None)
+    assert _norm(dev) == _norm(host)
+
+
+def test_device_merge_with_tombstones(tmp_path, rng):
+    views = _views(tmp_path, rng)
+    removed = np.array([1, 5, 9, 13, 200], dtype=np.uint32)
+    host = merge_views(views, removed)
+    dev = merge_views_device(views, removed)
+    assert _norm(dev) == _norm(host)
+
+
+def test_device_merge_everything_purged(tmp_path, rng):
+    views = _views(tmp_path, rng, n_docs=5)
+    removed = np.arange(1, 6, dtype=np.uint32)
+    assert merge_views(views, removed) is None
+    assert merge_views_device(views, removed) is None

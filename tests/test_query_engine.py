@@ -112,3 +112,14 @@ def test_empty_index_engine(tmp_path):
     assert eng.lookup([b"x"]) == [None]
     assert eng.prefix_search([b"x"]) == {}
     assert [g.tolist() for g in eng.boolean([[b"x", b"y"]], op="and")] == [[]]
+
+
+def test_read_range_matches_host(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng, n_docs=40)
+    eng = QueryEngine.from_index(ii, L=256)
+    host = [(tv.term, tv.values.tolist()) for tv in to_slice(ii.read(b"term01", b"term02"))]
+    dev = [(t, v.tolist()) for t, v in eng.read_range(b"term01", b"term02")]
+    assert dev == host
+    host_all = [(tv.term, tv.values.tolist()) for tv in to_slice(ii.read(None, None))]
+    dev_all = [(t, v.tolist()) for t, v in eng.read_range(None, None)]
+    assert dev_all == host_all
