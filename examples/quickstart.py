@@ -1,0 +1,63 @@
+"""Quickstart: the full capability surface in one script.
+
+Run: python examples/quickstart.py   (CPU or TPU)
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# keep the example snappy anywhere; set TPI_EXAMPLE_TPU=1 to use a real TPU
+import jax
+
+if not os.environ.get("TPI_EXAMPLE_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import inverted_index_2_tpu as tpi
+from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+base = tempfile.mkdtemp(prefix="tpi_quickstart_")
+ii = tpi.InvertedIndex(base, enable_logging=False)
+
+# --- ingest: one document = terms sharing one uint32 value -----------------
+ii.put([b"apple", b"banana", b"cherry"], 1)
+ii.put([b"apple", b"banana"], 2)
+ii.put([b"banana", b"date"], 3)
+
+# batch ingestion (vectorized router; np bytes + offsets)
+terms = [f"bulk{i:04d}".encode() for i in range(1000)]
+blob = np.frombuffer(b"".join(terms), dtype=np.uint8)
+offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+np.cumsum([len(t) for t in terms], out=offsets[1:])
+ii.put_packed(blob, offsets, 4)
+
+# --- streaming reads ---------------------------------------------------------
+print("range [apple..cherry]:")
+for tv in tpi.to_slice(ii.read(b"apple", b"cherry")):
+    print("  ", tv.term, tv.values.tolist())
+
+print("prefix search:", {k: v.tolist() for k, v in ii.prefix_search([b"ba", b"bulk000"]).items()})
+
+# --- delete + compaction ------------------------------------------------------
+ii.put_removed([1])
+while ii.merge(2, 100, concurrency=4) > 0:
+    pass
+print("after purge:", {tv.term: tv.values.tolist() for tv in tpi.to_slice(ii.read(b"apple", b"banana"))})
+print("stats:", ii.stats())
+
+# --- device snapshot: batched serving ----------------------------------------
+eng = QueryEngine.from_index(ii, L=128)
+print("batched lookup:", [None if g is None else g.tolist() for g in eng.lookup([b"banana", b"nope"])])
+print("AND:", [g.tolist() for g in eng.boolean([[b"apple", b"banana"]], op="and")])
+print("OR: ", [g.tolist() for g in eng.boolean([[b"cherry", b"date"]], op="or")])
+print("engine prefix:", {k: v.tolist() for k, v in eng.prefix_search([b"ba"]).items()})
+print("engine range read:", [(t, v.tolist()) for t, v in eng.read_range(b"apple", b"banana")])
+
+# --- reopen (the index IS its files) ------------------------------------------
+ii2 = tpi.InvertedIndex(base)
+assert {tv.term: tv.values.tolist() for tv in tpi.to_slice(ii2.read(None, None))} == \
+       {tv.term: tv.values.tolist() for tv in tpi.to_slice(ii.read(None, None))}
+print("reopen: state identical")

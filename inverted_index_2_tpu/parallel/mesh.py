@@ -26,10 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..codec import keys as keys_mod
-from ..codec import packing
 from ..models import query_engine as qe
-from ..ops import decode as dec
 from ..shard import merge_views
 
 SHARD_AXIS = "shards"

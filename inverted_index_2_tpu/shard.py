@@ -49,6 +49,12 @@ def shard_key_u16(first_two: int) -> str:
     return f"{first_two >> 6:04d}"
 
 
+# merges whose total decoded postings exceed this use the device sort
+# program (ops/merge.py); smaller ones stay on the host (C++ decode/encode
+# beats a device round trip at small sizes). Tune via TPI_DEVICE_MERGE_MIN.
+DEVICE_MERGE_MIN_VALUES = int(os.environ.get("TPI_DEVICE_MERGE_MIN", 2_000_000))
+
+
 class Shard:
     def __init__(self, basedir: str):
         self.basedir = basedir
@@ -203,7 +209,14 @@ class Shard:
         for seg in claimed:
             seg.pin()
         try:
-            out = merge_views([s.view for s in claimed], self.removed_list.values())
+            views = [s.view for s in claimed]
+            est = sum(_estimate_values(v) for v in views)
+            if est >= DEVICE_MERGE_MIN_VALUES:
+                from .ops.merge import merge_views_device
+
+                out = merge_views_device(views, self.removed_list.values())
+            else:
+                out = merge_views(views, self.removed_list.values())
         finally:
             Segments.release(claimed)
 
@@ -229,6 +242,16 @@ class Shard:
             )
         return len(claimed)
 
+
+
+def _estimate_values(view: SegmentView) -> int:
+    """Cheap posting-count estimate for the device-vs-host merge choice."""
+    if view.mode == 1:  # direct: one value per term
+        return view.n_terms
+    # normal mode: read each term's count word (vectorized gather)
+    if view.n_terms == 0:
+        return 0
+    return int(np.asarray(view.words)[view.outs.astype(np.int64)].sum())
 
 
 def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
