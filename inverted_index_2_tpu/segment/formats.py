@@ -50,24 +50,30 @@ _HEADER = struct.Struct("<IIII QQ")
 HEADER_SIZE = _HEADER.size
 
 
+# flags (stored in the header's former reserved word): compact array dtypes
+FLAG_OFFSETS_U32 = 1  # term byte offsets stored as u32 (blob < 4 GiB)
+FLAG_OUTS_U32 = 2     # outs stored as u32 (direct values, or small vals file)
+
+
 @dataclass
 class DictHeader:
     mode: int
     n_terms: int
     blob_len: int
+    flags: int = 0
 
 
-def write_header(f, mode: int, n_terms: int, blob_len: int) -> None:
-    f.write(_HEADER.pack(MAGIC, VERSION, mode, n_terms, blob_len, 0))
+def write_header(f, mode: int, n_terms: int, blob_len: int, flags: int = 0) -> None:
+    f.write(_HEADER.pack(MAGIC, VERSION, mode, n_terms, blob_len, flags))
 
 
 def read_header(buf: bytes) -> DictHeader:
-    magic, version, mode, n_terms, blob_len, _ = _HEADER.unpack_from(buf, 0)
+    magic, version, mode, n_terms, blob_len, flags = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError("bad segment dict magic")
     if version != VERSION:
         raise ValueError(f"unsupported segment version {version}")
-    return DictHeader(mode=mode, n_terms=n_terms, blob_len=blob_len)
+    return DictHeader(mode=mode, n_terms=n_terms, blob_len=blob_len, flags=flags)
 
 
 def dict_path(basedir: str, key: str) -> str:

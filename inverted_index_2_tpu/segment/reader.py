@@ -42,10 +42,16 @@ class SegmentView:
         self.n_terms = hdr.n_terms
         n = hdr.n_terms
         off = formats.HEADER_SIZE
-        self.offsets = np.frombuffer(raw, dtype="<u8", count=n + 1, offset=off).astype(np.int64)
-        off += (n + 1) * 8
-        self.outs = np.frombuffer(raw, dtype="<u8", count=n, offset=off).copy()
-        off += n * 8
+        off_dt, off_w = (
+            ("<u4", 4) if hdr.flags & formats.FLAG_OFFSETS_U32 else ("<u8", 8)
+        )
+        out_dt, out_w = (
+            ("<u4", 4) if hdr.flags & formats.FLAG_OUTS_U32 else ("<u8", 8)
+        )
+        self.offsets = np.frombuffer(raw, dtype=off_dt, count=n + 1, offset=off).astype(np.int64)
+        off += (n + 1) * off_w
+        self.outs = np.frombuffer(raw, dtype=out_dt, count=n, offset=off).astype(np.uint64)
+        off += n * out_w
         self.blob = np.frombuffer(raw, dtype=np.uint8, count=hdr.blob_len, offset=off)
         self._raw = raw  # keep buffer alive
         if self.mode == MODE_NORMAL:
@@ -59,6 +65,38 @@ class SegmentView:
         else:
             self.words = None
         self._keys_cache: Optional[np.ndarray] = None
+
+    @classmethod
+    def from_arrays(
+        cls,
+        basedir: str,
+        key: str,
+        mode: int,
+        offsets: np.ndarray,
+        outs: np.ndarray,
+        blob,
+        words: Optional[np.ndarray] = None,
+    ) -> "SegmentView":
+        """Construct a view directly from the writer's in-memory arrays,
+        skipping the read-back of the file just written (the write path's
+        equivalent of the reference registering segment metadata it already
+        has, shard.go:64)."""
+        self = cls.__new__(cls)
+        self.basedir = basedir
+        self.key = key
+        self.mode = mode
+        self.n_terms = len(offsets) - 1
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.outs = np.asarray(outs, dtype=np.uint64)
+        self.blob = (
+            np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, bytes) else np.asarray(blob)
+        )
+        self._raw = None
+        self.words = words if mode == MODE_NORMAL else None
+        if self.words is None and mode == MODE_NORMAL:
+            self.words = np.zeros(0, dtype=np.uint32)
+        self._keys_cache = None
+        return self
 
     # ---- term access -----------------------------------------------------
 

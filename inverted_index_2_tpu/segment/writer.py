@@ -22,6 +22,12 @@ import time
 
 import numpy as np
 
+# fsync before publish: OFF by default (the reference's Go writer closes and
+# renames without fsync, writer.go:61-89 — the atomic rename orders the
+# publish; fsync only matters for power-loss durability). Set TPI_FSYNC=1 to
+# force durable segment writes.
+_FSYNC = bool(os.environ.get("TPI_FSYNC"))
+
 from ..codec import packing
 from . import formats
 
@@ -36,13 +42,23 @@ def new_segment_key() -> str:
 
 
 def _write_dict(path: str, mode: int, offsets: np.ndarray, outs: np.ndarray, blob: bytes) -> None:
+    # compact dtypes when ranges allow (typical): half the file, half the IO
+    flags = 0
+    off_dt, out_dt = "<u8", "<u8"
+    if len(blob) < 2**32:
+        flags |= formats.FLAG_OFFSETS_U32
+        off_dt = "<u4"
+    if len(outs) == 0 or int(outs.max()) < 2**32:
+        flags |= formats.FLAG_OUTS_U32
+        out_dt = "<u4"
     with open(path, "wb") as f:
-        formats.write_header(f, mode, len(outs), len(blob))
-        offsets.astype("<u8").tofile(f)
-        outs.astype("<u8").tofile(f)
+        formats.write_header(f, mode, len(outs), len(blob), flags)
+        offsets.astype(off_dt).tofile(f)
+        outs.astype(out_dt).tofile(f)
         f.write(blob)
         f.flush()
-        os.fsync(f.fileno())
+        if _FSYNC:
+            os.fsync(f.fileno())
 
 
 def _unique_key(basedir: str) -> str:
@@ -109,7 +125,8 @@ def write_normal_segment_words(
     with open(vtmp, "wb") as f:
         np.asarray(words, dtype="<u4").tofile(f)
         f.flush()
-        os.fsync(f.fileno())
+        if _FSYNC:
+            os.fsync(f.fileno())
     dtmp = formats.dict_path(basedir, key) + formats.TMP_SUFFIX
     _write_dict(dtmp, formats.MODE_NORMAL, np.asarray(offsets), np.asarray(outs), blob)
     os.rename(vtmp, formats.vals_path(basedir, key))

@@ -133,7 +133,11 @@ class Shard:
         if len(offsets) <= 1:
             return
         key = seg_writer.write_direct_segment(self.basedir, blob, offsets, np.uint32(value))
-        view = SegmentView(self.basedir, key)
+        n = len(offsets) - 1
+        outs = np.full(n, np.uint64(value), dtype=np.uint64)
+        view = SegmentView.from_arrays(
+            self.basedir, key, formats.MODE_DIRECT, offsets, outs, blob
+        )
         self.segments.add(Segment(key, view.n_terms, view.min_term, view.max_term, view))
 
     # ---- read ------------------------------------------------------------
@@ -223,10 +227,16 @@ class Shard:
         if out is not None:
             blob, offsets, values, voffs = out
             if len(offsets) > 1:
-                key = seg_writer.write_normal_segment(
-                    self.basedir, blob, offsets, values, voffs
+                from .codec import packing as _packing
+
+                words, w_outs = _packing.encode_bulk(values, np.asarray(voffs, dtype=np.int64))
+                key = seg_writer.write_normal_segment_words(
+                    self.basedir, blob, offsets, words, w_outs
                 )
-                view = SegmentView(self.basedir, key)
+                view = SegmentView.from_arrays(
+                    self.basedir, key, formats.MODE_NORMAL, offsets,
+                    w_outs.astype(np.uint64), blob, words,
+                )
                 self.segments.add(
                     Segment(key, view.n_terms, view.min_term, view.max_term, view)
                 )
