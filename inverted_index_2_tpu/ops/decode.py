@@ -101,10 +101,13 @@ def decode_blocks_ba(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     # class 2: words 2..66, 2 deltas per word
     w = sl(2, 66)
     d2 = interleave([w & 0xFFFF, w >> 16])
-    # class 3: 3 words carry 4 deltas; groups of 32
-    w0 = sl(2, 98, 3)
-    w1 = sl(3, 98, 3)
-    w2 = sl(4, 98, 3)
+    # class 3: 3 words carry 4 deltas; groups of 32. Contiguous slice +
+    # reshape instead of stride-3 slices (strided slices lower to gathers,
+    # which Mosaic/Pallas rejects in-kernel).
+    w012 = sl(2, 98).reshape(*window.shape[:-1], 32, 3)
+    w0 = w012[..., 0]
+    w1 = w012[..., 1]
+    w2 = w012[..., 2]
     d3 = interleave(
         [
             w0 & 0xFFFFFF,
@@ -123,11 +126,25 @@ def decode_blocks_ba(window: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     d = jnp.where(c == 4, d4, d)
 
     steps = d[..., : BLOCK - 1] + jnp.uint32(1)
-    csum = jnp.cumsum(steps, axis=-1, dtype=jnp.uint32)
+    csum = _prefix_sum(steps)
     vals = anchor[..., None] + jnp.concatenate(
         [jnp.zeros((*csum.shape[:-1], 1), dtype=jnp.uint32), csum], axis=-1
     )
     return vals, n_blk
+
+
+def _prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the last axis via Hillis-Steele doubling
+    (concat + slice + add only — jnp.cumsum has no Pallas/Mosaic lowering,
+    and this shape (log2(128)=7 vector adds) is what XLA lowers cumsum to
+    anyway)."""
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        pad = jnp.zeros((*x.shape[:-1], s), dtype=x.dtype)
+        x = x + jnp.concatenate([pad, x[..., : n - s]], axis=-1)
+        s <<= 1
+    return x
 
 
 def gather_postings(
