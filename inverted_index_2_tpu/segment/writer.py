@@ -134,6 +134,58 @@ def write_normal_segment_words(
     return key
 
 
+class SegmentWriter:
+    """Streaming writer: append sorted (term, values) records, then close.
+
+    API parity with the reference's file.Writer (Append/Close/GetKey,
+    /root/reference/file/writer.go:32-93) for callers that produce records
+    one at a time; internally it batches and publishes through the columnar
+    writers on close. Records must arrive in strictly ascending term order
+    with sorted unique values (same contract as the reference's FST insert).
+    """
+
+    def __init__(self, basedir: str, direct: bool = False, value: int = 0):
+        self.basedir = basedir
+        self.direct = direct
+        self.value = value
+        self._terms: list[bytes] = []
+        self._values: list[np.ndarray] = []
+        self._key: str | None = None
+        self._closed = False
+
+    def append(self, term: bytes, values=None) -> None:
+        if self._closed:
+            raise RuntimeError("writer closed")
+        if self._terms and term <= self._terms[-1]:
+            raise ValueError("terms must be appended in strictly ascending order")
+        self._terms.append(term)
+        if not self.direct:
+            self._values.append(np.asarray(values if values is not None else [], dtype=np.uint32))
+
+    def close(self) -> str:
+        """Encode, publish atomically, return the segment key."""
+        if self._closed:
+            return self._key
+        self._closed = True
+        blob, offsets = terms_to_blob(self._terms)
+        if self.direct:
+            self._key = write_direct_segment(self.basedir, blob, offsets, np.uint32(self.value))
+        else:
+            voffs = np.zeros(len(self._values) + 1, dtype=np.int64)
+            if self._values:
+                np.cumsum([len(v) for v in self._values], out=voffs[1:])
+            vals = (
+                np.concatenate(self._values)
+                if self._values
+                else np.zeros(0, dtype=np.uint32)
+            )
+            self._key = write_normal_segment(self.basedir, blob, offsets, vals, voffs)
+        return self._key
+
+    def get_key(self) -> str | None:
+        return self._key
+
+
 def terms_to_blob(terms: list[bytes]) -> tuple[bytes, np.ndarray]:
     """Concatenate terms into (blob, offsets[n+1]). Terms must be pre-sorted."""
     blob = b"".join(terms)

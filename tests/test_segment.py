@@ -85,3 +85,31 @@ def test_find_and_bounds(tmp_path):
 
 def test_remove_segment_tolerates_missing(tmp_path):
     formats.remove_segment(str(tmp_path), "12345")  # no error
+
+
+def test_streaming_writer_round_trip(tmp_path):
+    """Parity with file.Writer's Append/Close streaming protocol."""
+    from inverted_index_2_tpu.segment.writer import SegmentWriter
+
+    d = str(tmp_path)
+    w = SegmentWriter(d)
+    w.append(b"aa", [3, 9])
+    w.append(b"bb", [1])
+    w.append(b"cc", [])
+    key = w.close()
+    assert w.get_key() == key
+    v = SegmentView(d, key)
+    assert [(v.term(i), v.values(i).tolist()) for i in range(3)] == [
+        (b"aa", [3, 9]), (b"bb", [1]), (b"cc", []),
+    ]
+
+    with pytest.raises(ValueError):
+        w2 = SegmentWriter(d)
+        w2.append(b"bb")
+        w2.append(b"aa")
+
+    wd = SegmentWriter(d, direct=True, value=7)
+    wd.append(b"x")
+    wd.append(b"y")
+    vd = SegmentView(d, wd.close())
+    assert vd.values(0).tolist() == [7] and vd.values(1).tolist() == [7]
