@@ -177,6 +177,33 @@ def bench_ingest(n_terms=1_000_000, batch=250_000):
     }
 
 
+def bench_compaction(n_segments=16, terms_per_seg=50_000):
+    """BASELINE config 2: 16 small segments merged to 1 with removed-list
+    tombstone purge. Reports input postings/sec through the merge."""
+    from inverted_index_2_tpu import Shard
+
+    rng = np.random.default_rng(5)
+    d = tempfile.mkdtemp(prefix="bench_merge_")
+    sh = Shard(os.path.join(d, "0000"))
+    width = 10
+    for s in range(n_segments):
+        raw = rng.integers(97, 123, size=(terms_per_seg, width), dtype=np.uint8)
+        blob = np.ascontiguousarray(raw).reshape(-1)
+        offsets = np.arange(terms_per_seg + 1, dtype=np.int64) * width
+        sh.put_packed(blob, offsets, s + 1)
+    sh.remove(np.arange(1, n_segments, 3, dtype=np.uint32))  # tombstones
+    total_in = sum(seg.terms for seg in sh.segments.snapshot())
+    t0 = time.monotonic()
+    merged = sh.merge(2, n_segments)
+    dt = time.monotonic() - t0
+    assert merged == n_segments
+    return {
+        "compaction_segments": n_segments,
+        "compaction_s": round(dt, 3),
+        "compaction_postings_per_s": round(total_in / dt),
+    }
+
+
 def bench_compression(values, voffs):
     from inverted_index_2_tpu.codec import packing
 
@@ -196,6 +223,7 @@ def main():
     details = {}
     details.update(bench_query(blob, offsets, values, voffs, Q, iters))
     details.update(bench_ingest())
+    details.update(bench_compaction())
     details.update(bench_compression(values, voffs))
 
     out = {

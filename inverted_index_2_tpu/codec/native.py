@@ -81,6 +81,10 @@ def _bind(lib):
         lib.tpi_ingest_sort.argtypes = [u8p, i64p, ctypes.c_int64, i32p, u16p]
         lib.tpi_concat_terms.restype = None
         lib.tpi_concat_terms.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p, i64p]
+        lib.tpi_merge_gather.restype = ctypes.c_int64
+        lib.tpi_merge_gather.argtypes = [u32p, i64p, i64p, i64p, ctypes.c_int64, u32p, i64p]
+        lib.tpi_gather_bytes.restype = None
+        lib.tpi_gather_bytes.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
     except AttributeError:
         # stale shared object (symbol set changed): fall back to numpy
         return None
@@ -163,6 +167,35 @@ def concat_terms(blob: np.ndarray, offsets: np.ndarray, order: np.ndarray):
     if m:
         lib.tpi_concat_terms(blob, offsets, order, m, out_blob, out_offsets)
     return out_blob, out_offsets
+
+
+def merge_gather(src: np.ndarray, starts: np.ndarray, counts: np.ndarray, group: np.ndarray):
+    """Single-pass ragged gather of values + group tags (merge hot path)."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(src, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    group = np.ascontiguousarray(group, dtype=np.int64)
+    total = int(counts.sum())
+    out_vals = np.zeros(total, dtype=np.uint32)
+    out_groups = np.zeros(total, dtype=np.int64)
+    if len(starts):
+        lib.tpi_merge_gather(src, starts, counts, group, len(starts), out_vals, out_groups)
+    return out_vals, out_groups
+
+
+def gather_bytes(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Single-pass ragged byte gather (merge blob rebuild)."""
+    lib = _load()
+    assert lib is not None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+    if len(starts):
+        lib.tpi_gather_bytes(src, starts, lens, len(starts), out)
+    return out
 
 
 def hash_build(hashes: np.ndarray) -> np.ndarray:

@@ -309,8 +309,15 @@ def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
     # values in sorted-term order, tagged with group ids
     starts_sorted = g_vstart[order]
     counts_sorted = g_counts[order]
-    flat_vals, rep = ragged_gather(all_vals, starts_sorted, counts_sorted)
-    flat_groups = group_id[rep]
+    from .codec import native
+
+    if native.available():
+        flat_vals, flat_groups = native.merge_gather(
+            all_vals, starts_sorted, counts_sorted, group_id
+        )
+    else:
+        flat_vals, rep = ragged_gather(all_vals, starts_sorted, counts_sorted)
+        flat_groups = group_id[rep]
 
     # union + dedupe per group: unique on (group << 32 | value)
     pairs = (flat_groups.astype(np.uint64) << np.uint64(32)) | flat_vals.astype(np.uint64)
@@ -347,7 +354,10 @@ def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
     term_lens = np.concatenate([np.diff(v.offsets) for v in views])
     g_tstart = term_starts[rep_orig] + blob_base[view_idx]
     g_tlen = term_lens[rep_orig]
-    out_blob, _ = ragged_gather(all_blob, g_tstart, g_tlen)
+    if native.available():
+        out_blob = native.gather_bytes(all_blob, g_tstart, g_tlen)
+    else:
+        out_blob, _ = ragged_gather(all_blob, g_tstart, g_tlen)
     out_offsets = np.zeros(len(kept) + 1, dtype=np.int64)
     np.cumsum(g_tlen, out=out_offsets[1:])
 

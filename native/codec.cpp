@@ -272,6 +272,37 @@ void tpi_concat_terms(const uint8_t* blob, const int64_t* offsets,
   }
 }
 
+// Ragged value gather for the merge path: for each list i, copy
+// src[starts[i] .. starts[i]+counts[i]) to out and tag each copied element
+// with group[i]. Returns total elements written.
+int64_t tpi_merge_gather(const uint32_t* src, const int64_t* starts,
+                         const int64_t* counts, const int64_t* group,
+                         int64_t n_lists, uint32_t* out_vals,
+                         int64_t* out_groups) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_lists; ++i) {
+    const int64_t c = counts[i];
+    const uint32_t* s = src + starts[i];
+    const int64_t g = group[i];
+    for (int64_t j = 0; j < c; ++j) {
+      out_vals[pos] = s[j];
+      out_groups[pos] = g;
+      ++pos;
+    }
+  }
+  return pos;
+}
+
+// Ragged byte gather: concatenate src[starts[i] .. starts[i]+lens[i]).
+void tpi_gather_bytes(const uint8_t* src, const int64_t* starts,
+                      const int64_t* lens, int64_t n, uint8_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    std::memcpy(out + pos, src + starts[i], static_cast<size_t>(lens[i]));
+    pos += lens[i];
+  }
+}
+
 // Linear-probe hash table build: slots (size S, power of two) pre-filled
 // with -1; inserts term index i at the first free slot from hashes[i] & mask.
 void tpi_hash_build(const uint32_t* hashes, int64_t N, int32_t* slots,
