@@ -144,3 +144,16 @@ def test_empty_index(tmp_path):
     assert ii.prefix_search([b"x"]) == {}
     ii.put_removed([1, 2])
     assert ii.merge(1, 10, 2) == 0
+
+
+def test_enable_logging_merge(tmp_path, caplog):
+    """Parity with the reference's only log line: per-shard merge duration
+    (inverted_index.go:97-99), gated by enable_logging."""
+    import logging
+
+    ii = InvertedIndex(str(tmp_path), enable_logging=True)
+    ii.put([b"aa"], 1)
+    ii.put([b"aa"], 2)
+    with caplog.at_level(logging.INFO, logger="inverted_index_2_tpu"):
+        assert ii.merge(2, 10, 1) == 2
+    assert any("merged 2 segments" in r.message for r in caplog.records)

@@ -91,3 +91,28 @@ def test_shard_ranges_cover_keyspace():
         rs = pm.shard_ranges(d)
         seen = sorted(x for r in rs for x in r)
         assert seen == list(range(1024))
+
+
+def test_sharded_boolean_or(built, mesh8):
+    ii, truth, snap = built
+    import jax.numpy as jnp2
+
+    L = 128
+    boolor = pm.make_sharded_boolean(snap, L, "or")
+    vocab = sorted(truth.keys())
+    rng = np.random.default_rng(9)
+    queries = [
+        [vocab[i] for i in rng.choice(len(vocab), size=2, replace=False)]
+        for _ in range(8)
+    ]
+    qk = np.zeros((len(queries), 2, snap.width + 1), dtype=np.uint32)
+    for i, q in enumerate(queries):
+        qk[i] = K.pack_terms(q, width=snap.width)
+    out, oc = boolor(
+        snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+        jnp2.asarray(qk), jnp2.asarray(np.full(len(queries), 2, dtype=np.int32)),
+    )
+    out, oc = np.asarray(out), np.asarray(oc)
+    for i, q in enumerate(queries):
+        want = sorted(set.union(*[truth[t] for t in q]))
+        assert out[i, : oc[i]].tolist() == want, q
