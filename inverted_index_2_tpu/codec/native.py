@@ -85,6 +85,8 @@ def _bind(lib):
         lib.tpi_merge_gather.argtypes = [u32p, i64p, i64p, i64p, ctypes.c_int64, u32p, i64p]
         lib.tpi_gather_bytes.restype = None
         lib.tpi_gather_bytes.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
+        lib.tpi_sort_key_rows.restype = None
+        lib.tpi_sort_key_rows.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64, i32p]
     except AttributeError:
         # stale shared object (symbol set changed): fall back to numpy
         return None
@@ -167,6 +169,18 @@ def concat_terms(blob: np.ndarray, offsets: np.ndarray, order: np.ndarray):
     if m:
         lib.tpi_concat_terms(blob, offsets, order, m, out_blob, out_offsets)
     return out_blob, out_offsets
+
+
+def sort_key_rows(keys: np.ndarray) -> np.ndarray:
+    """Stable lexicographic argsort of (N, Wp1) uint32 key rows (LSD radix)."""
+    lib = _load()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n = keys.shape[0]
+    order = np.zeros(max(n, 1), dtype=np.int32)
+    if n:
+        lib.tpi_sort_key_rows(keys, n, keys.shape[1], order)
+    return order[:n]
 
 
 def merge_gather(src: np.ndarray, starts: np.ndarray, counts: np.ndarray, group: np.ndarray):

@@ -30,8 +30,8 @@ from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from .iterators import ClosingIterator, SequentialDynamicIterator, TermValues, group_by
-from .shard import Shard, shard_key
+from .iterators import SequentialDynamicIterator, TermValues
+from .shard import Shard
 
 logger = logging.getLogger("inverted_index_2_tpu")
 

@@ -87,6 +87,16 @@ def _empty_snapshot(width: int = 1) -> IndexSnapshot:
     )
 
 
+@jax.jit
+def _expand_arena_step(wpad, flat, col):
+    return wpad[flat[:, None] + col[None, :]]
+
+
+def _expand_arena(wpad, flat, stride: int):
+    col = jnp.arange(stride, dtype=jnp.int32)
+    return _expand_arena_step(wpad, flat, col)
+
+
 def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None):
     """Lower merged (blob, offsets, values, voffs) arrays to device tables."""
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -110,13 +120,17 @@ def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None
     col = np.arange(maxnb, dtype=np.int64)
     mask = col[None, :] < nb1[:, None]
     flat[(tbs[:-1][:, None] + col[None, :])[mask]] = block_off[mask]
-    # block row arena: stride = largest block + 1 slack word
+    # block row arena: stride = largest block + 1 slack word. Built ON DEVICE
+    # from the compressed words (the padded arena is up to ~10x the
+    # compressed size — shipping words + offsets and expanding with one
+    # device gather beats transferring the expansion).
     blk_counts = np.minimum(counts[:, None] - col[None, :] * 128, 128)
     blk_words = 2 + packing._packed_words(np.maximum(blk_counts, 0), block_b)
     max_bw = int(blk_words[mask].max()) if mask.any() else 3
     stride = max(4, max_bw + 1)
-    wpad = np.concatenate([words, np.zeros(stride, dtype=np.uint32)])
-    arena = wpad[flat[:, None] + np.arange(stride)]
+    wpad_dev = jnp.asarray(np.concatenate([words, np.zeros(stride, dtype=np.uint32)]))
+    flat_dev = jnp.asarray(flat)
+    arena = _expand_arena(wpad_dev, flat_dev, stride)
 
     rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
     slots = hashing.build_table(keys)

@@ -17,7 +17,6 @@ equivalent: runs are self-delimiting in our codec.
 from __future__ import annotations
 
 import os
-from bisect import bisect_left, bisect_right
 from typing import Iterator, Optional
 
 import numpy as np

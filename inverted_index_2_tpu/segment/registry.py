@@ -15,7 +15,6 @@ waits for pins to drain before deleting files. Same guarantees:
 from __future__ import annotations
 
 import threading
-from bisect import insort
 from typing import Callable, List, Optional
 
 from .reader import SegmentView

@@ -272,6 +272,36 @@ void tpi_concat_terms(const uint8_t* blob, const int64_t* offsets,
   }
 }
 
+// Stable lexicographic argsort of packed key rows (N x Wp1 uint32,
+// row-major): LSD radix, two 16-bit counting passes per column from the
+// least-significant column. Replaces np.lexsort in the merge path
+// (the multiword-key analogue of the FST's ordered iteration).
+void tpi_sort_key_rows(const uint32_t* keys, int64_t n, int64_t wp1,
+                       int32_t* order) {
+  std::vector<int32_t> tmp(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
+  std::vector<int64_t> cnt(65536 + 1);
+  int32_t* src = order;
+  int32_t* dst = tmp.data();
+  for (int64_t c = wp1 - 1; c >= 0; --c) {
+    for (int shift = 0; shift <= 16; shift += 16) {
+      std::fill(cnt.begin(), cnt.end(), 0);
+      for (int64_t i = 0; i < n; ++i) {
+        const uint32_t v = keys[static_cast<int64_t>(src[i]) * wp1 + c];
+        cnt[((v >> shift) & 0xFFFF) + 1]++;
+      }
+      for (int64_t b = 0; b < 65536; ++b) cnt[b + 1] += cnt[b];
+      for (int64_t i = 0; i < n; ++i) {
+        const uint32_t v = keys[static_cast<int64_t>(src[i]) * wp1 + c];
+        dst[cnt[(v >> shift) & 0xFFFF]++] = src[i];
+      }
+      std::swap(src, dst);
+    }
+  }
+  // wp1 columns x 2 passes = even number of swaps: result is in `order`
+  if (src != order) std::memcpy(order, src, static_cast<size_t>(n) * 4);
+}
+
 // Ragged value gather for the merge path: for each list i, copy
 // src[starts[i] .. starts[i]+counts[i]) to out and tag each copied element
 // with group[i]. Returns total elements written.
