@@ -326,9 +326,30 @@ class QueryEngine:
         qk = np.concatenate([qk, pad], axis=0)
         found, vals, n = self.lookup_device(jnp.asarray(qk))
         found, vals, n = np.asarray(found), np.asarray(vals), np.asarray(n)
+        host_counts = None
         out = []
         for i in range(len(terms)):
-            out.append(vals[i, : n[i]].copy() if found[i] else None)
+            if not found[i]:
+                out.append(None)
+                continue
+            if n[i] >= self.L:
+                # device pads to L; a list that long may be truncated — serve
+                # it exactly from the host mirrors (rare when L is sized to
+                # the corpus' maximum posting length)
+                lo, hi = 0, s.n_terms
+                t = terms[i]
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    mt = s.host_blob[s.host_offsets[mid] : s.host_offsets[mid + 1]].tobytes()
+                    if mt < t:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                out.append(
+                    s.host_values[s.host_voffs[lo] : s.host_voffs[lo + 1]].copy()
+                )
+            else:
+                out.append(vals[i, : n[i]].copy())
         return out
 
     # -- boolean queries ---------------------------------------------------------

@@ -258,10 +258,11 @@ def _estimate_values(view: SegmentView) -> int:
     """Cheap posting-count estimate for the device-vs-host merge choice."""
     if view.mode == 1:  # direct: one value per term
         return view.n_terms
-    # normal mode: read each term's count word (vectorized gather)
+    # normal mode: read each term's count word (gather touches only the
+    # needed memmap pages; do NOT np.asarray the memmap — that reads the file)
     if view.n_terms == 0:
         return 0
-    return int(np.asarray(view.words)[view.outs.astype(np.int64)].sum())
+    return int(view.words[view.outs.astype(np.int64)].sum())
 
 
 def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):

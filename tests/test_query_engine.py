@@ -123,3 +123,17 @@ def test_read_range_matches_host(tmp_path, rng):
     host_all = [(tv.term, tv.values.tolist()) for tv in to_slice(ii.read(None, None))]
     dev_all = [(t, v.tolist()) for t, v in eng.read_range(None, None)]
     assert dev_all == host_all
+
+
+def test_lookup_longer_than_L_is_exact(tmp_path):
+    """Posting lists longer than the engine's pad length L must still return
+    complete results (host-mirror fallback, not silent truncation)."""
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 300):  # b"big" accumulates 299 values; L=128 below
+        ii.put([b"big", f"f{v:03d}".encode()], v)
+    while ii.merge(2, 1000, 2) > 0:
+        pass
+    eng = QueryEngine.from_index(ii, L=128)
+    got = eng.lookup([b"big", b"f005"])
+    assert got[0].tolist() == list(range(1, 300))
+    assert got[1].tolist() == [5]
