@@ -333,15 +333,35 @@ void tpi_gather_bytes(const uint8_t* src, const int64_t* starts,
   }
 }
 
-// Linear-probe hash table build: slots (size S, power of two) pre-filled
-// with -1; inserts term index i at the first free slot from hashes[i] & mask.
+// Robin Hood linear-probe hash table build: slots (size S, power of two)
+// pre-filled with -1. Displacement-balancing insertion minimizes the MAXIMUM
+// probe chain — which is exactly what the device lookup pays (its while_loop
+// runs until the whole batch resolves, i.e. max-chain iterations).
+// The linear-probe invariant (walk from home slot until an empty slot finds
+// any present key) is preserved.
 void tpi_hash_build(const uint32_t* hashes, int64_t N, int32_t* slots,
                     int64_t S) {
   const uint32_t mask = static_cast<uint32_t>(S - 1);
   for (int64_t i = 0; i < N; ++i) {
+    int32_t cur = static_cast<int32_t>(i);
     uint32_t pos = hashes[i] & mask;
-    while (slots[pos] >= 0) pos = (pos + 1) & mask;
-    slots[pos] = static_cast<int32_t>(i);
+    uint32_t dist = 0;
+    while (true) {
+      const int32_t existing = slots[pos];
+      if (existing < 0) {
+        slots[pos] = cur;
+        break;
+      }
+      const uint32_t their_dist =
+          (pos - (hashes[existing] & mask)) & mask;
+      if (dist > their_dist) {  // rob the rich: swap and keep inserting
+        slots[pos] = cur;
+        cur = existing;
+        dist = their_dist;
+      }
+      pos = (pos + 1) & mask;
+      ++dist;
+    }
   }
 }
 
