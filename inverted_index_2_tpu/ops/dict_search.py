@@ -79,6 +79,43 @@ def searchsorted_rows(keys: jnp.ndarray, queries: jnp.ndarray, side: str = "left
     return lo
 
 
+def hash_lookup_rows_unrolled(
+    keys: jnp.ndarray,
+    slots: jnp.ndarray,
+    queries: jnp.ndarray,
+    max_probes: int,
+):
+    """Unrolled hash lookup: gather ALL max_probes candidates at once.
+
+    Two wide gathers (slot ids, then candidate key rows) replace the
+    while_loop's max_probes dependent iterations — fewer serialized HBM
+    round-trips when max_probes is small (Robin Hood keeps it <= ~6).
+    Chain-termination semantics preserved: probes past the first empty slot
+    are dead (a present key can never live beyond one, by the linear-probe
+    invariant)."""
+    from ..codec.hashing import hash_rows_jnp
+
+    n = keys.shape[0]
+    q = queries.shape[0]
+    if n == 0:
+        return jnp.zeros((q,), jnp.int32), jnp.zeros((q,), bool)
+    S = slots.shape[0]
+    mask = jnp.uint32(S - 1)
+    h = hash_rows_jnp(queries)
+    P = max(1, max_probes)
+    pos = (h[:, None] + jnp.arange(P, dtype=jnp.uint32)[None, :]) & mask  # (Q,P)
+    cand = slots[pos]                       # (Q,P)
+    occupied = cand >= 0
+    alive = jnp.cumprod(occupied.astype(jnp.int32), axis=1).astype(bool)
+    cand_c = jnp.maximum(cand, 0)
+    rows = keys[cand_c]                      # (Q,P,W+1) row gather
+    hit = rows_equal(rows, queries[:, None, :]) & alive
+    found = jnp.any(hit, axis=1)
+    first = jnp.argmax(hit, axis=1)
+    idx = jnp.take_along_axis(cand_c, first[:, None], axis=1)[:, 0]
+    return idx.astype(jnp.int32), found
+
+
 def hash_lookup_rows(
     keys: jnp.ndarray,
     slots: jnp.ndarray,

@@ -78,3 +78,13 @@ def test_empty_table():
     q = jnp.zeros((4, 3), dtype=jnp.uint32)
     idx, found = ds.hash_lookup_rows(keys, slots, q, 1)
     assert not np.asarray(found).any()
+
+
+def test_unrolled_probe_matches_loop(rng):
+    terms, keys, queries, qk = _dict_and_queries(rng)
+    slots = hashing.build_table(keys)
+    probes = hashing.max_probe_len(slots, hashing.hash_rows_np(keys))
+    i1, f1 = ds.hash_lookup_rows(jnp.asarray(keys), jnp.asarray(slots), jnp.asarray(qk), probes)
+    i2, f2 = ds.hash_lookup_rows_unrolled(jnp.asarray(keys), jnp.asarray(slots), jnp.asarray(qk), probes)
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+    assert np.array_equal(np.asarray(i1)[np.asarray(f1)], np.asarray(i2)[np.asarray(f2)])
