@@ -213,6 +213,37 @@ def bench_compression(values, voffs):
     return {"compressed_bytes": ours, "raw_bytes": raw, "ratio": round(raw / ours, 2)}
 
 
+def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
+    """Sharded fan-out lookup over a Mesh of all attached devices (config 4/5
+    shape; with one chip this exercises the shard_map + psum path on real
+    hardware). Enabled via BENCH_MESH=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from inverted_index_2_tpu.models.query_engine import build_snapshot_arrays
+    from inverted_index_2_tpu.parallel import mesh as pm
+
+    mesh = pm.default_mesh()
+    snap1 = build_snapshot_arrays(blob, offsets, values, voffs)
+    snap = pm.stack_partitions([snap1] * mesh.shape[pm.SHARD_AXIS], mesh)
+    lookup = pm.make_sharded_lookup(snap, L)
+    rng = np.random.default_rng(7)
+    hk = np.asarray(snap1.keys)
+    n = snap1.n_terms
+    qk = jnp.asarray(hk[rng.integers(0, n, size=Q)])
+    f, v, c = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+    jax.block_until_ready(c)
+    t0 = time.monotonic()
+    for _ in range(iters):
+        f, v, c = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+    jax.block_until_ready(c)
+    dt = time.monotonic() - t0
+    return {
+        "mesh_devices": int(mesh.shape[pm.SHARD_AXIS]),
+        "mesh_lookup_qps": round(Q * iters / dt),
+    }
+
+
 def main():
     n_terms = int(os.environ.get("BENCH_TERMS", 1_000_000))
     mean_len = int(os.environ.get("BENCH_MEAN_POSTLEN", 10))
@@ -225,6 +256,8 @@ def main():
     details.update(bench_ingest())
     details.update(bench_compaction())
     details.update(bench_compression(values, voffs))
+    if os.environ.get("BENCH_MESH"):
+        details.update(bench_mesh(blob, offsets, values, voffs, Q=Q))
 
     out = {
         "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,

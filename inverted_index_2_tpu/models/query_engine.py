@@ -304,6 +304,12 @@ class QueryEngine:
     def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
         return cls(snapshot_index(index, apply_removed=apply_removed), L=L, **kw)
 
+    def refresh(self, index, apply_removed: bool = False) -> None:
+        """Re-freeze from the live index (serve/refresh lifecycle: queries
+        keep running against the old snapshot until the swap — snapshots are
+        immutable, so this is safe mid-flight)."""
+        self.snap = snapshot_index(index, apply_removed=apply_removed, width=self.snap.width or None)
+
     # -- exact lookup --------------------------------------------------------
 
     def lookup_device(self, qkeys: jnp.ndarray):
