@@ -112,7 +112,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     @functools.partial(jax.jit, static_argnames=("L", "mp"))
     def scan_and(keys, blocks, tbs, counts, slots, staged, kv, L, mp):
         def body(carry, qk):
-            o, oc = boolean_step(keys, blocks, tbs, counts, qk, kv, L, "and", None, slots, mp)
+            o, oc, _ = boolean_step(keys, blocks, tbs, counts, qk, kv, L, "and", None, slots, mp)
             return carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0]), None
         out, _ = jax.lax.scan(body, jnp.uint32(0), staged)
         return out

@@ -97,8 +97,14 @@ def _expand_arena(wpad, flat, stride: int):
     return _expand_arena_step(wpad, flat, col)
 
 
-def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None):
-    """Lower merged (blob, offsets, values, voffs) arrays to device tables."""
+def build_snapshot_arrays(
+    blob, offsets, values, voffs, removed=None, width=None, build_hash: bool = True
+):
+    """Lower merged (blob, offsets, values, voffs) arrays to device tables.
+
+    build_hash=False skips hash-table construction (the mesh stacker builds
+    per-device tables at a common size itself — building here too would be
+    duplicated O(N) work)."""
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if n == 0:
@@ -133,8 +139,12 @@ def build_snapshot_arrays(blob, offsets, values, voffs, removed=None, width=None
     arena = _expand_arena(wpad_dev, flat_dev, stride)
 
     rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
-    slots = hashing.build_table(keys)
-    max_probes = hashing.max_probe_len(slots, hashing.hash_rows_np(keys))
+    if build_hash:
+        slots = hashing.build_table(keys)
+        max_probes = hashing.max_probe_len(slots, hashing.hash_rows_np(keys))
+    else:
+        slots = np.full(8, -1, dtype=np.int32)
+        max_probes = 1
     return IndexSnapshot(
         keys=jnp.asarray(keys),
         blocks=jnp.asarray(arena),
@@ -245,9 +255,17 @@ def boolean_step(
     flat = qkeys.reshape(Q * K, Wp1)
     idx, found = _resolve(keys, flat, slots, max_probes)
     vals, n = dec.gather_postings_arena(blocks, term_block_start, counts, idx, L)
+    # truncation flag: a term longer than L was clipped at decode, so the
+    # combined result for that query may be incomplete — callers re-serve
+    # those (rare) queries exactly from host mirrors
+    raw_n = counts[idx]
     n = jnp.where(found, n, 0)
     lists = vals.reshape(Q, K, L)
     ncnt = n.reshape(Q, K)
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+    trunc = jnp.any(
+        (found & (raw_n > L)).reshape(Q, K) & kmask, axis=1
+    )
     if op == "and":
         out, oc = setops.intersect_many(lists, ncnt, k_valid)
     elif op == "or":
@@ -256,7 +274,7 @@ def boolean_step(
         raise ValueError(op)
     if removed is not None and removed.shape[0] > 0:
         out, oc = setops.filter_removed(out, oc, removed)
-    return out, oc
+    return out, oc, trunc
 
 
 def prefix_range_step(keys, lo_keys, hi_keys):
@@ -307,8 +325,10 @@ class QueryEngine:
     def refresh(self, index, apply_removed: bool = False) -> None:
         """Re-freeze from the live index (serve/refresh lifecycle: queries
         keep running against the old snapshot until the swap — snapshots are
-        immutable, so this is safe mid-flight)."""
-        self.snap = snapshot_index(index, apply_removed=apply_removed, width=self.snap.width or None)
+        immutable, so this is safe mid-flight). The key width is re-derived
+        from the new corpus: forcing the old width would truncate terms that
+        grew longer (distinct terms would alias to one packed key)."""
+        self.snap = snapshot_index(index, apply_removed=apply_removed)
 
     # -- exact lookup --------------------------------------------------------
 
@@ -380,14 +400,46 @@ class QueryEngine:
             kv[i] = len(q)
         if s.n_terms == 0:
             return [np.zeros(0, np.uint32) for _ in queries]
-        out, oc = self._boolean(
+        out, oc, trunc = self._boolean(
             s.keys, s.blocks, s.term_block_start, s.counts,
             jnp.asarray(qk), jnp.asarray(kv), self.L, op,
             s.removed if filter_removed else None,
             s.hash_slots, s.max_probes,
         )
-        out, oc = np.asarray(out), np.asarray(oc)
-        return [out[i, : oc[i]].copy() for i in range(len(queries))]
+        out, oc, trunc = np.asarray(out), np.asarray(oc), np.asarray(trunc)
+        results = []
+        for i in range(len(queries)):
+            if trunc[i]:
+                results.append(self._boolean_exact_host(queries[i], op, filter_removed))
+            else:
+                results.append(out[i, : oc[i]].copy())
+        return results
+
+    def _boolean_exact_host(self, terms, op: str, filter_removed: bool) -> np.ndarray:
+        """Exact set op from host mirrors — fallback for queries touching a
+        posting list longer than L (device pads/clips at L)."""
+        s = self.snap
+        sets = []
+        for t in terms:
+            lo, hi = 0, s.n_terms
+            while lo < hi:
+                mid = (lo + hi) // 2
+                mt = s.host_blob[s.host_offsets[mid] : s.host_offsets[mid + 1]].tobytes()
+                if mt < t:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if (
+                lo < s.n_terms
+                and s.host_blob[s.host_offsets[lo] : s.host_offsets[lo + 1]].tobytes() == t
+            ):
+                sets.append(set(s.host_values[s.host_voffs[lo] : s.host_voffs[lo + 1]].tolist()))
+            else:
+                sets.append(set())
+        combined = set.intersection(*sets) if op == "and" else set.union(*sets)
+        if filter_removed and len(s.removed):
+            combined -= set(np.asarray(s.removed).tolist())
+        return np.array(sorted(combined), dtype=np.uint32)
 
     # -- range read -----------------------------------------------------------------
 
@@ -400,9 +452,12 @@ class QueryEngine:
         if s.n_terms == 0:
             return
         lo = 0 if min_term is None else int(
-            np.asarray(self._prefix(s.keys,
-                jnp.asarray(keys_mod.pack_terms([min_term], width=s.width)),
-                jnp.asarray(keys_mod.pack_terms([min_term], width=s.width)))[0])[0]
+            np.asarray(
+                ds.searchsorted_rows(
+                    s.keys,
+                    jnp.asarray(keys_mod.pack_terms([min_term], width=s.width)),
+                )
+            )[0]
         )
         if max_term is None:
             hi = s.n_terms

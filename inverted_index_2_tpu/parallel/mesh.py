@@ -111,7 +111,9 @@ def build_sharded_snapshot(
             parts.append(qe._empty_snapshot(width or 1))
         else:
             blob, offsets, values, voffs = merged
-            parts.append(qe.build_snapshot_arrays(blob, offsets, values, voffs, None, width))
+            parts.append(
+                qe.build_snapshot_arrays(blob, offsets, values, voffs, None, width, build_hash=False)
+            )
     return stack_partitions(parts, mesh)
 
 

@@ -213,33 +213,41 @@ class Shard:
         for seg in claimed:
             seg.pin()
         try:
-            views = [s.view for s in claimed]
-            est = sum(_estimate_values(v) for v in views)
-            if est >= DEVICE_MERGE_MIN_VALUES:
-                from .ops.merge import merge_views_device
+            try:
+                views = [s.view for s in claimed]
+                est = sum(_estimate_values(v) for v in views)
+                if est >= DEVICE_MERGE_MIN_VALUES:
+                    from .ops.merge import merge_views_device
 
-                out = merge_views_device(views, self.removed_list.values())
-            else:
-                out = merge_views(views, self.removed_list.values())
+                    out = merge_views_device(views, self.removed_list.values())
+                else:
+                    out = merge_views(views, self.removed_list.values())
+
+                if out is not None:
+                    blob, offsets, values, voffs = out
+                    if len(offsets) > 1:
+                        from .codec import packing as _packing
+
+                        words, w_outs = _packing.encode_bulk(
+                            values, np.asarray(voffs, dtype=np.int64)
+                        )
+                        key = seg_writer.write_normal_segment_words(
+                            self.basedir, blob, offsets, words, w_outs
+                        )
+                        view = SegmentView.from_arrays(
+                            self.basedir, key, formats.MODE_NORMAL, offsets,
+                            w_outs.astype(np.uint64), blob, words,
+                        )
+                        self.segments.add(
+                            Segment(key, view.n_terms, view.min_term, view.max_term, view)
+                        )
+            except BaseException:
+                # a failed merge (decode, encode, write) must not strand its
+                # inputs: release the CAS claims so a later merge can retry
+                self.segments.unclaim(claimed)
+                raise
         finally:
             Segments.release(claimed)
-
-        if out is not None:
-            blob, offsets, values, voffs = out
-            if len(offsets) > 1:
-                from .codec import packing as _packing
-
-                words, w_outs = _packing.encode_bulk(values, np.asarray(voffs, dtype=np.int64))
-                key = seg_writer.write_normal_segment_words(
-                    self.basedir, blob, offsets, words, w_outs
-                )
-                view = SegmentView.from_arrays(
-                    self.basedir, key, formats.MODE_NORMAL, offsets,
-                    w_outs.astype(np.uint64), blob, words,
-                )
-                self.segments.add(
-                    Segment(key, view.n_terms, view.min_term, view.max_term, view)
-                )
 
         # make inputs invisible to new readers, then delete once readers drain
         # (non-blocking: deletion runs at the last unpin — see

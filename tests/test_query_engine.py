@@ -137,3 +137,54 @@ def test_lookup_longer_than_L_is_exact(tmp_path):
     got = eng.lookup([b"big", b"f005"])
     assert got[0].tolist() == list(range(1, 300))
     assert got[1].tolist() == [5]
+
+
+def test_boolean_longer_than_L_is_exact(tmp_path):
+    """AND/OR over a posting list longer than L must fall back to exact host
+    results, not silently intersect truncated lists."""
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 300):
+        ii.put([b"big", b"other"] if v % 7 == 0 else [b"big"], v)
+    while ii.merge(2, 1000, 2) > 0:
+        pass
+    eng = QueryEngine.from_index(ii, L=128)
+    want_other = [v for v in range(1, 300) if v % 7 == 0]
+    got_and = eng.boolean([[b"big", b"other"]], op="and")[0]
+    assert got_and.tolist() == want_other  # matches live above 128 too
+    got_or = eng.boolean([[b"big", b"other"]], op="or")[0]
+    assert got_or.tolist() == list(range(1, 300))
+
+
+def test_refresh_rederives_width(tmp_path):
+    """refresh() must not force the old key width (longer new terms would
+    alias)."""
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"ab"], 1)
+    eng = QueryEngine.from_index(ii, L=128)
+    ii.put([b"abcdefgh-long1"], 2)
+    ii.put([b"abcdefgh-long2"], 3)
+    eng.refresh(ii)
+    got = eng.lookup([b"abcdefgh-long1", b"abcdefgh-long2"])
+    assert got[0].tolist() == [2]
+    assert got[1].tolist() == [3]
+
+
+def test_failed_merge_releases_claims(tmp_path, monkeypatch):
+    """A merge that raises must unclaim its segments so compaction can retry
+    (otherwise one transient failure strands them forever)."""
+    from inverted_index_2_tpu import Shard
+    import inverted_index_2_tpu.shard as shard_mod
+
+    sh = Shard(str(tmp_path / "s"))
+    sh.put([b"t1"], 1)
+    sh.put([b"t1"], 2)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(shard_mod, "merge_views", boom)
+    with pytest.raises(RuntimeError):
+        sh.merge(2, 10)
+    monkeypatch.undo()
+    assert all(not seg.merging for seg in sh.segments.snapshot())
+    assert sh.merge(2, 10) == 2  # retry succeeds
