@@ -54,11 +54,11 @@ class Bitmask:
         idxs = np.array([self._intern(int(v)) for v in np.asarray(values, dtype=np.uint32)],
                         dtype=np.int64)
         if len(idxs) == 0:
-            return np.uint32(0).tobytes()
+            return np.uint32(0).astype("<u4").tobytes()
         n_words = int(idxs.max()) // 32 + 1
         words = np.zeros(n_words, dtype=np.uint32)
         np.bitwise_or.at(words, idxs // 32, np.uint32(1) << (idxs % 32).astype(np.uint32))
-        return np.uint32(n_words).tobytes() + words.astype("<u4").tobytes()
+        return np.uint32(n_words).astype("<u4").tobytes() + words.astype("<u4").tobytes()
 
     def get(self, encoded: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
         """Decode one batch at `offset`; returns (values, bytes consumed)

@@ -8,7 +8,7 @@ traffic), probe `slots[(h+i) & mask]`, verify the full key row once.
 
 Exactness: the table stores term INDEXES; every probe hit is verified against
 the full packed key (word-exact, includes the length tiebreak), so hash
-collisions cannot produce false positives. Load factor <= 0.5.
+collisions cannot produce false positives. Load factor <= 0.25 (table_size).
 
 The hash is FNV-1a over the key words INCLUDING trailing zero padding —
 deliberately, so the same term hashed at different pad widths agrees once
@@ -69,8 +69,8 @@ def build_table_np(hashes: np.ndarray) -> np.ndarray:
 
     Round-based: every pending key attempts slot (h + offset) & mask; the
     first claimant of each free slot wins, losers retry with offset+1.
-    Terminates: each round places >= 1 key (a free slot always exists at
-    load <= 0.5).
+    Terminates: each round places >= 1 key (free slots always exist at the
+    <= 0.25 load factor enforced by table_size).
     """
     n = len(hashes)
     S = table_size(n)

@@ -16,8 +16,12 @@ import threading
 
 import numpy as np
 
+# native dir: env override > repo-checkout layout (three levels up). When the
+# package is installed outside the checkout and the lib is absent, we fall
+# back to numpy with one diagnostic log line (silent fallback would hide a
+# large perf regression).
 _here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_here, "native")
+_NATIVE_DIR = os.environ.get("TPI_NATIVE_DIR", os.path.join(_here, "native"))
 _SO_PATH = os.path.join(_NATIVE_DIR, "libtpicodec.so")
 
 _lib = None
@@ -48,6 +52,12 @@ def _load():
             except Exception:
                 return None
         if not os.path.exists(_SO_PATH):
+            import logging
+
+            logging.getLogger("inverted_index_2_tpu").info(
+                "native codec not found at %s; using numpy fallbacks "
+                "(set TPI_NATIVE_DIR or build native/)", _SO_PATH,
+            )
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
@@ -70,9 +80,9 @@ def _bind(lib):
         lib.tpi_decode_counts.restype = None
         lib.tpi_decode_counts.argtypes = [u32p, i64p, ctypes.c_int64, i64p]
         lib.tpi_decode_bulk.restype = ctypes.c_int32
-        lib.tpi_decode_bulk.argtypes = [u32p, i64p, ctypes.c_int64, u32p, i64p]
-        lib.tpi_scan_blocks.restype = None
-        lib.tpi_scan_blocks.argtypes = [u32p, i64p, ctypes.c_int64, i64p, i32p]
+        lib.tpi_decode_bulk.argtypes = [u32p, ctypes.c_int64, i64p, ctypes.c_int64, u32p, i64p]
+        lib.tpi_scan_blocks.restype = ctypes.c_int32
+        lib.tpi_scan_blocks.argtypes = [u32p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, i32p]
         lib.tpi_hash_build.restype = None
         lib.tpi_hash_build.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
         u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
@@ -131,7 +141,7 @@ def decode_bulk(words: np.ndarray, outs: np.ndarray):
     voffs = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts, out=voffs[1:])
     values = np.zeros(int(voffs[-1]), dtype=np.uint32)
-    rc = lib.tpi_decode_bulk(words, outs, T, values, voffs)
+    rc = lib.tpi_decode_bulk(words, len(words), outs, T, values, voffs)
     if rc != 0:
         raise ValueError("native decode: malformed posting block")
     return values, counts, voffs
@@ -235,5 +245,7 @@ def scan_blocks(words: np.ndarray, outs: np.ndarray, tbs: np.ndarray) -> np.ndar
     outs = np.ascontiguousarray(outs, dtype=np.int64)
     tbs = np.ascontiguousarray(tbs, dtype=np.int64)
     flat = np.zeros(int(tbs[-1]), dtype=np.int32)
-    lib.tpi_scan_blocks(words, outs, len(outs), tbs, flat)
+    rc = lib.tpi_scan_blocks(words, len(words), outs, len(outs), tbs, flat)
+    if rc != 0:
+        raise ValueError("native scan: malformed posting block")
     return flat

@@ -118,14 +118,24 @@ def _encode_bulk_np(values: np.ndarray, value_offsets: np.ndarray, byte_align: b
         dg = values[1:].astype(np.int64) - values[:-1].astype(np.int64) - 1
     else:
         dg = np.zeros(0, dtype=np.int64)
+    # validate strict monotonicity across WHOLE lists, including positions at
+    # 128-value block boundaries (block anchors are stored raw, so the
+    # intra-block mask below would otherwise hide a boundary violation —
+    # matching the native encoder's whole-list check)
+    if len(dg):
+        bad = dg < 0
+        if bad.any():
+            # boundary positions between consecutive LISTS are legitimately
+            # non-monotonic; exclude them
+            list_ends = value_offsets[1:-1] - 1
+            bad[list_ends[(list_ends >= 0) & (list_ends < len(bad))]] = False
+            if bad.any():
+                raise ValueError("encode requires strictly increasing values per list")
     dg = np.concatenate([dg, np.zeros(BLOCK, dtype=np.int64)])
     jidx = np.arange(BLOCK - 1, dtype=np.int64)
     gidx = s[:, None] + jidx[None, :]
     dvalid = jidx[None, :] < (blen[:, None] - 1)
-    d = np.where(dvalid, dg[gidx], 0)
-    if d.size and d.min() < 0:
-        raise ValueError("encode requires strictly increasing values per list")
-    d = d.astype(np.uint64)
+    d = np.where(dvalid, dg[gidx], 0).astype(np.uint64)
 
     maxd = d.max(axis=1) if d.shape[1] else np.zeros(B, dtype=np.uint64)
     b = _bit_length(maxd)  # (B,) in [0, 32]
@@ -296,9 +306,3 @@ def _decode_bulk_np(words: np.ndarray, outs: np.ndarray, chunk: int = 65536):
     return out, counts, voffs
 
 
-def compressed_size_words(values: np.ndarray) -> int:
-    """Size in words of encode_postings(values) without materializing it."""
-    n = len(values)
-    if n == 0:
-        return 1
-    return len(encode_postings(np.asarray(values, dtype=np.uint32)))

@@ -116,23 +116,35 @@ def build_snapshot_arrays(
     # device arena: byte-aligned widths (static-extraction decode; the
     # on-disk segment codec keeps exact widths for the compression contract)
     words, outs = packing.encode_bulk(np.asarray(values, dtype=np.uint32), voffs, byte_align=True)
-    counts, nblocks, block_off, block_b = packing.scan_term_blocks(words, outs)
-    nb1 = np.maximum(nblocks, 1)
+    if len(words) >= 2**31:
+        # block offsets travel as int32 (device-friendly); one snapshot
+        # partition beyond 8 GiB of packed words must be sharded instead
+        raise ValueError("snapshot partition exceeds int32 word addressing; shard it")
+    from ..codec import native as native_mod
+
+    counts = words[np.asarray(outs, dtype=np.int64)].astype(np.int64)
+    nb1 = np.maximum(-(-counts // 128), 1)
     tbs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(nb1, out=tbs[1:])
-    # flatten block offsets to term order (vectorized ragged copy)
-    flat = np.zeros(tbs[-1], dtype=np.int32)
-    maxnb = block_off.shape[1]
-    col = np.arange(maxnb, dtype=np.int64)
-    mask = col[None, :] < nb1[:, None]
-    flat[(tbs[:-1][:, None] + col[None, :])[mask]] = block_off[mask]
-    # block row arena: stride = largest block + 1 slack word. Built ON DEVICE
-    # from the compressed words (the padded arena is up to ~10x the
-    # compressed size — shipping words + offsets and expanding with one
-    # device gather beats transferring the expansion).
-    blk_counts = np.minimum(counts[:, None] - col[None, :] * 128, 128)
-    blk_words = 2 + packing._packed_words(np.maximum(blk_counts, 0), block_b)
-    max_bw = int(blk_words[mask].max()) if mask.any() else 3
+    if native_mod.available():
+        flat = native_mod.scan_blocks(words, outs, tbs.astype(np.int64))
+    else:
+        _, nblocks, block_off, _ = packing.scan_term_blocks(words, outs)
+        flat = np.zeros(tbs[-1], dtype=np.int32)
+        maxnb = block_off.shape[1]
+        colm = np.arange(maxnb, dtype=np.int64)
+        maskm = colm[None, :] < nb1[:, None]
+        flat[(tbs[:-1].astype(np.int64)[:, None] + colm[None, :])[maskm]] = block_off[maskm]
+    # block row arena: stride = largest block + 1 slack word, derived from
+    # the block headers directly. Built ON DEVICE from the compressed words
+    # (the padded arena is up to ~10x the compressed size — shipping words +
+    # offsets and expanding with one device gather beats transferring the
+    # expansion).
+    headers = words[flat.astype(np.int64)]
+    h_b = (headers & 0xFF).astype(np.int64)
+    h_nblk = ((headers >> 8) & 0xFF).astype(np.int64)
+    blk_words = 2 + packing._packed_words(h_nblk, h_b)
+    max_bw = int(blk_words.max()) if len(blk_words) else 3
     stride = max(4, max_bw + 1)
     wpad_dev = jnp.asarray(np.concatenate([words, np.zeros(stride, dtype=np.uint32)]))
     flat_dev = jnp.asarray(flat)

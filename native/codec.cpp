@@ -103,19 +103,24 @@ void tpi_decode_counts(const uint32_t* words, const int64_t* outs, int64_t T,
 }
 
 // Pass 2 of decode: fill out_values at out_voffs (exclusive prefix sums of
-// counts). Returns 0 on success, -1 on a malformed block header.
-int32_t tpi_decode_bulk(const uint32_t* words, const int64_t* outs, int64_t T,
+// counts). words_len bounds all reads (decode consumes UNTRUSTED disk bytes).
+// Returns 0 on success, -1 on a malformed/truncated block.
+int32_t tpi_decode_bulk(const uint32_t* words, int64_t words_len,
+                        const int64_t* outs, int64_t T,
                         uint32_t* out_values, const int64_t* out_voffs) {
   for (int64_t t = 0; t < T; ++t) {
     int64_t pos = outs[t];
+    if (pos < 0 || pos >= words_len) return -1;
     const int64_t n = words[pos++];
     uint32_t* dst = out_values + out_voffs[t];
     int64_t produced = 0;
     while (produced < n) {
+      if (pos + 2 > words_len) return -1;
       const uint32_t header = words[pos];
       const int b = header & 0xFF;
       const int64_t n_blk = (header >> 8) & 0xFF;
-      if (n_blk <= 0 || n_blk > kBlock || produced + n_blk > n) return -1;
+      if (n_blk <= 0 || n_blk > kBlock || produced + n_blk > n || b > 32) return -1;
+      if (pos + 2 + packed_words(n_blk, b) > words_len) return -1;
       uint32_t cur = words[pos + 1];
       const uint32_t* packed = words + pos + 2;
       dst[produced++] = cur;
@@ -142,26 +147,34 @@ int32_t tpi_decode_bulk(const uint32_t* words, const int64_t* outs, int64_t T,
 
 // Scan block tables (device snapshot builder): for each list, record each
 // block's word offset into flat[], laid out per term at tbs[t]..tbs[t+1].
-void tpi_scan_blocks(const uint32_t* words, const int64_t* outs, int64_t T,
-                     const int64_t* tbs, int32_t* flat) {
+// Validates headers (untrusted bytes) and the flat[] bound; returns 0 on
+// success, -1 on malformed input.
+int32_t tpi_scan_blocks(const uint32_t* words, int64_t words_len,
+                        const int64_t* outs, int64_t T, const int64_t* tbs,
+                        int32_t* flat) {
   for (int64_t t = 0; t < T; ++t) {
     int64_t pos = outs[t];
+    if (pos < 0 || pos >= words_len) return -1;
     const int64_t n = words[pos++];
     int64_t k = tbs[t];
+    const int64_t k_end = tbs[t + 1];
     if (n == 0) {  // one unused slot; zero to match the numpy builder exactly
-      flat[k] = 0;
+      if (k < k_end) flat[k] = 0;
       continue;
     }
     int64_t seen = 0;
     while (seen < n) {
+      if (pos + 2 > words_len || k >= k_end) return -1;
       const uint32_t header = words[pos];
       const int b = header & 0xFF;
       const int64_t n_blk = (header >> 8) & 0xFF;
+      if (n_blk <= 0 || n_blk > kBlock || b > 32) return -1;
       flat[k++] = static_cast<int32_t>(pos);
       seen += n_blk;
       pos += 2 + packed_words(n_blk, b);
     }
   }
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -60,3 +60,27 @@ def test_decode_rejects_garbage():
     bad = np.array([5, 0xFFFF, 0, 0], dtype=np.uint32)  # n=5, absurd header
     with pytest.raises(ValueError):
         native.decode_bulk(bad, np.array([0], dtype=np.int64))
+
+
+def test_decode_rejects_overwide_bitwidth():
+    # header with b=40 (invalid; > 32) must be rejected, not decoded as garbage
+    bad = np.array([3, 40 | (3 << 8), 100, 0, 0], dtype=np.uint32)
+    with pytest.raises(ValueError):
+        native.decode_bulk(bad, np.array([0], dtype=np.int64))
+
+
+def test_decode_rejects_truncated_buffer():
+    # count says 200 values but the buffer ends after one block
+    good = packing.encode_postings(np.arange(100, dtype=np.uint32))
+    bad = good.copy()
+    bad[0] = 200  # promises more blocks than exist
+    with pytest.raises(ValueError):
+        native.decode_bulk(bad, np.array([0], dtype=np.int64))
+
+
+def test_scan_rejects_zero_nblk():
+    # n=256 with an n_blk=0 header would loop forever without validation
+    bad = np.array([256, 0 | (0 << 8), 5, 0, 0], dtype=np.uint32)
+    tbs = np.array([0, 2], dtype=np.int64)
+    with pytest.raises(ValueError):
+        native.scan_blocks(bad, np.array([0], dtype=np.int64), tbs)

@@ -117,3 +117,18 @@ def test_byte_align_round_trip(rng):
     # native and numpy builders agree on the byte-aligned layout too
     wnp, onp = P._encode_bulk_np(values, voffs, byte_align=True)
     assert np.array_equal(words, wnp) and np.array_equal(outs, onp)
+
+
+def test_block_boundary_monotonicity_rejected():
+    """A decrease exactly at a 128-value block boundary must be rejected by
+    BOTH encoders (anchors are raw, so the intra-block delta mask would
+    otherwise hide it)."""
+    v = np.arange(130, dtype=np.uint32)
+    v[128] = 50  # v[128] < v[127], at the block boundary
+    voffs = np.array([0, 130], dtype=np.int64)
+    with pytest.raises(ValueError):
+        P._encode_bulk_np(v, voffs)
+    from inverted_index_2_tpu.codec import native
+    if native.available():
+        with pytest.raises(ValueError):
+            native.encode_bulk(v, voffs)
