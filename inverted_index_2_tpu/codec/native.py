@@ -93,6 +93,8 @@ def _bind(lib):
         lib.tpi_concat_terms.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p, i64p]
         lib.tpi_merge_gather.restype = ctypes.c_int64
         lib.tpi_merge_gather.argtypes = [u32p, i64p, i64p, i64p, ctypes.c_int64, u32p, i64p]
+        lib.tpi_merge_pairs.restype = ctypes.c_int64
+        lib.tpi_merge_pairs.argtypes = [u32p, i64p, ctypes.c_int64, u32p, ctypes.c_int64, u32p, i64p]
         lib.tpi_gather_bytes.restype = None
         lib.tpi_gather_bytes.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
         lib.tpi_sort_key_rows.restype = None
@@ -207,6 +209,24 @@ def merge_gather(src: np.ndarray, starts: np.ndarray, counts: np.ndarray, group:
     if len(starts):
         lib.tpi_merge_gather(src, starts, counts, group, len(starts), out_vals, out_groups)
     return out_vals, out_groups
+
+
+def merge_pairs(vals: np.ndarray, groups: np.ndarray, removed: np.ndarray):
+    """Sort (group,value) pairs, dedupe, drop tombstoned values (merge core).
+
+    Returns (out_vals uint32, out_groups int64), kept prefix only."""
+    lib = _load()
+    assert lib is not None
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    groups = np.ascontiguousarray(groups, dtype=np.int64)
+    removed = np.ascontiguousarray(removed, dtype=np.uint32)
+    V = len(vals)
+    out_vals = np.zeros(max(V, 1), dtype=np.uint32)
+    out_groups = np.zeros(max(V, 1), dtype=np.int64)
+    if V == 0:
+        return out_vals[:0], out_groups[:0]
+    m = lib.tpi_merge_pairs(vals, groups, V, removed, len(removed), out_vals, out_groups)
+    return out_vals[:m], out_groups[:m]
 
 
 def gather_bytes(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

@@ -320,32 +320,41 @@ def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
     counts_sorted = g_counts[order]
     from .codec import native
 
+    rem = (
+        np.asarray(removed, dtype=np.uint32)
+        if removed is not None
+        else np.zeros(0, np.uint32)
+    )
     if native.available():
         flat_vals, flat_groups = native.merge_gather(
             all_vals, starts_sorted, counts_sorted, group_id
         )
+        # union + dedupe + tombstone purge in one native pass
+        out_vals, out_groups = native.merge_pairs(flat_vals, flat_groups, rem)
+        if len(out_vals) == 0:
+            return None
     else:
         flat_vals, rep = ragged_gather(all_vals, starts_sorted, counts_sorted)
         flat_groups = group_id[rep]
 
-    # union + dedupe per group: unique on (group << 32 | value)
-    pairs = (flat_groups.astype(np.uint64) << np.uint64(32)) | flat_vals.astype(np.uint64)
-    pairs = np.unique(pairs)
+        # union + dedupe per group: unique on (group << 32 | value)
+        pairs = (flat_groups.astype(np.uint64) << np.uint64(32)) | flat_vals.astype(np.uint64)
+        pairs = np.unique(pairs)
 
-    # tombstone purge (vectorized binary search, replaces shard.go:181-190)
-    if removed is not None and len(removed):
-        vals_only = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        pos = np.searchsorted(removed, vals_only)
-        pos_c = np.minimum(pos, len(removed) - 1)
-        hit = removed[pos_c] == vals_only
-        hit &= pos < len(removed)
-        pairs = pairs[~hit]
+        # tombstone purge (vectorized binary search, replaces shard.go:181-190)
+        if len(rem):
+            vals_only = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            pos = np.searchsorted(rem, vals_only)
+            pos_c = np.minimum(pos, len(rem) - 1)
+            hit = rem[pos_c] == vals_only
+            hit &= pos < len(rem)
+            pairs = pairs[~hit]
 
-    if len(pairs) == 0:
-        return None
+        if len(pairs) == 0:
+            return None
 
-    out_groups = (pairs >> np.uint64(32)).astype(np.int64)
-    out_vals = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        out_groups = (pairs >> np.uint64(32)).astype(np.int64)
+        out_vals = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     kept, group_counts = np.unique(out_groups, return_counts=True)
     voffs = np.zeros(len(kept) + 1, dtype=np.int64)
     np.cumsum(group_counts, out=voffs[1:])

@@ -336,6 +336,52 @@ int64_t tpi_merge_gather(const uint32_t* src, const int64_t* starts,
   return pos;
 }
 
+// Merge-union core: sort (group, value) pairs, dedupe, drop tombstoned
+// values. vals/groups are consumed in place conceptually; results land in
+// out_vals/out_groups (caller-sized V). removed must be sorted ascending.
+// Returns the kept count. Radix-sorts the packed 64-bit (group<<32 | value)
+// key in four stable 16-bit passes.
+int64_t tpi_merge_pairs(const uint32_t* vals, const int64_t* groups, int64_t V,
+                        const uint32_t* removed, int64_t R,
+                        uint32_t* out_vals, int64_t* out_groups) {
+  std::vector<uint64_t> key(V), tmp(V);
+  for (int64_t i = 0; i < V; ++i) {
+    key[i] = (static_cast<uint64_t>(groups[i]) << 32) | vals[i];
+  }
+  std::vector<int64_t> cnt(65536 + 1);
+  uint64_t* src = key.data();
+  uint64_t* dst = tmp.data();
+  for (int shift = 0; shift < 64; shift += 16) {
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t i = 0; i < V; ++i) cnt[((src[i] >> shift) & 0xFFFF) + 1]++;
+    for (int64_t b = 0; b < 65536; ++b) cnt[b + 1] += cnt[b];
+    for (int64_t i = 0; i < V; ++i) dst[cnt[(src[i] >> shift) & 0xFFFF]++] = src[i];
+    std::swap(src, dst);
+  }
+  // four passes (even): sorted data is back in key[]
+  int64_t m = 0;
+  uint64_t prev = ~src[0];  // != src[0]
+  for (int64_t i = 0; i < V; ++i) {
+    const uint64_t k = src[i];
+    if (k == prev) continue;
+    prev = k;
+    const uint32_t v = static_cast<uint32_t>(k);
+    if (R > 0) {
+      // branchless-ish binary search in the sorted tombstone set
+      int64_t lo = 0, hi = R;
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) >> 1;
+        if (removed[mid] < v) lo = mid + 1; else hi = mid;
+      }
+      if (lo < R && removed[lo] == v) continue;
+    }
+    out_vals[m] = v;
+    out_groups[m] = static_cast<int64_t>(k >> 32);
+    ++m;
+  }
+  return m;
+}
+
 // Ragged byte gather: concatenate src[starts[i] .. starts[i]+lens[i]).
 void tpi_gather_bytes(const uint8_t* src, const int64_t* starts,
                       const int64_t* lens, int64_t n, uint8_t* out) {
