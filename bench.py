@@ -127,11 +127,34 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     mean_cnt = float(np.minimum(np.diff(voffs), L).mean())
     and_gbps = (Q * and_iters * K * mean_cnt * 4) / dt / 1e9
 
+    # boolean AND at K=8 and OR at K=4 (config 3 spans 2-8 terms, both ops)
+    @functools.partial(jax.jit, static_argnames=("L", "mp", "op"))
+    def scan_bool(keys, blocks, tbs, counts, slots, staged, kv2, L, mp, op):
+        def body(carry, qk):
+            o, oc, _ = boolean_step(keys, blocks, tbs, counts, qk, kv2, L, op, None, slots, mp)
+            return carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0]), None
+        out, _ = jax.lax.scan(body, jnp.uint32(0), staged)
+        return out
+
+    extra = {}
+    for K2, op, name in ((8, "and", "and8_qps"), (4, "or", "or_qps")):
+        it2 = max(2, and_iters // 2)
+        bi = rng.integers(0, n, size=(it2, Q, K2))
+        st2 = jnp.asarray(host_keys[bi])
+        kv2 = jnp.full((Q,), K2, dtype=jnp.int32)
+        c0 = scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op)
+        jax.block_until_ready(c0)
+        t0 = time.monotonic()
+        c0 = scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op)
+        jax.block_until_ready(c0)
+        extra[name] = round(Q * it2 / (time.monotonic() - t0))
+
     return {
         "snapshot_build_s": round(build_s, 3),
         "lookup_qps": round(lookup_qps),
         "lookup_dispatch_ms": round(dispatch_ms, 2),
         "and_qps": round(and_qps),
+        **extra,
         "intersect_gbps": round(and_gbps, 2),
         "n_terms": n,
         "n_postings": int(voffs[-1]),
