@@ -57,7 +57,9 @@ def dump(ii):
     return {tv.term: set(tv.values.tolist()) for tv in to_slice(ii.read(None, None))}
 
 
-def test_random_workload_vs_oracle(tmp_path, rng):
+@pytest.mark.parametrize("seed", [0xC0FFEE, 1, 2024])
+def test_random_workload_vs_oracle(tmp_path, seed):
+    rng = np.random.default_rng(seed)
     ii = InvertedIndex(str(tmp_path))
     oracle = Oracle()
     vocab = [
