@@ -188,3 +188,26 @@ def test_failed_merge_releases_claims(tmp_path, monkeypatch):
     monkeypatch.undo()
     assert all(not seg.merging for seg in sh.segments.snapshot())
     assert sh.merge(2, 10) == 2  # retry succeeds
+
+
+def test_very_long_terms(tmp_path):
+    """Terms far wider than the common case (100+ bytes -> ~26 key words)
+    through the full pipeline: ingest, merge, device lookup, prefix."""
+    ii = InvertedIndex(str(tmp_path))
+    long1 = b"x" * 100 + b"-one"
+    long2 = b"x" * 100 + b"-two"
+    ii.put([long1, b"short"], 1)
+    ii.put([long2], 2)
+    ii.put([long1], 3)
+    while ii.merge(2, 10, 2) > 0:
+        pass
+    host = {tv.term: tv.values.tolist() for tv in to_slice(ii.read(None, None))}
+    assert host[long1] == [1, 3] and host[long2] == [2]
+    eng = QueryEngine.from_index(ii, L=128)
+    got = eng.lookup([long1, long2, b"short", b"x" * 100])
+    assert got[0].tolist() == [1, 3]
+    assert got[1].tolist() == [2]
+    assert got[2].tolist() == [1]
+    assert got[3] is None  # proper prefix of a long term is NOT a match
+    pref = eng.prefix_search([b"x" * 100])
+    assert pref[b"x" * 100].tolist() == [1, 2, 3]
