@@ -240,16 +240,19 @@ def _resolve(keys, qkeys, slots=None, max_probes: int = 0):
 
 def lookup_step(
     keys, blocks, term_block_start, counts, qkeys, L: int,
-    slots=None, max_probes: int = 0,
+    slots=None, max_probes: int = 0, removed=None,
 ):
     """Batched exact-term lookup: (found (Q,), postings (Q, L), counts (Q,)).
 
     One fused program: hash probe (or binary search) -> block row gather ->
-    static byte-unpack decode. Misses return count 0.
+    static byte-unpack decode. Misses return count 0. Pass `removed` (sorted)
+    to apply the vectorized tombstone filter to each result row.
     """
     idx, found = _resolve(keys, qkeys, slots, max_probes)
     vals, n = dec.gather_postings_arena(blocks, term_block_start, counts, idx, L)
     n = jnp.where(found, n, 0)
+    if removed is not None and removed.shape[0] > 0:
+        vals, n = setops.filter_removed(vals, n, removed)
     return found, vals, n
 
 
@@ -344,15 +347,19 @@ class QueryEngine:
 
     # -- exact lookup --------------------------------------------------------
 
-    def lookup_device(self, qkeys: jnp.ndarray):
+    def lookup_device(self, qkeys: jnp.ndarray, filter_removed: bool = False):
         s = self.snap
         return self._lookup(
             s.keys, s.blocks, s.term_block_start, s.counts, qkeys,
             self.L, s.hash_slots, s.max_probes,
+            s.removed if filter_removed else None,
         )
 
-    def lookup(self, terms: Sequence[bytes]) -> List[Optional[np.ndarray]]:
-        """Host convenience: exact postings per term (None for misses)."""
+    def lookup(
+        self, terms: Sequence[bytes], filter_removed: bool = False
+    ) -> List[Optional[np.ndarray]]:
+        """Host convenience: exact postings per term (None for misses).
+        filter_removed applies the vectorized tombstone mask per row."""
         if not terms:
             return []
         s = self.snap
@@ -362,7 +369,7 @@ class QueryEngine:
         qk = keys_mod.pack_terms(list(terms), width=s.width)
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
         qk = np.concatenate([qk, pad], axis=0)
-        found, vals, n = self.lookup_device(jnp.asarray(qk))
+        found, vals, n = self.lookup_device(jnp.asarray(qk), filter_removed)
         found, vals, n = np.asarray(found), np.asarray(vals), np.asarray(n)
         host_counts = None
         out = []
@@ -383,9 +390,11 @@ class QueryEngine:
                         lo = mid + 1
                     else:
                         hi = mid
-                out.append(
-                    s.host_values[s.host_voffs[lo] : s.host_voffs[lo + 1]].copy()
-                )
+                full = s.host_values[s.host_voffs[lo] : s.host_voffs[lo + 1]]
+                if filter_removed and len(s.removed):
+                    rset = np.asarray(s.removed)
+                    full = full[~np.isin(full, rset)]
+                out.append(full.copy())
             else:
                 out.append(vals[i, : n[i]].copy())
         return out

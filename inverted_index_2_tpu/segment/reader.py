@@ -174,18 +174,27 @@ class SegmentView:
 
     # ---- iteration ----------------------------------------------------------
 
+    _ITER_CHUNK = 4096
+
     def iterate(
         self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None
     ) -> Iterator[tuple[bytes, np.ndarray]]:
         """Yield (term, values) over [min_term, max_term] inclusive.
 
         Range semantics match the reference Reader (reader.go:136-155 +
-        manual right-boundary check at :54-58).
+        manual right-boundary check at :54-58). Postings are bulk-decoded in
+        chunks (C++/vectorized) instead of one Python decode per term — the
+        reference's per-term streaming decode (reader.go:100) would make
+        large host scans interpreter-bound.
         """
         lo = self.lower_bound(min_term)
         hi = self.upper_bound(max_term)
-        for i in range(lo, hi):
-            yield self.term(i), self.values(i)
+        for c0 in range(lo, hi, self._ITER_CHUNK):
+            c1 = min(c0 + self._ITER_CHUNK, hi)
+            vals, counts, voffs = self.decode_all(c0, c1)
+            for i in range(c0, c1):
+                j = i - c0
+                yield self.term(i), vals[voffs[j] : voffs[j + 1]]
 
     def overlaps(self, min_term: Optional[bytes], max_term: Optional[bytes]) -> bool:
         """True if the segment may contain terms in [min,max] — used to skip

@@ -211,3 +211,14 @@ def test_very_long_terms(tmp_path):
     assert got[3] is None  # proper prefix of a long term is NOT a match
     pref = eng.prefix_search([b"x" * 100])
     assert pref[b"x" * 100].tolist() == [1, 2, 3]
+
+
+def test_lookup_filter_removed(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"t"], 1)
+    ii.put([b"t"], 2)
+    ii.put([b"t"], 3)
+    ii.put_removed([2])
+    eng = QueryEngine.from_index(ii, L=128)
+    assert eng.lookup([b"t"])[0].tolist() == [1, 2, 3]  # parity: reads don't filter
+    assert eng.lookup([b"t"], filter_removed=True)[0].tolist() == [1, 3]
