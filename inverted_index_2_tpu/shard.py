@@ -156,7 +156,11 @@ class Shard:
                 iters.append(
                     (TermValues(t, v) for t, v in seg.view.iterate(min_term, max_term))
                 )
-        merged = MergingIterator(iters)
+        if len(iters) == 1:
+            # compacted steady state: skip the k-way heap entirely
+            merged = iters[0]
+        else:
+            merged = MergingIterator(iters)
         return ClosingIterator(merged, lambda: Segments.release(pinned))
 
     def min_max(self) -> Optional[List[bytes]]:
