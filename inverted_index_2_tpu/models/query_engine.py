@@ -311,6 +311,16 @@ _JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op", "max_probes"))
 _JIT_PREFIX = jax.jit(prefix_range_step)
 
 
+def _index_fingerprint(index, apply_removed: bool):
+    """Cheap identity of the index's visible state (segment keys + tombstone
+    batch counts per shard) for refresh no-op detection."""
+    parts = []
+    for sh in index._snapshot():
+        segs = tuple(s.key for s in sh.segments.snapshot())
+        parts.append((sh.get_key(), segs, len(sh.removed_list) if apply_removed else 0))
+    return (apply_removed, tuple(parts))
+
+
 def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
@@ -337,13 +347,19 @@ class QueryEngine:
     def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
         return cls(snapshot_index(index, apply_removed=apply_removed), L=L, **kw)
 
-    def refresh(self, index, apply_removed: bool = False) -> None:
+    def refresh(self, index, apply_removed: bool = False) -> bool:
         """Re-freeze from the live index (serve/refresh lifecycle: queries
         keep running against the old snapshot until the swap — snapshots are
-        immutable, so this is safe mid-flight). The key width is re-derived
-        from the new corpus: forcing the old width would truncate terms that
-        grew longer (distinct terms would alias to one packed key)."""
+        immutable, so this is safe mid-flight). No-op (returns False) when
+        the index is unchanged since the last freeze. The key width is
+        re-derived from the new corpus: forcing the old width would truncate
+        terms that grew longer (aliasing distinct terms)."""
+        fp = _index_fingerprint(index, apply_removed)
+        if fp == getattr(self, "_fingerprint", None):
+            return False
         self.snap = snapshot_index(index, apply_removed=apply_removed)
+        self._fingerprint = fp
+        return True
 
     # -- exact lookup --------------------------------------------------------
 

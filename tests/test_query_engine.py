@@ -222,3 +222,14 @@ def test_lookup_filter_removed(tmp_path):
     eng = QueryEngine.from_index(ii, L=128)
     assert eng.lookup([b"t"])[0].tolist() == [1, 2, 3]  # parity: reads don't filter
     assert eng.lookup([b"t"], filter_removed=True)[0].tolist() == [1, 3]
+
+
+def test_refresh_noop_detection(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"a"], 1)
+    eng = QueryEngine.from_index(ii)
+    assert eng.refresh(ii) is True   # first refresh records the fingerprint
+    assert eng.refresh(ii) is False  # unchanged -> no rebuild
+    ii.put([b"b"], 2)
+    assert eng.refresh(ii) is True
+    assert eng.lookup([b"b"])[0].tolist() == [2]
