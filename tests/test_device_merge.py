@@ -52,3 +52,32 @@ def test_device_merge_everything_purged(tmp_path, rng):
     removed = np.arange(1, 6, dtype=np.uint32)
     assert merge_views(views, removed) is None
     assert merge_views_device(views, removed) is None
+
+
+def test_shard_merge_device_dispatch(tmp_path, monkeypatch, rng):
+    """Force the device-merge threshold to 0 and verify Shard.merge produces
+    the same on-disk result through ops/merge.py as the host path."""
+    import inverted_index_2_tpu.shard as shard_mod
+    from inverted_index_2_tpu import Shard, to_slice
+
+    def build(where):
+        sh = Shard(os.path.join(str(tmp_path), where))
+        r = np.random.default_rng(3)
+        for doc in range(1, 30):
+            terms = [bytes(r.integers(97, 105, size=4, dtype=np.uint8)) for _ in range(4)]
+            sh.put(terms, doc)
+        sh.remove(np.array([5, 6], dtype=np.uint32))
+        return sh
+
+    host_sh = build("host")
+    while host_sh.merge(2, 100) > 0:
+        pass
+
+    monkeypatch.setattr(shard_mod, "DEVICE_MERGE_MIN_VALUES", 0)
+    dev_sh = build("dev")
+    while dev_sh.merge(2, 100) > 0:
+        pass
+
+    h = [(tv.term, tv.values.tolist()) for tv in to_slice(host_sh.read(None, None))]
+    d = [(tv.term, tv.values.tolist()) for tv in to_slice(dev_sh.read(None, None))]
+    assert h == d
