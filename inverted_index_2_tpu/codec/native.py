@@ -77,8 +77,10 @@ def _bind(lib):
         lib.tpi_encode_bulk_size.argtypes = [u32p, i64p, ctypes.c_int64, i64p, ctypes.c_int32]
         lib.tpi_encode_bulk_fill.restype = None
         lib.tpi_encode_bulk_fill.argtypes = [u32p, i64p, ctypes.c_int64, i64p, u32p, ctypes.c_int32]
-        lib.tpi_decode_counts.restype = None
-        lib.tpi_decode_counts.argtypes = [u32p, i64p, ctypes.c_int64, i64p]
+        # _v2 suffix: bounds-checked signature; a stale .so lacking it falls
+        # back to numpy via the AttributeError below instead of miscalling.
+        lib.tpi_decode_counts_v2.restype = ctypes.c_int32
+        lib.tpi_decode_counts_v2.argtypes = [u32p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
         lib.tpi_decode_bulk.restype = ctypes.c_int32
         lib.tpi_decode_bulk.argtypes = [u32p, ctypes.c_int64, i64p, ctypes.c_int64, u32p, i64p]
         lib.tpi_scan_blocks.restype = ctypes.c_int32
@@ -138,7 +140,8 @@ def decode_bulk(words: np.ndarray, outs: np.ndarray):
     counts = np.zeros(max(T, 1), dtype=np.int64)
     if T == 0:
         return np.zeros(0, np.uint32), counts[:0], np.zeros(1, np.int64)
-    lib.tpi_decode_counts(words, outs, T, counts)
+    if lib.tpi_decode_counts_v2(words, len(words), outs, T, counts) != 0:
+        raise ValueError("native decode: out-of-range posting offset or count")
     counts = counts[:T]
     voffs = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts, out=voffs[1:])

@@ -184,9 +184,14 @@ class Shard:
         """Logical delete: GC expired tombstone batches against live segment
         timestamps, append a now-timestamped batch, persist
         (parity: shard.go:78-120)."""
+        now = time.time_ns()
+        # The reference seeds Sync with live segment timestamps PLUS time.Now()
+        # (shard.go:84-98) — with zero live segments that drops every stale
+        # batch instead of no-op'ing, so a value re-inserted later is not
+        # spuriously purged at the next merge.
         live_ts = [int(s.key) for s in self.segments.snapshot()]
-        self.removed_list.sync(live_ts)
-        self.removed_list.put(time.time_ns(), np.asarray(values, dtype=np.uint32))
+        self.removed_list.sync(live_ts + [now])
+        self.removed_list.put(now, np.asarray(values, dtype=np.uint32))
         self.write_removed_list()
 
     def write_removed_list(self) -> None:

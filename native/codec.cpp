@@ -97,9 +97,20 @@ void tpi_encode_bulk_fill(const uint32_t* values, const int64_t* voffs,
 }
 
 // Pass 1 of decode: per-list value counts (reads just the count words).
-void tpi_decode_counts(const uint32_t* words, const int64_t* outs, int64_t T,
-                       int64_t* counts) {
-  for (int64_t t = 0; t < T; ++t) counts[t] = words[outs[t]];
+// words_len bounds all reads and counts are sanity-capped against the
+// remaining file size (a block of n_blk<=kBlock values occupies >=2 words),
+// so a corrupted _dict offset cannot OOB-read or force a huge value-buffer
+// allocation. Returns 0 on success, -1 on an out-of-range offset/count.
+int32_t tpi_decode_counts_v2(const uint32_t* words, int64_t words_len,
+                             const int64_t* outs, int64_t T, int64_t* counts) {
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t pos = outs[t];
+    if (pos < 0 || pos >= words_len) return -1;
+    const int64_t n = words[pos];
+    if (n > (words_len - pos - 1) * (kBlock / 2)) return -1;
+    counts[t] = n;
+  }
+  return 0;
 }
 
 // Pass 2 of decode: fill out_values at out_voffs (exclusive prefix sums of

@@ -85,6 +85,21 @@ def test_prefix_search(tmp_path):
     assert res[b"ban"].tolist() == [5]
 
 
+def test_prefix_search_overlapping_prefixes(tmp_path):
+    """Pin the DELIBERATE deviation (PARITY.md deviation 2): the reference's
+    early stop at the lexicographically greatest prefix
+    (inverted_index.go:266-271) would drop "banjo" for prefix "ban" when
+    "band" is also queried; our monotone-correct stop keeps it."""
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"banana", b"band", b"bandana"], 1)
+    ii.put([b"banjo"], 9)  # sorts after every "band"-prefixed term
+    res = ii.prefix_search([b"ban", b"band"])
+    assert res[b"ban"].tolist() == [1, 9]  # 9 is what the reference drops
+    assert res[b"band"].tolist() == [1]
+    # single-prefix form agrees (no overlap interference either way)
+    assert ii.prefix_search([b"ban"])[b"ban"].tolist() == [1, 9]
+
+
 def test_prefix_search_dedupe(tmp_path):
     ii = InvertedIndex(str(tmp_path))
     ii.put([b"aaa", b"aab"], 3)  # both match prefix "aa" with same value

@@ -171,3 +171,23 @@ def test_large_posting_lists_merge(tmp_path, rng):
         pass
     got = {tv.term: tv.values.tolist() for tv in to_slice(sh.read(b"common", b"common"))}
     assert got[b"common"] == sorted(expected)
+
+
+def test_remove_gc_with_zero_live_segments(tmp_path):
+    """Sync seeds with live timestamps PLUS now (shard.go:84-98): after a
+    merge that drops every segment, a later remove() must still GC the stale
+    tombstone batches, so a re-inserted value is NOT purged by an old batch."""
+    sh = make_shard(tmp_path)
+    sh.put([b"a"], 5)
+    sh.put([b"b"], 5)
+    sh.remove([5])
+    assert sh.merge(2, 100) == 2  # everything tombstoned -> zero live segments
+    assert len(to_slice(sh.read(None, None))) == 0
+
+    # zero live segments: this remove must drop the old [5] batch
+    sh.remove([6])
+    sh.put([b"a"], 5)
+    sh.put([b"b"], 5)
+    assert sh.merge(2, 100) == 2
+    got = [(tv.term, tv.values.tolist()) for tv in to_slice(sh.read(None, None))]
+    assert got == [(b"a", [5]), (b"b", [5])]
