@@ -91,6 +91,8 @@ def _bind(lib):
         u16p = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
         lib.tpi_ingest_sort.restype = ctypes.c_int64
         lib.tpi_ingest_sort.argtypes = [u8p, i64p, ctypes.c_int64, i32p, u16p]
+        lib.tpi_ingest_sort_concat.restype = ctypes.c_int64
+        lib.tpi_ingest_sort_concat.argtypes = [u8p, i64p, ctypes.c_int64, u16p, u8p, i64p]
         lib.tpi_concat_terms.restype = None
         lib.tpi_concat_terms.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p, i64p]
         lib.tpi_merge_gather.restype = ctypes.c_int64
@@ -168,6 +170,29 @@ def ingest_sort(blob: np.ndarray, offsets: np.ndarray):
         return order[:0], shard_of[:0]
     m = lib.tpi_ingest_sort(blob, offsets, n, order, shard_of)
     return order[:m], shard_of[:m]
+
+
+def ingest_sort_concat(blob: np.ndarray, offsets: np.ndarray):
+    """Fused sort+dedupe+gather (ingest hot path — see codec.cpp).
+
+    Returns (shard_of uint16 (m,), out_blob uint8, out_offsets int64 (m+1,)).
+    """
+    lib = _load()
+    assert lib is not None
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n == 0:
+        return (
+            np.zeros(0, dtype=np.uint16),
+            np.zeros(0, dtype=np.uint8),
+            np.zeros(1, dtype=np.int64),
+        )
+    shard_of = np.zeros(n, dtype=np.uint16)
+    out_blob = np.empty(int(offsets[-1]), dtype=np.uint8)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    m = lib.tpi_ingest_sort_concat(blob, offsets, n, shard_of, out_blob, out_offsets)
+    return shard_of[:m], out_blob[: int(out_offsets[m])], out_offsets[: m + 1]
 
 
 def concat_terms(blob: np.ndarray, offsets: np.ndarray, order: np.ndarray):

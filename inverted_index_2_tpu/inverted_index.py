@@ -45,6 +45,7 @@ class InvertedIndex:
         self.basedir = basedir
         self.enable_logging = enable_logging
         self._shards: List[Shard] = []
+        self._shard_keys: List[str] = []  # kept aligned with _shards
         self._shards_m = threading.Lock()
         os.makedirs(basedir, exist_ok=True)
 
@@ -58,6 +59,7 @@ class InvertedIndex:
                 )
             shards.sort(key=lambda s: s.get_key())
             self._shards = shards
+            self._shard_keys = [s.get_key() for s in shards]
 
     # ---- helpers ---------------------------------------------------------
 
@@ -67,7 +69,7 @@ class InvertedIndex:
 
     def _find_shard(self, key: str) -> Optional[Shard]:
         with self._shards_m:
-            keys = [s.get_key() for s in self._shards]
+            keys = self._shard_keys
             i = bisect_left(keys, key)
             if i < len(keys) and keys[i] == key:
                 return self._shards[i]
@@ -77,12 +79,13 @@ class InvertedIndex:
         """Create (or find, double-checked) the shard directory
         (parity: inverted_index.go:160-188)."""
         with self._shards_m:
-            keys = [s.get_key() for s in self._shards]
+            keys = self._shard_keys
             i = bisect_left(keys, key)
             if i < len(keys) and keys[i] == key:
                 return self._shards[i]
             shard = Shard(os.path.join(self.basedir, key))
             self._shards.insert(i, shard)
+            self._shard_keys.insert(i, key)
             return shard
 
     # ---- ingest -----------------------------------------------------------
@@ -115,11 +118,8 @@ class InvertedIndex:
         if n == 0:
             return
         if native.available():
-            # C++ fast path: (shard, bytes) sort + dedupe + blob gather
-            order, shard_of = native.ingest_sort(blob, offsets)
-            sblob, soffs = native.concat_terms(blob, offsets, order)
-            sblob_b = sblob.tobytes()
-            sh = shard_of.astype(np.uint32)
+            # C++ fast path: fused (shard, bytes) sort + dedupe + blob gather
+            sh, sblob, soffs = native.ingest_sort_concat(blob, offsets)
             bounds = np.concatenate(
                 [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [len(sh)]]
             )
@@ -128,7 +128,8 @@ class InvertedIndex:
                 key = f"{int(sh[lo]):04d}"
                 shard = self._find_shard(key) or self._new_shard(key)
                 sub_off = soffs[lo : hi + 1] - soffs[lo]
-                shard.put_sorted(sblob_b[soffs[lo] : soffs[hi]], sub_off, value)
+                # zero-copy views: put_sorted accepts uint8 arrays
+                shard.put_sorted(sblob[int(soffs[lo]) : int(soffs[hi])], sub_off, value)
             return
         keys = keys_mod.pack_blob(blob, offsets)
         # shard id from the first two bytes (shard.go:362-378 semantics):
@@ -152,7 +153,6 @@ class InvertedIndex:
         sblob, _ = ragged_gather(blob, offsets[:-1][order], slens)
         soffs = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(slens, out=soffs[1:])
-        sblob_b = sblob.tobytes()
 
         # contiguous shard group boundaries
         bounds = np.concatenate(
@@ -163,7 +163,7 @@ class InvertedIndex:
             key = f"{int(sh[lo]):04d}"
             shard = self._find_shard(key) or self._new_shard(key)
             sub_off = soffs[lo : hi + 1] - soffs[lo]
-            shard.put_sorted(sblob_b[soffs[lo] : soffs[hi]], sub_off, value)
+            shard.put_sorted(sblob[int(soffs[lo]) : int(soffs[hi])], sub_off, value)
 
     # ---- delete ------------------------------------------------------------
 

@@ -53,6 +53,11 @@ HEADER_SIZE = _HEADER.size
 # flags (stored in the header's former reserved word): compact array dtypes
 FLAG_OFFSETS_U32 = 1  # term byte offsets stored as u32 (blob < 4 GiB)
 FLAG_OUTS_U32 = 2     # outs stored as u32 (direct values, or small vals file)
+FLAG_OUTS_CONST = 4   # all outs equal: region holds ONE value (direct-mode
+                      # ingest — the reference's DirectWriter also stores one
+                      # value per Put batch, shard.go:33-67)
+FLAG_FIXED_WIDTH = 8  # all terms same length: offsets region holds ONE value
+                      # (the width); offsets[i] = i * width
 
 
 @dataclass
@@ -63,8 +68,12 @@ class DictHeader:
     flags: int = 0
 
 
+def pack_header(mode: int, n_terms: int, blob_len: int, flags: int = 0) -> bytes:
+    return _HEADER.pack(MAGIC, VERSION, mode, n_terms, blob_len, flags)
+
+
 def write_header(f, mode: int, n_terms: int, blob_len: int, flags: int = 0) -> None:
-    f.write(_HEADER.pack(MAGIC, VERSION, mode, n_terms, blob_len, flags))
+    f.write(pack_header(mode, n_terms, blob_len, flags))
 
 
 def read_header(buf: bytes) -> DictHeader:

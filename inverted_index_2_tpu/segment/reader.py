@@ -28,18 +28,24 @@ from .formats import MODE_DIRECT, MODE_NORMAL
 
 
 class SegmentView:
-    """Immutable view of one on-disk segment."""
+    """Immutable view of one on-disk segment.
+
+    The _dict file is np.memmap'd and its arrays materialize LAZILY: opening
+    a segment touches only the header plus the first/last term slices (the
+    reference also opens segments lazily — the FST walks on demand,
+    reader.go:176-180; shard recovery reads only Len/GetMinKey/GetMaxKey,
+    shard.go:318-334). Bulk scans/merges materialize offsets/outs on first
+    use via the `offsets`/`outs` properties.
+    """
 
     def __init__(self, basedir: str, key: str):
         self.basedir = basedir
         self.key = key
         path = formats.dict_path(basedir, key)
-        with open(path, "rb") as f:
-            raw = f.read()
-        hdr = formats.read_header(raw)
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+        hdr = formats.read_header(bytes(mm[: formats.HEADER_SIZE]))
         self.mode = hdr.mode
-        self.n_terms = hdr.n_terms
-        n = hdr.n_terms
+        self.n_terms = n = hdr.n_terms
         off = formats.HEADER_SIZE
         off_dt, off_w = (
             ("<u4", 4) if hdr.flags & formats.FLAG_OFFSETS_U32 else ("<u8", 8)
@@ -47,12 +53,34 @@ class SegmentView:
         out_dt, out_w = (
             ("<u4", 4) if hdr.flags & formats.FLAG_OUTS_U32 else ("<u8", 8)
         )
-        self.offsets = np.frombuffer(raw, dtype=off_dt, count=n + 1, offset=off).astype(np.int64)
-        off += (n + 1) * off_w
-        self.outs = np.frombuffer(raw, dtype=out_dt, count=n, offset=off).astype(np.uint64)
-        off += n * out_w
-        self.blob = np.frombuffer(raw, dtype=np.uint8, count=hdr.blob_len, offset=off)
-        self._raw = raw  # keep buffer alive
+        if hdr.flags & formats.FLAG_FIXED_WIDTH:
+            self._fixed_width = int(mm[off : off + off_w].view(off_dt)[0])
+            self._off_mm = None
+            off += off_w
+        else:
+            self._fixed_width = None
+            end = off + (n + 1) * off_w
+            if end > len(mm):
+                raise ValueError("segment dict truncated (offsets)")
+            self._off_mm = mm[off:end].view(off_dt)
+            off = end
+        if hdr.flags & formats.FLAG_OUTS_CONST:
+            self._const_out = int(mm[off : off + out_w].view(out_dt)[0])
+            self._out_mm = None
+            off += out_w
+        else:
+            self._const_out = None
+            end = off + n * out_w
+            if end > len(mm):
+                raise ValueError("segment dict truncated (outs)")
+            self._out_mm = mm[off:end].view(out_dt)
+            off = end
+        if off + hdr.blob_len > len(mm):
+            raise ValueError("segment dict truncated (blob)")
+        self.blob = mm[off : off + hdr.blob_len]
+        self._mm = mm  # keep mapping alive
+        self._offsets: Optional[np.ndarray] = None
+        self._outs: Optional[np.ndarray] = None
         if self.mode == MODE_NORMAL:
             vpath = formats.vals_path(basedir, key)
             sz = os.path.getsize(vpath)
@@ -85,22 +113,58 @@ class SegmentView:
         self.key = key
         self.mode = mode
         self.n_terms = len(offsets) - 1
-        self.offsets = np.asarray(offsets, dtype=np.int64)
-        self.outs = np.asarray(outs, dtype=np.uint64)
+        self._offsets = np.asarray(offsets, dtype=np.int64)
+        self._outs = np.asarray(outs, dtype=np.uint64)
+        self._off_mm = None
+        self._out_mm = None
+        self._fixed_width = None
+        self._const_out = None
         self.blob = (
             np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, bytes) else np.asarray(blob)
         )
-        self._raw = None
+        self._mm = None
         self.words = words if mode == MODE_NORMAL else None
         if self.words is None and mode == MODE_NORMAL:
             self.words = np.zeros(0, dtype=np.uint32)
         self._keys_cache = None
         return self
 
+    # ---- lazy array materialization ----------------------------------------
+
+    @property
+    def offsets(self) -> np.ndarray:
+        if self._offsets is None:
+            if self._fixed_width is not None:
+                self._offsets = (
+                    np.arange(self.n_terms + 1, dtype=np.int64) * self._fixed_width
+                )
+            else:
+                self._offsets = self._off_mm.astype(np.int64)
+        return self._offsets
+
+    @property
+    def outs(self) -> np.ndarray:
+        if self._outs is None:
+            if self._const_out is not None:
+                self._outs = np.broadcast_to(
+                    np.uint64(self._const_out), self.n_terms
+                )
+            else:
+                self._outs = self._out_mm.astype(np.uint64)
+        return self._outs
+
+    def _off(self, i: int) -> int:
+        """One offset without materializing the whole array."""
+        if self._offsets is not None:
+            return int(self._offsets[i])
+        if self._fixed_width is not None:
+            return i * self._fixed_width
+        return int(self._off_mm[i])
+
     # ---- term access -----------------------------------------------------
 
     def term(self, i: int) -> bytes:
-        return self.blob[self.offsets[i] : self.offsets[i + 1]].tobytes()
+        return self.blob[self._off(i) : self._off(i + 1)].tobytes()
 
     @property
     def min_term(self) -> Optional[bytes]:
@@ -189,6 +253,8 @@ class SegmentView:
         """
         lo = self.lower_bound(min_term)
         hi = self.upper_bound(max_term)
+        if hi > lo:
+            self.offsets  # materialize once: term() then skips the lazy path
         for c0 in range(lo, hi, self._ITER_CHUNK):
             c1 = min(c0 + self._ITER_CHUNK, hi)
             vals, counts, voffs = self.decode_all(c0, c1)

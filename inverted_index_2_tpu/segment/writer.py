@@ -41,24 +41,67 @@ def new_segment_key() -> str:
     return str(time.time_ns())
 
 
-def _write_dict(path: str, mode: int, offsets: np.ndarray, outs: np.ndarray, blob: bytes) -> None:
-    # compact dtypes when ranges allow (typical): half the file, half the IO
-    flags = 0
-    off_dt, out_dt = "<u8", "<u8"
-    if len(blob) < 2**32:
-        flags |= formats.FLAG_OFFSETS_U32
-        off_dt = "<u4"
-    if len(outs) == 0 or int(outs.max()) < 2**32:
-        flags |= formats.FLAG_OUTS_U32
-        out_dt = "<u4"
-    with open(path, "wb") as f:
-        formats.write_header(f, mode, len(outs), len(blob), flags)
-        offsets.astype(off_dt).tofile(f)
-        outs.astype(out_dt).tofile(f)
-        f.write(blob)
-        f.flush()
+def _writev(path: str, bufs) -> None:
+    """Write buffers to a fresh file with one gathered syscall (no Python
+    concat copies); handles partial writes and optional fsync."""
+    views = [memoryview(b) for b in bufs if len(b)]
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o666)
+    try:
+        while views:
+            written = os.writev(fd, views)
+            while views and written >= views[0].nbytes:
+                written -= views[0].nbytes
+                views.pop(0)
+            if written and views:
+                views[0] = views[0].cast("B")[written:]
         if _FSYNC:
-            os.fsync(f.fileno())
+            os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _write_dict(path: str, mode: int, offsets: np.ndarray, outs, blob) -> None:
+    """Encode + write the dict file. `outs` is an ndarray, or (for direct
+    mode) a broadcast array whose elements are all equal — detected and
+    stored as ONE value (FLAG_OUTS_CONST). Fixed-width term sets store the
+    width instead of the offsets array (FLAG_FIXED_WIDTH). `blob` may be
+    bytes or a uint8 ndarray (written zero-copy)."""
+    n = len(offsets) - 1
+    blob_len = len(blob)
+    flags = 0
+    off_dt = "<u4" if blob_len < 2**32 else "<u8"
+    if off_dt == "<u4":
+        flags |= formats.FLAG_OFFSETS_U32
+    # constant outs: a broadcast array (ingest fast path) or all-equal check
+    # is the caller's responsibility via broadcast; detect zero-stride only
+    const_out = None
+    if n > 0 and isinstance(outs, np.ndarray) and outs.ndim == 1 and outs.strides[0] == 0:
+        const_out = int(outs[0])
+    if const_out is not None:
+        out_max = const_out
+    else:
+        out_max = 0 if n == 0 else int(np.max(outs))
+    out_dt = "<u4" if out_max < 2**32 else "<u8"
+    if out_dt == "<u4":
+        flags |= formats.FLAG_OUTS_U32
+    if const_out is not None:
+        flags |= formats.FLAG_OUTS_CONST
+        out_arr = np.array([const_out], dtype=out_dt)
+    else:
+        out_arr = np.ascontiguousarray(outs, dtype=out_dt)
+    # fixed-width terms: store just the width
+    width = int(offsets[1]) - int(offsets[0]) if n >= 1 else 0
+    if n >= 1 and 0 <= width < 2**32 and blob_len == width * n and bool(
+        np.all(offsets[1:] == np.arange(1, n + 1, dtype=np.int64) * width)
+    ):
+        flags |= formats.FLAG_FIXED_WIDTH
+        off_arr = np.array([width], dtype=off_dt)
+    else:
+        off_arr = np.ascontiguousarray(offsets, dtype=off_dt)
+    _writev(
+        path,
+        [formats.pack_header(mode, n, blob_len, flags), off_arr, out_arr, blob],
+    )
 
 
 def _unique_key(basedir: str) -> str:
@@ -71,7 +114,7 @@ def _unique_key(basedir: str) -> str:
 
 def write_direct_segment(
     basedir: str,
-    blob: bytes,
+    blob,
     offsets: np.ndarray,
     value: np.uint32,
     key: str | None = None,
@@ -79,12 +122,14 @@ def write_direct_segment(
     """Write a direct-mode segment: sorted unique terms, one shared value.
 
     Equivalent of Shard.Put's DirectWriter path (/root/reference/shard.go:33-67):
-    one document's terms all carry the same uint32 value.
+    one document's terms all carry the same uint32 value. The shared value is
+    stored ONCE (FLAG_OUTS_CONST) — no outs array is materialized or written.
+    `blob` may be bytes or a uint8 ndarray view (written zero-copy).
     Returns the segment key.
     """
     key = key or _unique_key(basedir)
     n = len(offsets) - 1
-    outs = np.full(n, np.uint64(value), dtype=np.uint64)
+    outs = np.broadcast_to(np.uint64(value), n)
     tmp = formats.dict_path(basedir, key) + formats.TMP_SUFFIX
     _write_dict(tmp, formats.MODE_DIRECT, np.asarray(offsets), outs, blob)
     os.rename(tmp, formats.dict_path(basedir, key))

@@ -124,17 +124,18 @@ class Shard:
         sblob, _ = ragged_gather(blob, offsets[:-1][order], lens)
         soffs = np.zeros(len(order) + 1, dtype=np.int64)
         np.cumsum(lens, out=soffs[1:])
-        self.put_sorted(sblob.tobytes(), soffs, value)
+        self.put_sorted(sblob, soffs, value)
 
-    def put_sorted(self, blob: bytes, offsets: np.ndarray, value: int) -> None:
+    def put_sorted(self, blob, offsets: np.ndarray, value: int) -> None:
         """Fast path: terms already SORTED and UNIQUE (the vectorized router
         in InvertedIndex.put_packed sorts globally once). Writes one
-        direct-mode segment and publishes it."""
+        direct-mode segment and publishes it. `blob` may be bytes or a uint8
+        ndarray view (zero-copy end to end)."""
         if len(offsets) <= 1:
             return
         key = seg_writer.write_direct_segment(self.basedir, blob, offsets, np.uint32(value))
         n = len(offsets) - 1
-        outs = np.full(n, np.uint64(value), dtype=np.uint64)
+        outs = np.broadcast_to(np.uint64(value), n)
         view = SegmentView.from_arrays(
             self.basedir, key, formats.MODE_DIRECT, offsets, outs, blob
         )

@@ -206,9 +206,13 @@ struct TermRef {
 };
 
 inline uint64_t prefix8(const uint8_t* p, int64_t len) {
+  if (len >= 8) {  // common case: one unaligned load + byte swap
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return __builtin_bswap64(v);
+  }
   uint64_t v = 0;
-  const int64_t m = len < 8 ? len : 8;
-  for (int64_t i = 0; i < m; ++i) v |= static_cast<uint64_t>(p[i]) << (56 - 8 * i);
+  for (int64_t i = 0; i < len; ++i) v |= static_cast<uint64_t>(p[i]) << (56 - 8 * i);
   return v;
 }
 
@@ -276,6 +280,116 @@ int64_t tpi_ingest_sort(const uint8_t* blob, const int64_t* offsets, int64_t n,
     }
     order[m] = idx[i];
     shard_of[m] = shard[idx[i]];
+    ++m;
+  }
+  return m;
+}
+
+// Fused ingest: sort terms by (shard, bytes), dedupe, and gather the sorted
+// unique terms into (out_blob, out_offsets) in ONE call. Returns the unique
+// count m; fills shard_of[0..m) and out_offsets[0..m]. out_blob must have
+// room for offsets[n] bytes (the full input blob size; dedupe only shrinks).
+//
+// vs tpi_ingest_sort + tpi_concat_terms: the radix passes move whole
+// (prefix, idx, shard) records — sequential reads instead of the random
+// prefix[idx[i]] gathers — trivial passes (all keys in one bucket, common
+// with skewed prefixes / single-shard batches) are skipped, and the concat
+// is fused into the dedupe sweep with an inline 16-byte fast copy.
+int64_t tpi_ingest_sort_concat(const uint8_t* blob, const int64_t* offsets,
+                               int64_t n, uint16_t* shard_of,
+                               uint8_t* out_blob, int64_t* out_offsets) {
+  struct Rec {
+    uint64_t prefix;
+    int32_t idx;
+    uint16_t shard;
+    uint16_t pad;
+  };
+  std::vector<Rec> a(n), b(n);
+  // one sweep: build records + all five 16-bit histograms
+  std::vector<int32_t> cnt(5 * 65536, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = offsets[i];
+    const int64_t len = offsets[i + 1] - off;
+    const uint8_t* p = blob + off;
+    Rec& r = a[i];
+    r.prefix = prefix8(p, len);
+    r.shard = len >= 2 ? static_cast<uint16_t>(((p[0] << 8) | p[1]) >> 6) : 0;
+    r.idx = static_cast<int32_t>(i);
+    r.pad = 0;
+    cnt[0 * 65536 + (r.prefix & 0xFFFF)]++;
+    cnt[1 * 65536 + ((r.prefix >> 16) & 0xFFFF)]++;
+    cnt[2 * 65536 + ((r.prefix >> 32) & 0xFFFF)]++;
+    cnt[3 * 65536 + (r.prefix >> 48)]++;
+    cnt[4 * 65536 + r.shard]++;
+  }
+  Rec* src = a.data();
+  Rec* dst = b.data();
+  for (int p = 0; p < 5; ++p) {
+    int32_t* c = cnt.data() + p * 65536;
+    const int shift = p * 16;
+    // trivial pass: every key in one bucket (stable sort => no-op)
+    if (n > 0) {
+      const uint64_t k0 =
+          p < 4 ? ((src[0].prefix >> shift) & 0xFFFF) : src[0].shard;
+      if (c[k0] == n) continue;
+    }
+    int32_t run = 0;
+    for (int64_t k = 0; k < 65536; ++k) {
+      const int32_t v = c[k];
+      c[k] = run;
+      run += v;
+    }
+    if (p < 4) {
+      for (int64_t i = 0; i < n; ++i)
+        dst[c[(src[i].prefix >> shift) & 0xFFFF]++] = src[i];
+    } else {
+      for (int64_t i = 0; i < n; ++i) dst[c[src[i].shard]++] = src[i];
+    }
+    std::swap(src, dst);
+  }
+  auto full_cmp = [&](int32_t x, int32_t y) {
+    const int64_t lx = offsets[x + 1] - offsets[x];
+    const int64_t ly = offsets[y + 1] - offsets[y];
+    const int64_t m = lx < ly ? lx : ly;
+    const int c =
+        std::memcmp(blob + offsets[x], blob + offsets[y], static_cast<size_t>(m));
+    if (c) return c;
+    return lx < ly ? -1 : (lx > ly ? 1 : 0);
+  };
+  // fix ties: runs with equal (shard, prefix) need full-byte ordering
+  for (int64_t i = 0; i < n;) {
+    int64_t j = i + 1;
+    while (j < n && src[j].shard == src[i].shard && src[j].prefix == src[i].prefix)
+      ++j;
+    if (j - i > 1) {
+      std::sort(src + i, src + j,
+                [&](const Rec& x, const Rec& y) { return full_cmp(x.idx, y.idx) < 0; });
+    }
+    i = j;
+  }
+  // dedupe + fused concat
+  const int64_t blob_len = offsets[n];
+  int64_t m = 0, pos = 0;
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const Rec& r = src[i];
+    if (i > 0 && r.shard == src[i - 1].shard && r.prefix == src[i - 1].prefix &&
+        full_cmp(r.idx, src[i - 1].idx) == 0) {
+      continue;  // duplicate term
+    }
+    const int64_t off = offsets[r.idx];
+    const int64_t len = offsets[r.idx + 1] - off;
+    if (len <= 16 && off + 16 <= blob_len && pos + 16 <= blob_len) {
+      // unconditional 16-byte copy (two unaligned 8B moves); the extra
+      // bytes land in slack that the next term overwrites or pos ignores
+      // (guards keep both source and destination inside their buffers)
+      std::memcpy(out_blob + pos, blob + off, 16);
+    } else {
+      std::memcpy(out_blob + pos, blob + off, static_cast<size_t>(len));
+    }
+    pos += len;
+    out_offsets[m + 1] = pos;
+    shard_of[m] = r.shard;
     ++m;
   }
   return m;

@@ -113,3 +113,42 @@ def test_streaming_writer_round_trip(tmp_path):
     wd.append(b"y")
     vd = SegmentView(d, wd.close())
     assert vd.values(0).tolist() == [7] and vd.values(1).tolist() == [7]
+
+
+def test_compact_flags_round_trip(tmp_path):
+    """FLAG_OUTS_CONST + FLAG_FIXED_WIDTH (direct ingest fast path) read back
+    identically through the mmap'd lazy reader; variable widths / plain
+    arrays fall back to the full layout."""
+    import numpy as np
+
+    from inverted_index_2_tpu.segment import formats, writer
+    from inverted_index_2_tpu.segment.reader import SegmentView
+
+    d = str(tmp_path)
+    # fixed-width terms, one shared value -> both compact flags
+    terms = [b"aaa1", b"aaa2", b"bbb3"]
+    blob = b"".join(terms)
+    offs = np.array([0, 4, 8, 12], dtype=np.int64)
+    key = writer.write_direct_segment(d, blob, offs, np.uint32(7))
+    with open(formats.dict_path(d, key), "rb") as f:
+        hdr = formats.read_header(f.read(formats.HEADER_SIZE))
+    assert hdr.flags & formats.FLAG_OUTS_CONST
+    assert hdr.flags & formats.FLAG_FIXED_WIDTH
+    v = SegmentView(d, key)
+    assert [v.term(i) for i in range(3)] == terms
+    assert v.outs.tolist() == [7, 7, 7]
+    assert v.offsets.tolist() == [0, 4, 8, 12]
+    assert v.min_term == b"aaa1" and v.max_term == b"bbb3"
+
+    # variable-width terms: fixed-width must NOT engage
+    terms = [b"a", b"bb", b"ccc"]
+    blob = b"".join(terms)
+    offs = np.array([0, 1, 3, 6], dtype=np.int64)
+    key = writer.write_direct_segment(d, blob, offs, np.uint32(3))
+    with open(formats.dict_path(d, key), "rb") as f:
+        hdr = formats.read_header(f.read(formats.HEADER_SIZE))
+    assert hdr.flags & formats.FLAG_OUTS_CONST
+    assert not (hdr.flags & formats.FLAG_FIXED_WIDTH)
+    v = SegmentView(d, key)
+    assert [v.term(i) for i in range(3)] == terms
+    assert v.values(1).tolist() == [3]
