@@ -77,7 +77,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     @functools.partial(jax.jit, static_argnames=("L", "mp"))
     def scan_lookup(keys, blocks, tbs, counts, slots, staged, L, mp):
         def body(carry, qk):
-            f, v, c = lookup_step(keys, blocks, tbs, counts, qk, L, slots, mp)
+            f, v, c, _ = lookup_step(keys, blocks, tbs, counts, qk, L, slots, mp)
             chk = jnp.bitwise_xor.reduce(v[:, 0]) ^ jnp.uint32(jnp.sum(c))
             return carry ^ chk, jnp.sum(c)
         return jax.lax.scan(body, jnp.uint32(0), staged)
@@ -93,12 +93,12 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     # single-dispatch latency (includes tunnel RPC)
     lookup1 = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
     b0 = staged[0]
-    f, v, c = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
+    f, v, c, _ = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
     jax.block_until_ready(c)
     t0 = time.monotonic()
     reps = 5
     for _ in range(reps):
-        f, v, c = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
+        f, v, c, _ = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
         jax.block_until_ready(c)
     dispatch_ms = (time.monotonic() - t0) / reps * 1e3
 
@@ -280,11 +280,11 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     hk = np.asarray(snap1.keys)
     n = snap1.n_terms
     qk = jnp.asarray(hk[rng.integers(0, n, size=Q)])
-    f, v, c = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+    f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
     jax.block_until_ready(c)
     t0 = time.monotonic()
     for _ in range(iters):
-        f, v, c = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+        f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
     jax.block_until_ready(c)
     dt = time.monotonic() - t0
     return {

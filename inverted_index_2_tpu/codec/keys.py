@@ -84,6 +84,30 @@ def widen(keys: np.ndarray, width: int) -> np.ndarray:
     return out
 
 
+def unpack_keys(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of pack_blob: (n, W+1) key rows -> (blob uint8, offsets[n+1]).
+
+    Keys losslessly store the full term bytes (width always covers the
+    longest term), so snapshots need no separate host copy of the term blob.
+    """
+    n, wp1 = keys.shape
+    W = wp1 - 1
+    lens = keys[:, W].astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), offsets
+    words = keys[:, :W]
+    b = np.empty((n, W, 4), dtype=np.uint8)
+    b[:, :, 0] = (words >> 24) & 0xFF
+    b[:, :, 1] = (words >> 16) & 0xFF
+    b[:, :, 2] = (words >> 8) & 0xFF
+    b[:, :, 3] = words & 0xFF
+    flat = b.reshape(n, W * 4)
+    mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens[:, None]
+    return flat[mask], offsets
+
+
 def lexsort_rows(keys: np.ndarray) -> np.ndarray:
     """Stable argsort of key rows in lexicographic (= bytes.Compare) order.
 

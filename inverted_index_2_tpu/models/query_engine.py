@@ -17,9 +17,14 @@ batched array programs over an immutable DEVICE SNAPSHOT of the index:
         removed           (R,)         uint32  sorted tombstones (optional)
 
     QueryEngine ("forward passes"), all jit-compiled, static shapes:
-        lookup:   Q terms -> (found, postings (Q, L), counts)
-        AND/OR:   Q x K terms -> combined posting sets
-        prefix:   device range search + host union
+        lookup:   Q terms -> (found, postings (Q, L), counts, raw counts)
+        AND/OR:   Q x K terms -> combined posting sets (+ per-query `need`)
+        prefix:   device range search + device decode + vectorized union
+
+    Long posting lists are EXACT: rows whose true count exceeds the fast-path
+    L are re-served at the smallest ladder level (L, 8L, 64L, ... capped at
+    the corpus' longest list) that fits — everything decodes on device; the
+    snapshot keeps NO host mirror of terms or postings.
 
 Snapshot semantics match a reference Read(nil, nil) over the whole index
 (union across segments, NO tombstone filtering — tombstones act at merge,
@@ -49,7 +54,15 @@ from ..shard import merge_views
 
 @dataclass
 class IndexSnapshot:
-    """Immutable device-resident image of one index (or one shard group)."""
+    """Immutable device-resident image of one index (or one shard group).
+
+    Fully self-contained on device: keys losslessly hold the term bytes
+    (codec/keys.py), the arena holds every posting block, so NO host mirror
+    of terms/postings exists (long posting lists are served exactly by
+    re-decoding at a larger static L — see QueryEngine). `host_counts` is
+    the one host-side array (N int32) used to pick re-serve L levels and
+    size prefix unions.
+    """
 
     keys: jnp.ndarray               # (N, W+1) uint32
     blocks: jnp.ndarray             # (B, stride) uint32 block row arena
@@ -59,15 +72,18 @@ class IndexSnapshot:
     width: int                      # W (words per packed term, excl. len)
     hash_slots: jnp.ndarray = None  # (S,) int32 linear-probe table (-1 empty)
     max_probes: int = 1             # static probe bound (longest chain)
-    # host-side mirrors for host ops (prefix union, debugging)
-    host_values: np.ndarray = field(repr=False, default=None)
-    host_voffs: np.ndarray = field(repr=False, default=None)
-    host_blob: np.ndarray = field(repr=False, default=None)
-    host_offsets: np.ndarray = field(repr=False, default=None)
+    max_count: int = 0              # longest posting list (host int)
+    host_counts: np.ndarray = field(repr=False, default=None)  # (N,) int32
 
     @property
     def n_terms(self) -> int:
         return int(self.keys.shape[0])
+
+    def device_bytes(self) -> int:
+        """Resident HBM footprint of the snapshot tables."""
+        arrs = (self.keys, self.blocks, self.term_block_start, self.counts,
+                self.removed, self.hash_slots)
+        return int(sum(a.size * a.dtype.itemsize for a in arrs if a is not None))
 
 
 def _empty_snapshot(width: int = 1) -> IndexSnapshot:
@@ -80,10 +96,8 @@ def _empty_snapshot(width: int = 1) -> IndexSnapshot:
         width=width,
         hash_slots=jnp.full((8,), -1, dtype=jnp.int32),
         max_probes=1,
-        host_values=np.zeros(0, dtype=np.uint32),
-        host_voffs=np.zeros(1, dtype=np.int64),
-        host_blob=np.zeros(0, dtype=np.uint8),
-        host_offsets=np.zeros(1, dtype=np.int64),
+        max_count=0,
+        host_counts=np.zeros(0, dtype=np.int32),
     )
 
 
@@ -157,19 +171,18 @@ def build_snapshot_arrays(
     else:
         slots = np.full(8, -1, dtype=np.int32)
         max_probes = 1
+    counts32 = counts.astype(np.int32)
     return IndexSnapshot(
         keys=jnp.asarray(keys),
         blocks=jnp.asarray(arena),
         term_block_start=jnp.asarray(tbs),
-        counts=jnp.asarray(counts.astype(np.int32)),
+        counts=jnp.asarray(counts32),
         removed=jnp.asarray(rem),
         width=W,
         hash_slots=jnp.asarray(slots),
         max_probes=max_probes,
-        host_values=np.asarray(values, dtype=np.uint32),
-        host_voffs=np.asarray(voffs, dtype=np.int64),
-        host_blob=np.asarray(blob_arr),
-        host_offsets=offsets,
+        max_count=int(counts.max()) if len(counts) else 0,
+        host_counts=counts32,
     )
 
 
@@ -242,18 +255,26 @@ def lookup_step(
     keys, blocks, term_block_start, counts, qkeys, L: int,
     slots=None, max_probes: int = 0, removed=None,
 ):
-    """Batched exact-term lookup: (found (Q,), postings (Q, L), counts (Q,)).
+    """Batched exact-term lookup:
+    (found (Q,), postings (Q, L), counts (Q,), raw_counts (Q,)).
 
     One fused program: hash probe (or binary search) -> block row gather ->
     static byte-unpack decode. Misses return count 0. Pass `removed` (sorted)
     to apply the vectorized tombstone filter to each result row.
+
+    raw_counts is the term's TRUE posting count: raw > L means the row holds
+    only the first L postings and the caller must re-serve that query at a
+    larger L for exactness (QueryEngine does this automatically; the
+    reference streams runs of any length, reader.go:79-98 — here exactness
+    costs one extra pass at the next static size instead).
     """
     idx, found = _resolve(keys, qkeys, slots, max_probes)
-    vals, n = dec.gather_postings_arena(blocks, term_block_start, counts, idx, L)
-    n = jnp.where(found, n, 0)
+    vals, raw = dec.gather_postings_arena(blocks, term_block_start, counts, idx, L)
+    raw = jnp.where(found, raw, 0)
+    n = jnp.minimum(raw, L)
     if removed is not None and removed.shape[0] > 0:
         vals, n = setops.filter_removed(vals, n, removed)
-    return found, vals, n
+    return found, vals, n, raw
 
 
 def boolean_step(
@@ -269,18 +290,19 @@ def boolean_step(
     Q, K, Wp1 = qkeys.shape
     flat = qkeys.reshape(Q * K, Wp1)
     idx, found = _resolve(keys, flat, slots, max_probes)
-    vals, n = dec.gather_postings_arena(blocks, term_block_start, counts, idx, L)
-    # truncation flag: a term longer than L was clipped at decode, so the
-    # combined result for that query may be incomplete — callers re-serve
-    # those (rare) queries exactly from host mirrors
-    raw_n = counts[idx]
-    n = jnp.where(found, n, 0)
+    vals, raw = dec.gather_postings_arena(blocks, term_block_start, counts, idx, L)
+    # need: the largest TRUE posting count among a query's present terms.
+    # need > L means some list was clipped at decode, so the combined result
+    # may be incomplete — callers re-serve those (rare) queries at the next
+    # ladder L (device-exact; no host fallback).
+    raw = jnp.where(found, raw, 0)
+    n = jnp.minimum(raw, L)
     lists = vals.reshape(Q, K, L)
     ncnt = n.reshape(Q, K)
     kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
-    trunc = jnp.any(
-        (found & (raw_n > L)).reshape(Q, K) & kmask, axis=1
-    )
+    need = jnp.max(
+        jnp.where(kmask, raw.reshape(Q, K), 0), axis=1
+    ).astype(jnp.int32)
     if op == "and":
         out, oc = setops.intersect_many(lists, ncnt, k_valid)
     elif op == "or":
@@ -289,7 +311,7 @@ def boolean_step(
         raise ValueError(op)
     if removed is not None and removed.shape[0] > 0:
         out, oc = setops.filter_removed(out, oc, removed)
-    return out, oc, trunc
+    return out, oc, need
 
 
 def prefix_range_step(keys, lo_keys, hi_keys):
@@ -309,6 +331,7 @@ def prefix_range_step(keys, lo_keys, hi_keys):
 _JIT_LOOKUP = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
 _JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op", "max_probes"))
 _JIT_PREFIX = jax.jit(prefix_range_step)
+_JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
 
 
 def _index_fingerprint(index, apply_removed: bool):
@@ -325,12 +348,34 @@ def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
 
+# device-memory budget for one re-serve batch (uint32 elements): bounds the
+# (Q, L') result matrices when re-serving long-posting queries exactly
+_RESERVE_BUDGET = 1 << 24  # 64 MiB of uint32
+
+
+def _ladder(L: int, max_count: int) -> List[int]:
+    """Static L sizes for exact re-serves: L, 8L, 64L, ... capped at the
+    corpus' longest posting list (rounded up to a block multiple). A handful
+    of levels => a handful of compiled programs, each reused."""
+    levels = []
+    cur = L
+    top = _round_up(max_count, 128)
+    while cur < top:
+        cur = min(cur * 8, top)
+        levels.append(cur)
+    return levels
+
+
 class QueryEngine:
     """Batched query serving over a frozen IndexSnapshot.
 
-    Q is padded to buckets so jit caches stay small; L (posting pad length)
-    is fixed per engine (counts, not sentinels, define validity so long
-    lists truncate at L — size L to the corpus' max posting length).
+    Q is padded to buckets so jit caches stay small. L (posting pad length)
+    is the FAST-PATH pad: queries whose posting lists exceed L are re-served
+    exactly on device at the smallest ladder level that fits (L, 8L, 64L, ...
+    up to the corpus' longest list) — results are always exact, with no host
+    mirror of the postings (the reference streams any-length runs,
+    reader.go:79-98; here exactness costs a second pass for the rare long
+    queries instead of memory for all of them).
     """
 
     def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256):
@@ -342,6 +387,28 @@ class QueryEngine:
         self._lookup = _JIT_LOOKUP
         self._boolean = _JIT_BOOLEAN
         self._prefix = _JIT_PREFIX
+
+    def _levels(self) -> List[int]:
+        return _ladder(self.L, self.snap.max_count)
+
+    def _level_for(self, need: int) -> int:
+        for lv in self._levels():
+            if lv >= need:
+                return lv
+        return _round_up(need, 128)
+
+    def stats(self) -> Dict[str, int]:
+        """Memory/meta counters for the frozen snapshot (no host mirrors —
+        host_counts is the only host-resident array)."""
+        s = self.snap
+        return {
+            "n_terms": s.n_terms,
+            "n_postings": int(s.host_counts.sum()) if s.host_counts is not None else 0,
+            "max_posting_len": s.max_count,
+            "device_bytes": s.device_bytes(),
+            "host_bytes": int(s.host_counts.nbytes) if s.host_counts is not None else 0,
+            "ladder": self._levels(),
+        }
 
     @classmethod
     def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
@@ -363,11 +430,11 @@ class QueryEngine:
 
     # -- exact lookup --------------------------------------------------------
 
-    def lookup_device(self, qkeys: jnp.ndarray, filter_removed: bool = False):
+    def lookup_device(self, qkeys: jnp.ndarray, filter_removed: bool = False, L: Optional[int] = None):
         s = self.snap
         return self._lookup(
             s.keys, s.blocks, s.term_block_start, s.counts, qkeys,
-            self.L, s.hash_slots, s.max_probes,
+            L or self.L, s.hash_slots, s.max_probes,
             s.removed if filter_removed else None,
         )
 
@@ -375,7 +442,9 @@ class QueryEngine:
         self, terms: Sequence[bytes], filter_removed: bool = False
     ) -> List[Optional[np.ndarray]]:
         """Host convenience: exact postings per term (None for misses).
-        filter_removed applies the vectorized tombstone mask per row."""
+        filter_removed applies the vectorized tombstone mask per row.
+        Terms whose lists exceed L are re-served at a larger ladder L —
+        results are always exact and fully device-decoded."""
         if not terms:
             return []
         s = self.snap
@@ -384,35 +453,33 @@ class QueryEngine:
         Q = _round_up(len(terms), self.q_bucket)
         qk = keys_mod.pack_terms(list(terms), width=s.width)
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
-        qk = np.concatenate([qk, pad], axis=0)
-        found, vals, n = self.lookup_device(jnp.asarray(qk), filter_removed)
-        found, vals, n = np.asarray(found), np.asarray(vals), np.asarray(n)
-        host_counts = None
-        out = []
+        qk_p = np.concatenate([qk, pad], axis=0)
+        found, vals, n, raw = self.lookup_device(jnp.asarray(qk_p), filter_removed)
+        found, vals, n, raw = (
+            np.asarray(found), np.asarray(vals), np.asarray(n), np.asarray(raw)
+        )
+        out: List[Optional[np.ndarray]] = [None] * len(terms)
+        long_idx = []
         for i in range(len(terms)):
             if not found[i]:
-                out.append(None)
                 continue
-            if n[i] >= self.L:
-                # device pads to L; a list that long may be truncated — serve
-                # it exactly from the host mirrors (rare when L is sized to
-                # the corpus' maximum posting length)
-                lo, hi = 0, s.n_terms
-                t = terms[i]
-                while lo < hi:
-                    mid = (lo + hi) // 2
-                    mt = s.host_blob[s.host_offsets[mid] : s.host_offsets[mid + 1]].tobytes()
-                    if mt < t:
-                        lo = mid + 1
-                    else:
-                        hi = mid
-                full = s.host_values[s.host_voffs[lo] : s.host_voffs[lo + 1]]
-                if filter_removed and len(s.removed):
-                    rset = np.asarray(s.removed)
-                    full = full[~np.isin(full, rset)]
-                out.append(full.copy())
+            if raw[i] > self.L:
+                long_idx.append(i)  # exact re-serve below
             else:
-                out.append(vals[i, : n[i]].copy())
+                out[i] = vals[i, : n[i]].copy()
+        # exact re-serve of long lists, grouped by ladder level
+        while long_idx:
+            need = int(max(raw[i] for i in long_idx))
+            lv = self._level_for(need)
+            qb = max(1, _RESERVE_BUDGET // lv)
+            batch, long_idx = long_idx[:qb], long_idx[qb:]
+            B = len(batch)
+            bq = np.repeat(qk[batch[-1] : batch[-1] + 1], _round_up(B, 8), axis=0)
+            bq[:B] = qk[batch]
+            f2, v2, n2, _ = self.lookup_device(jnp.asarray(bq), filter_removed, L=lv)
+            v2, n2 = np.asarray(v2), np.asarray(n2)
+            for j, i in enumerate(batch):
+                out[i] = v2[j, : n2[j]].copy()
         return out
 
     # -- boolean queries ---------------------------------------------------------
@@ -421,7 +488,9 @@ class QueryEngine:
         """Batch of AND/OR queries; each query is 1..K terms.
 
         Returns list of np arrays (sorted unique values). A missing term makes
-        an AND query empty; contributes nothing to an OR query.
+        an AND query empty; contributes nothing to an OR query. Queries whose
+        posting lists exceed L are re-served exactly at a larger ladder L —
+        fully on device, no host set algebra.
         """
         if not queries:
             return []
@@ -437,54 +506,83 @@ class QueryEngine:
             kv[i] = len(q)
         if s.n_terms == 0:
             return [np.zeros(0, np.uint32) for _ in queries]
-        out, oc, trunc = self._boolean(
+        removed = s.removed if filter_removed else None
+        out, oc, need = self._boolean(
             s.keys, s.blocks, s.term_block_start, s.counts,
             jnp.asarray(qk), jnp.asarray(kv), self.L, op,
-            s.removed if filter_removed else None,
-            s.hash_slots, s.max_probes,
+            removed, s.hash_slots, s.max_probes,
         )
-        out, oc, trunc = np.asarray(out), np.asarray(oc), np.asarray(trunc)
-        results = []
+        out, oc, need = np.asarray(out), np.asarray(oc), np.asarray(need)
+        results: List[Optional[np.ndarray]] = [None] * len(queries)
+        long_idx = [i for i in range(len(queries)) if need[i] > self.L]
         for i in range(len(queries)):
-            if trunc[i]:
-                results.append(self._boolean_exact_host(queries[i], op, filter_removed))
-            else:
-                results.append(out[i, : oc[i]].copy())
+            if need[i] <= self.L:
+                results[i] = out[i, : oc[i]].copy()
+        # exact re-serve at the smallest ladder level that fits, small batches
+        while long_idx:
+            lv = self._level_for(int(max(need[i] for i in long_idx)))
+            qb = max(1, _RESERVE_BUDGET // (K * lv))
+            batch, long_idx = long_idx[:qb], long_idx[qb:]
+            B = _round_up(len(batch), 8)
+            bq = np.zeros((B, K, Wp1), dtype=np.uint32)
+            bkv = np.zeros(B, dtype=np.int32)
+            bq[: len(batch)] = qk[batch]
+            bkv[: len(batch)] = kv[batch]
+            o2, c2, _ = self._boolean(
+                s.keys, s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(bq), jnp.asarray(bkv), lv, op,
+                removed, s.hash_slots, s.max_probes,
+            )
+            o2, c2 = np.asarray(o2), np.asarray(c2)
+            for j, i in enumerate(batch):
+                results[i] = o2[j, : c2[j]].copy()
         return results
 
-    def _boolean_exact_host(self, terms, op: str, filter_removed: bool) -> np.ndarray:
-        """Exact set op from host mirrors — fallback for queries touching a
-        posting list longer than L (device pads/clips at L)."""
+    # -- exact decode by term index (ladder-grouped) --------------------------------
+
+    def _decode_indices(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact postings of dictionary indices `idx`: (values, voffs[n+1]).
+
+        Rows are decoded on device in batches grouped by the smallest ladder
+        L that fits each row's TRUE count — every posting list is served
+        exactly regardless of length (no host posting mirror exists)."""
         s = self.snap
-        sets = []
-        for t in terms:
-            lo, hi = 0, s.n_terms
-            while lo < hi:
-                mid = (lo + hi) // 2
-                mt = s.host_blob[s.host_offsets[mid] : s.host_offsets[mid + 1]].tobytes()
-                if mt < t:
-                    lo = mid + 1
-                else:
-                    hi = mid
-            if (
-                lo < s.n_terms
-                and s.host_blob[s.host_offsets[lo] : s.host_offsets[lo + 1]].tobytes() == t
-            ):
-                sets.append(set(s.host_values[s.host_voffs[lo] : s.host_voffs[lo + 1]].tolist()))
-            else:
-                sets.append(set())
-        combined = set.intersection(*sets) if op == "and" else set.union(*sets)
-        if filter_removed and len(s.removed):
-            combined -= set(np.asarray(s.removed).tolist())
-        return np.array(sorted(combined), dtype=np.uint32)
+        n = len(idx)
+        counts = s.host_counts[idx].astype(np.int64)
+        voffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=voffs[1:])
+        flat = np.empty(int(voffs[-1]), dtype=np.uint32)
+        if n == 0:
+            return flat, voffs
+        levels = np.array([self.L] + self._levels(), dtype=np.int64)
+        lvl_idx = np.searchsorted(levels, counts, side="left")
+        for li in np.unique(lvl_idx):
+            lv = int(levels[li])
+            sel = np.nonzero(lvl_idx == li)[0]
+            qb = max(1, _RESERVE_BUDGET // lv)
+            for c0 in range(0, len(sel), qb):
+                ss = sel[c0 : c0 + qb]
+                B = _round_up(len(ss), 8)
+                bi = np.full(B, idx[ss[-1]], dtype=np.int32)
+                bi[: len(ss)] = idx[ss]
+                v, _ = _JIT_DECODE(
+                    s.blocks, s.term_block_start, s.counts, jnp.asarray(bi), lv
+                )
+                v = np.asarray(v)[: len(ss)]
+                m = np.arange(lv, dtype=np.int64)[None, :] < counts[ss][:, None]
+                dst = (voffs[ss][:, None] + np.arange(lv, dtype=np.int64)[None, :])[m]
+                flat[dst] = v[m]
+        return flat, voffs
 
     # -- range read -----------------------------------------------------------------
 
+    _RANGE_CHUNK = 4096
+
     def read_range(self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None):
         """Sorted (term, values) stream over [min,max] inclusive from the
-        frozen snapshot — device range resolution (two key searches), host
-        materialization from the snapshot mirrors. Matches
-        InvertedIndex.read() semantics on the frozen state."""
+        frozen snapshot — device range resolution (two key searches), term
+        bytes reconstructed from the key matrix, postings device-decoded in
+        chunks. Matches InvertedIndex.read() semantics on the frozen state."""
         s = self.snap
         if s.n_terms == 0:
             return
@@ -501,19 +599,21 @@ class QueryEngine:
         else:
             qk = keys_mod.pack_terms([max_term], width=s.width)
             hi = int(np.asarray(ds.searchsorted_rows(s.keys, jnp.asarray(qk), side="right"))[0])
-        for i in range(lo, hi):
-            t = self.snap.host_blob[
-                self.snap.host_offsets[i] : self.snap.host_offsets[i + 1]
-            ].tobytes()
-            vals = self.snap.host_values[
-                self.snap.host_voffs[i] : self.snap.host_voffs[i + 1]
-            ]
-            yield t, vals
+        for c0 in range(lo, hi, self._RANGE_CHUNK):
+            c1 = min(c0 + self._RANGE_CHUNK, hi)
+            kr = np.asarray(s.keys[c0:c1])  # fetch only the range's key rows
+            blob, offs = keys_mod.unpack_keys(kr)
+            vals, voffs = self._decode_indices(np.arange(c0, c1))
+            for j in range(c1 - c0):
+                yield (
+                    blob[offs[j] : offs[j + 1]].tobytes(),
+                    vals[voffs[j] : voffs[j + 1]],
+                )
 
     # -- prefix search --------------------------------------------------------------
 
     def prefix_search(self, prefixes: Sequence[bytes]) -> Dict[bytes, np.ndarray]:
-        """Device range resolution + host ragged union.
+        """Device range resolution + vectorized union of device-decoded rows.
 
         Parity with InvertedIndex.prefix_search (inverted_index.go:192-295):
         unmatched prefixes absent; values sorted unique.
@@ -530,12 +630,19 @@ class QueryEngine:
             hi_k[i, -1] = 0xFFFFFFFF  # length word: greater than any real term
         lo, hi = self._prefix(s.keys, jnp.asarray(lo_k), jnp.asarray(hi_k))
         lo, hi = np.asarray(lo), np.asarray(hi)
+        spans = [
+            (p, int(lo[i]), int(hi[i]))
+            for i, p in enumerate(prefixes)
+            if hi[i] > lo[i]
+        ]
+        if not spans:
+            return {}
+        all_idx = np.concatenate([np.arange(a, b) for _, a, b in spans])
+        vals, voffs = self._decode_indices(all_idx)
         out: Dict[bytes, np.ndarray] = {}
-        for i, p in enumerate(prefixes):
-            if hi[i] <= lo[i]:
-                continue
-            vals = self.snap.host_values[
-                self.snap.host_voffs[lo[i]] : self.snap.host_voffs[hi[i]]
-            ]
-            out[p] = np.unique(vals)
+        k0 = 0
+        for p, a, b in spans:
+            k1 = k0 + (b - a)
+            out[p] = np.unique(vals[voffs[k0] : voffs[k1]])
+            k0 = k1
         return out

@@ -167,7 +167,9 @@ def gather_postings(
     L:                static pad length (multiple of 128); values beyond a
                       term's count are UNDEFINED — consumers mask by count.
 
-    Returns (vals (Q, L) uint32, counts (Q,) int32 — clamped to L).
+    Returns (vals (Q, L) uint32, counts (Q,) int32 — RAW, may exceed L;
+    a count > L means the row holds the first L postings and the caller
+    must re-serve at a larger L for exactness).
     """
     assert L % BLOCK == 0
     K = L // BLOCK
@@ -181,7 +183,7 @@ def gather_postings(
     win = words[woff[..., None] + jnp.arange(WIN, dtype=jnp.int32)]  # (Q, K, WIN)
     decode = decode_blocks_ba if byte_aligned else decode_blocks
     vals, _ = decode(win)                      # (Q, K, 128)
-    return vals.reshape(vals.shape[0], K * BLOCK), jnp.minimum(n, L)
+    return vals.reshape(vals.shape[0], K * BLOCK), n
 
 
 def gather_postings_arena(
@@ -195,7 +197,8 @@ def gather_postings_arena(
     (B, stride) matrix at snapshot build. A whole-ROW gather is ~4x faster on
     v5e than the elementwise window gather from the flat words array (rows
     are contiguous vector loads), at a memory cost of stride/avg_block_words.
-    Blocks are byte-aligned (decode_blocks_ba).
+    Blocks are byte-aligned (decode_blocks_ba). Returned counts are RAW (may
+    exceed L — see gather_postings).
     """
     assert L % BLOCK == 0
     K = L // BLOCK
@@ -206,4 +209,4 @@ def gather_postings_arena(
     g = tbs[:, None] + jnp.minimum(k[None, :], jnp.maximum(nb[:, None] - 1, 0))
     win = blocks[g]                             # (Q, K, stride) row gather
     vals, _ = decode_blocks_ba(win)
-    return vals.reshape(vals.shape[0], K * BLOCK), jnp.minimum(n, L)
+    return vals.reshape(vals.shape[0], K * BLOCK), n

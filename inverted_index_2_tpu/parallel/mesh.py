@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import query_engine as qe
 from ..shard import merge_views
@@ -51,6 +51,8 @@ class ShardedSnapshot:
     mesh: Mesh
     width: int
     max_probes: int = 1
+    max_count: int = 0              # longest posting list across partitions
+                                    # (sizes the exact re-serve ladder)
 
     @property
     def n_devices(self) -> int:
@@ -167,6 +169,7 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
         mesh=mesh,
         width=W,
         max_probes=probes,
+        max_count=max(p.max_count for p in parts),
     )
 
 
@@ -176,33 +179,43 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
 
 
 def _local_lookup(keys, blocks, tbs, counts, slots, qkeys, L, max_probes):
-    """Per-device block: answer for owned terms, zero elsewhere."""
-    found, vals, n = qe.lookup_step(
+    """Per-device block: answer for owned terms, zero elsewhere.
+
+    Returns (found, vals, n, raw): n is the served count (clamped to L),
+    raw the term's TRUE posting count — raw > L signals the row was clipped
+    and the caller must re-serve that query at a larger ladder L (same
+    exactness protocol as the single-chip QueryEngine)."""
+    found, vals, n, raw = qe.lookup_step(
         keys[0], blocks[0], tbs[0], counts[0], qkeys, L,
         slots[0], max_probes,
     )
     vals = jnp.where((found & (n > 0))[:, None], vals, jnp.uint32(0))
     n = jnp.where(found, n, 0)
-    return found, vals, n
+    return found, vals, n, raw
 
 
 def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     """Compile the fan-out lookup: queries replicated in, results psum'd over
-    ICI (single owner per term => sum == owner's answer)."""
+    ICI (single owner per term => sum == owner's answer).
+
+    Returns (found, vals, n, raw) per query; raw > L flags truncation (the
+    owning device's true count survives the psum since misses contribute 0).
+    """
     probes = snap.max_probes
 
     def step(keys, blocks, tbs, counts, slots, qkeys):
-        found, vals, n = _local_lookup(keys, blocks, tbs, counts, slots, qkeys, L, probes)
+        found, vals, n, raw = _local_lookup(keys, blocks, tbs, counts, slots, qkeys, L, probes)
         found = jax.lax.psum(found.astype(jnp.int32), SHARD_AXIS) > 0
         vals = jax.lax.psum(vals, SHARD_AXIS)
         n = jax.lax.psum(n, SHARD_AXIS)
-        return found, vals, n
+        raw = jax.lax.psum(raw, SHARD_AXIS)
+        return found, vals, n, raw
 
     mapped = shard_map(
         step,
         mesh=snap.mesh,
         in_specs=(P(SHARD_AXIS),) * 5 + (P(),),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
     )
     jitted = jax.jit(mapped)
 
@@ -215,7 +228,13 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
 def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     """Fan-out boolean queries: per-term postings fetched on the owning
     device, merged by psum, then the set op runs replicated (its inputs are
-    already global)."""
+    already global).
+
+    Returns (out, oc, need): need is the largest TRUE posting count among
+    each query's present terms — need > L means the result may be incomplete
+    and the caller must re-serve that query through a program compiled at a
+    larger ladder L (make_sharded_boolean(snap, L2, op)); mirrors the
+    single-chip boolean_step contract."""
     from ..ops import setops
 
     probes = snap.max_probes
@@ -223,20 +242,27 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     def step(keys, blocks, tbs, counts, slots, qkeys, k_valid):
         Q, K, Wp1 = qkeys.shape
         flat = qkeys.reshape(Q * K, Wp1)
-        found, vals, n = _local_lookup(keys, blocks, tbs, counts, slots, flat, L, probes)
+        found, vals, n, raw = _local_lookup(keys, blocks, tbs, counts, slots, flat, L, probes)
         vals = jax.lax.psum(vals, SHARD_AXIS)
         n = jax.lax.psum(n, SHARD_AXIS)
+        raw = jax.lax.psum(raw, SHARD_AXIS)
         lists = vals.reshape(Q, K, L)
         ncnt = n.reshape(Q, K)
+        kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+        need = jnp.max(
+            jnp.where(kmask, raw.reshape(Q, K), 0), axis=1
+        ).astype(jnp.int32)
         if op == "and":
-            return setops.intersect_many(lists, ncnt, k_valid)
-        return setops.union_many(lists, ncnt, k_valid)
+            out, oc = setops.intersect_many(lists, ncnt, k_valid)
+        else:
+            out, oc = setops.union_many(lists, ncnt, k_valid)
+        return out, oc, need
 
     mapped = shard_map(
         step,
         mesh=snap.mesh,
         in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
     )
     jitted = jax.jit(mapped)
 

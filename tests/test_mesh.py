@@ -46,17 +46,21 @@ def test_sharded_lookup_exact(built, mesh8):
     qk = K.pack_terms(terms, width=snap.width)
     import jax.numpy as jnp2
 
-    found, vals, n = lookup(
+    found, vals, n, raw = lookup(
         snap.keys, snap.blocks, snap.term_block_start, snap.counts,
         jnp2.asarray(qk),
     )
-    found, vals, n = np.asarray(found), np.asarray(vals), np.asarray(n)
+    found, vals, n, raw = (
+        np.asarray(found), np.asarray(vals), np.asarray(n), np.asarray(raw)
+    )
     for i, t in enumerate(terms):
         if t in truth:
             assert found[i], t
+            assert raw[i] == len(truth[t]), t  # true count survives the psum
             assert vals[i, : n[i]].tolist() == sorted(truth[t]), t
         else:
             assert not found[i], t
+            assert raw[i] == 0
 
 
 def test_sharded_boolean_and(built, mesh8):
@@ -76,13 +80,14 @@ def test_sharded_boolean_and(built, mesh8):
     kv = np.full(len(queries), Kk, dtype=np.int32)
     for i, q in enumerate(queries):
         qk[i] = K.pack_terms(q, width=snap.width)
-    out, oc = booland(
+    out, oc, need = booland(
         snap.keys, snap.blocks, snap.term_block_start, snap.counts,
         jnp2.asarray(qk), jnp2.asarray(kv),
     )
-    out, oc = np.asarray(out), np.asarray(oc)
+    out, oc, need = np.asarray(out), np.asarray(oc), np.asarray(need)
     for i, q in enumerate(queries):
         want = sorted(set.intersection(*[truth[t] for t in q]))
+        assert need[i] == max(len(truth[t]) for t in q), q  # trunc signal
         assert out[i, : oc[i]].tolist() == want, q
 
 
@@ -108,7 +113,7 @@ def test_sharded_boolean_or(built, mesh8):
     qk = np.zeros((len(queries), 2, snap.width + 1), dtype=np.uint32)
     for i, q in enumerate(queries):
         qk[i] = K.pack_terms(q, width=snap.width)
-    out, oc = boolor(
+    out, oc, _need = boolor(
         snap.keys, snap.blocks, snap.term_block_start, snap.counts,
         jnp2.asarray(qk), jnp2.asarray(np.full(len(queries), 2, dtype=np.int32)),
     )

@@ -99,11 +99,14 @@ class TestDecode:
             assert np.array_equal(vals[q, : len(want)], want)
 
     def test_long_lists_truncate_to_L(self, rng):
+        """Rows longer than L decode their first L postings; the returned
+        count is RAW (the true length) so callers detect the clip and
+        re-serve at a larger ladder L."""
         lists = [np.unique(rng.integers(0, 2**31, size=5000, dtype=np.uint32))]
         words, flat, tbs, counts = _snapshot_arrays(lists)
         L = 512
         vals, cnts = _jit_gather(words, flat, tbs, counts, jnp.asarray([0], dtype=jnp.int32), L)
-        assert int(cnts[0]) == L
+        assert int(cnts[0]) == len(lists[0])  # raw count, exceeds L
         assert np.array_equal(np.asarray(vals)[0], lists[0][:L])
 
 

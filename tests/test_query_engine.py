@@ -127,7 +127,7 @@ def test_read_range_matches_host(tmp_path, rng):
 
 def test_lookup_longer_than_L_is_exact(tmp_path):
     """Posting lists longer than the engine's pad length L must still return
-    complete results (host-mirror fallback, not silent truncation)."""
+    complete results (device-exact ladder re-serve, not silent truncation)."""
     ii = InvertedIndex(str(tmp_path))
     for v in range(1, 300):  # b"big" accumulates 299 values; L=128 below
         ii.put([b"big", f"f{v:03d}".encode()], v)
@@ -140,8 +140,8 @@ def test_lookup_longer_than_L_is_exact(tmp_path):
 
 
 def test_boolean_longer_than_L_is_exact(tmp_path):
-    """AND/OR over a posting list longer than L must fall back to exact host
-    results, not silently intersect truncated lists."""
+    """AND/OR over a posting list longer than L must re-serve exactly at a
+    larger ladder L, not silently intersect truncated lists."""
     ii = InvertedIndex(str(tmp_path))
     for v in range(1, 300):
         ii.put([b"big", b"other"] if v % 7 == 0 else [b"big"], v)
@@ -233,3 +233,45 @@ def test_refresh_noop_detection(tmp_path):
     ii.put([b"b"], 2)
     assert eng.refresh(ii) is True
     assert eng.lookup([b"b"])[0].tolist() == [2]
+
+
+def test_ladder_multi_level_and_no_host_mirror(tmp_path):
+    """Long lists spanning several ladder levels (L, 8L, ...) serve exactly,
+    fully on device: the snapshot holds NO host mirror of postings/terms."""
+    import numpy as np
+
+    from inverted_index_2_tpu.models.query_engine import snapshot_index
+
+    ii = InvertedIndex(str(tmp_path))
+    widths = {b"w128": 100, b"w1k": 900, b"w8k": 4321}
+    blob_terms = list(widths)
+    for v in range(1, 4322):
+        terms = [t for t, n in widths.items() if v <= n]
+        if terms:
+            ii.put(terms, v)
+    while ii.merge(2, 10000, 2) > 0:
+        pass
+    snap = snapshot_index(ii)
+    assert not hasattr(snap, "host_values")
+    assert snap.max_count == 4321
+    eng = QueryEngine(snap, L=128)
+    assert eng._levels() == [1024, 4352]  # 8*128, then rounded-up max
+    got = eng.lookup(blob_terms)
+    assert got[0].tolist() == list(range(1, 101))
+    assert got[1].tolist() == list(range(1, 901))
+    assert got[2].tolist() == list(range(1, 4322))
+    # boolean across levels
+    res = eng.boolean([[b"w8k", b"w1k"], [b"w8k", b"w128"]], op="and")
+    assert res[0].tolist() == list(range(1, 901))
+    assert res[1].tolist() == list(range(1, 101))
+    res = eng.boolean([[b"w1k", b"w8k"]], op="or")
+    assert res[0].tolist() == list(range(1, 4322))
+    # prefix + range read decode the long rows exactly too (mirror-free)
+    pf = eng.prefix_search([b"w"])
+    assert pf[b"w"].tolist() == list(range(1, 4322))
+    rr = {t: v.tolist() for t, v in eng.read_range(None, None)}
+    assert rr[b"w8k"] == list(range(1, 4322))
+    assert rr[b"w128"] == list(range(1, 101))
+    # memory accounting exists and is host-mirror-free
+    st = eng.stats()
+    assert st["host_bytes"] <= 4 * st["n_terms"]
