@@ -3,13 +3,20 @@
 Headline: batched term-lookup QPS on the device query engine (BASELINE.json
 target: >= 100k batched boolean term queries/sec on one v5e chip;
 vs_baseline = QPS / 100_000). Also measures and reports (in "details"):
-  * ingest terms/sec through the real Put path (target 10M/s)
-  * boolean AND QPS (2-8 terms/query)
-  * posting decode+intersect bandwidth (GB/s)
-  * compression ratio vs analytic delta+bitpack baseline
+  * ingest terms/sec through the real Put path (target 10M/s, best-of-3)
+  * boolean AND/OR QPS (2-8 terms/query) at the default corpus shape AND at
+    BASELINE config 3's mean posting length 1k with L=2048
+    (and_qps_postlen1k / or_qps_postlen1k + the ladder re-serve fraction)
+  * sharded mesh fan-out lookup QPS (shard_map + psum; 1-device mesh on a
+    single chip) — mesh_lookup_qps
+  * compaction postings/sec, posting decode+intersect bandwidth (GB/s),
+    compression ratio vs raw
 
 Env knobs: BENCH_TERMS (default 1_000_000), BENCH_MEAN_POSTLEN (10),
-BENCH_Q (10_000), BENCH_ITERS (20).
+BENCH_Q (10_000), BENCH_ITERS (20), BENCH_DIR (default tmpfs),
+BENCH_MESH=0 to skip the mesh pass. The full config-3/5 corpus
+(10M terms x mean 1k = 10G postings) exceeds one chip's HBM; scale runs
+with BENCH_TERMS/BENCH_MEAN_POSTLEN within your runtime budget.
 """
 from __future__ import annotations
 
@@ -232,7 +239,7 @@ def bench_compaction(n_segments=16, terms_per_seg=50_000):
     from inverted_index_2_tpu import Shard
 
     rng = np.random.default_rng(5)
-    d = tempfile.mkdtemp(prefix="bench_merge_")
+    d = _bench_dir("bench_merge_")
     sh = Shard(os.path.join(d, "0000"))
     width = 10
     for s in range(n_segments):
@@ -262,10 +269,77 @@ def bench_compression(values, voffs):
     return {"compressed_bytes": ours, "raw_bytes": raw, "ratio": round(raw / ours, 2)}
 
 
+def bench_postlen1k(n_terms=200_000, Q=4096, iters=4, L=2048, seed=11):
+    """BASELINE config 3 honest shape: AND/OR over posting lists of MEAN
+    LENGTH 1k (geometric), 2-8 terms per query, L sized to the corpus
+    (2048 covers the bulk; rows past L re-serve via the ladder — the
+    re-serve fraction is reported so the number can't hide truncation).
+    200k terms x mean 1k = ~200M postings (~800MB raw), the largest
+    mean-1k corpus that comfortably fits one v5e chip; the full 10M-term
+    corpus of config 3/5 is a multi-chip (v5e-8) dataset — run
+    BENCH_TERMS=10000000 BENCH_MEAN_POSTLEN=... for scaled variants within
+    your runtime budget."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from inverted_index_2_tpu.models.query_engine import (
+        boolean_step,
+        build_snapshot_arrays,
+    )
+
+    blob, offsets, values, voffs = gen_corpus(n_terms, 1000, seed=seed)
+    t0 = time.monotonic()
+    snap = build_snapshot_arrays(blob, offsets, values, voffs)
+    jax.block_until_ready(snap.keys)
+    build_s = time.monotonic() - t0
+    n = snap.n_terms
+    hk = np.asarray(snap.keys)
+    tables = (snap.keys, snap.blocks, snap.term_block_start, snap.counts)
+    rng = np.random.default_rng(seed + 1)
+
+    @ft.partial(jax.jit, static_argnames=("L", "mp", "op"))
+    def scan_bool(keys, blocks, tbs, counts, slots, staged, kvs, L, mp, op):
+        def body(carry, xs):
+            qk, kv = xs
+            o, oc, need = boolean_step(
+                keys, blocks, tbs, counts, qk, kv, L, op, None, slots, mp
+            )
+            chk = carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0])
+            return chk, jnp.sum((need > L).astype(jnp.int32))
+        return jax.lax.scan(body, jnp.uint32(0), (staged, kvs))
+
+    out = {"postlen1k_n_terms": n, "postlen1k_build_s": round(build_s, 3)}
+    K = 8
+    # 2-8 terms per query (config 3 span), uniformly
+    kvs = rng.integers(2, K + 1, size=(iters, Q)).astype(np.int32)
+    bidx = rng.integers(0, n, size=(iters, Q, K))
+    staged = jnp.asarray(hk[bidx])
+    kvs_d = jnp.asarray(kvs)
+    for op, name in (("and", "and_qps_postlen1k"), ("or", "or_qps_postlen1k")):
+        chk, nres = scan_bool(
+            *tables, snap.hash_slots, staged, kvs_d, L, snap.max_probes, op
+        )
+        jax.block_until_ready(chk)
+        t0 = time.monotonic()
+        chk, nres = scan_bool(
+            *tables, snap.hash_slots, staged, kvs_d, L, snap.max_probes, op
+        )
+        jax.block_until_ready(chk)
+        dt = time.monotonic() - t0
+        out[name] = round(Q * iters / dt)
+        out["postlen1k_reserve_frac"] = round(
+            float(np.asarray(nres).sum()) / (Q * iters), 4
+        )
+    return out
+
+
 def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     """Sharded fan-out lookup over a Mesh of all attached devices (config 4/5
     shape; with one chip this exercises the shard_map + psum path on real
-    hardware). Enabled via BENCH_MESH=1."""
+    hardware). Always on (a 1-device mesh still runs shard_map + psum);
+    disable with BENCH_MESH=0."""
     import jax
     import jax.numpy as jnp
 
@@ -302,10 +376,11 @@ def main():
     blob, offsets, values, voffs = gen_corpus(n_terms, mean_len)
     details = {}
     details.update(bench_query(blob, offsets, values, voffs, Q, iters))
+    details.update(bench_postlen1k())
     details.update(bench_ingest())
     details.update(bench_compaction())
     details.update(bench_compression(values, voffs))
-    if os.environ.get("BENCH_MESH"):
+    if os.environ.get("BENCH_MESH", "1") != "0":
         details.update(bench_mesh(blob, offsets, values, voffs, Q=Q))
 
     out = {

@@ -227,3 +227,37 @@ class TestByteAlignedDecode:
             want = lists[t][:L]
             assert ca[q] == len(want)
             assert np.array_equal(va[q, : len(want)], want), q
+
+
+class TestIntersectSort:
+    def test_sort_path_matches_sets(self, rng):
+        """Large-L intersect takes the sort-based run-length path; fuzz it
+        against Python sets incl. genuine 0xFFFFFFFF members and empty
+        lists."""
+        from inverted_index_2_tpu.ops import setops
+
+        Q, K, L = 48, 5, 1024  # L*L > _BROADCAST_LIMIT -> sort path
+        assert L * L > setops._BROADCAST_LIMIT
+        lists = np.zeros((Q, K, L), np.uint32)
+        counts = np.zeros((Q, K), np.int32)
+        kv = rng.integers(1, K + 1, size=Q).astype(np.int32)
+        want = []
+        for q in range(Q):
+            sets = []
+            for k in range(kv[q]):
+                n = int(rng.integers(0, L + 1))
+                v = np.unique(rng.integers(0, 3000, size=n, dtype=np.uint32))
+                if rng.random() < 0.3:
+                    v = np.unique(
+                        np.concatenate([v, [0xFFFFFFFF]])
+                    ).astype(np.uint32)
+                lists[q, k, : len(v)] = v
+                counts[q, k] = len(v)
+                sets.append(set(v.tolist()))
+            want.append(sorted(set.intersection(*sets)))
+        out, oc = jax.jit(setops.intersect_many)(
+            jnp.asarray(lists), jnp.asarray(counts), jnp.asarray(kv)
+        )
+        out, oc = np.asarray(out), np.asarray(oc)
+        for q in range(Q):
+            assert out[q, : oc[q]].tolist() == want[q], q
