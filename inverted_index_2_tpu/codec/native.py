@@ -114,7 +114,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def encode_bulk(values: np.ndarray, value_offsets: np.ndarray, byte_align: bool = False):
+def encode_bulk(values: np.ndarray, value_offsets: np.ndarray, byte_align: int = 0):
     """Native bulk encode; layout-identical to packing.encode_bulk (numpy)."""
     lib = _load()
     assert lib is not None
@@ -124,11 +124,11 @@ def encode_bulk(values: np.ndarray, value_offsets: np.ndarray, byte_align: bool 
     outs = np.zeros(max(T, 1), dtype=np.int64)
     if T == 0:
         return np.zeros(0, dtype=np.uint32), outs[:0]
-    total = lib.tpi_encode_bulk_size(values, voffs, T, outs, 1 if byte_align else 0)
+    total = lib.tpi_encode_bulk_size(values, voffs, T, outs, int(byte_align))
     if total < 0:
         raise ValueError("encode requires strictly increasing values per list")
     words = np.zeros(total, dtype=np.uint32)
-    lib.tpi_encode_bulk_fill(values, voffs, T, outs, words, 1 if byte_align else 0)
+    lib.tpi_encode_bulk_fill(values, voffs, T, outs, words, int(byte_align))
     return words, outs
 
 

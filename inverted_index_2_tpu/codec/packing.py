@@ -79,17 +79,19 @@ def encode_bulk(values: np.ndarray, value_offsets: np.ndarray, byte_align: bool 
     Dispatches to the native C++ codec when built (bit-identical layout);
     falls back to the vectorized numpy implementation below.
 
-    byte_align=True rounds each block's bit width up to a whole number of
-    bytes (b in {0,8,16,24,32}). Same wire layout (a byte-multiple b is just a
-    particular b), ~15-50% larger, but every delta's bytes land at STATIC
-    word/shift positions — the device decoder then needs no dynamic per-lane
-    gather. Used for the DEVICE snapshot arena only; the on-disk segment
-    codec always stores exact widths (the compression-ratio contract).
+    byte_align rounds each block's bit width up: 1/True -> whole bytes
+    (b in {0,8,16,24,32}), 2 -> power-of-two bytes ({0,8,16,32}; the device
+    arena uses this so the Pallas decoder needs no 24-bit lane layout).
+    Same wire layout either way (a byte-multiple b is just a particular b),
+    ~15-50% larger, but every delta's bytes land at STATIC word/shift
+    positions — the device decoder then needs no dynamic per-lane gather.
+    Used for the DEVICE snapshot arena only; the on-disk segment codec
+    always stores exact widths (the compression-ratio contract).
     """
     from . import native
 
     if native.available() and len(value_offsets) > 1:
-        return native.encode_bulk(values, value_offsets, byte_align)
+        return native.encode_bulk(values, value_offsets, int(byte_align))
     return _encode_bulk_np(values, value_offsets, byte_align)
 
 
@@ -141,6 +143,8 @@ def _encode_bulk_np(values: np.ndarray, value_offsets: np.ndarray, byte_align: b
     b = _bit_length(maxd)  # (B,) in [0, 32]
     if byte_align:
         b = ((b + 7) // 8) * 8 * (b > 0)
+        if int(byte_align) >= 2:
+            b = np.where(b == 24, 32, b)
 
     pw = _packed_words(blen, b)          # packed words per block
     block_words = 2 + pw

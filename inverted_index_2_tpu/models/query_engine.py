@@ -112,7 +112,8 @@ def _expand_arena(wpad, flat, stride: int):
 
 
 def build_snapshot_arrays(
-    blob, offsets, values, voffs, removed=None, width=None, build_hash: bool = True
+    blob, offsets, values, voffs, removed=None, width=None, build_hash: bool = True,
+    stride_align: int = 1,
 ):
     """Lower merged (blob, offsets, values, voffs) arrays to device tables.
 
@@ -127,9 +128,10 @@ def build_snapshot_arrays(
     keys = keys_mod.pack_blob(blob_arr, offsets, width)
     W = keys.shape[1] - 1
 
-    # device arena: byte-aligned widths (static-extraction decode; the
-    # on-disk segment codec keeps exact widths for the compression contract)
-    words, outs = packing.encode_bulk(np.asarray(values, dtype=np.uint32), voffs, byte_align=True)
+    # device arena: power-of-two byte widths {0,8,16,32} (static-extraction
+    # decode in BOTH the XLA and Pallas backends; the on-disk segment codec
+    # keeps exact widths for the compression contract)
+    words, outs = packing.encode_bulk(np.asarray(values, dtype=np.uint32), voffs, byte_align=2)
     if len(words) >= 2**31:
         # block offsets travel as int32 (device-friendly); one snapshot
         # partition beyond 8 GiB of packed words must be sharded instead
@@ -160,6 +162,18 @@ def build_snapshot_arrays(
     blk_words = 2 + packing._packed_words(h_nblk, h_b)
     max_bw = int(blk_words.max()) if len(blk_words) else 3
     stride = max(4, max_bw + 1)
+    # Mosaic DMA slices must be 128-lane aligned: the Pallas decode kernel
+    # needs stride_align=128 (arena rows grow up to ~2x; XLA row gathers are
+    # stride-insensitive, so the compact default stays 1)
+    stride = -(-stride // stride_align) * stride_align
+    if stride_align > 1:
+        # trailing slack rows (all zeros) so the Pallas kernel's (K, stride)
+        # consecutive-row windows stay in bounds for terms near the arena end
+        from ..ops.pallas_decode import SLACK_ROWS
+
+        flat = np.concatenate(
+            [flat, np.full(SLACK_ROWS, len(words), dtype=np.int32)]
+        )
     wpad_dev = jnp.asarray(np.concatenate([words, np.zeros(stride, dtype=np.uint32)]))
     flat_dev = jnp.asarray(flat)
     arena = _expand_arena(wpad_dev, flat_dev, stride)

@@ -31,13 +31,19 @@ inline int64_t packed_words(int64_t n_blk, int64_t b) {
 }
 
 // Width of the largest (delta - 1) in values[s .. s+n_blk) (relative deltas).
+// byte_align: 0 = exact bits (disk codec), 1 = whole bytes {8,16,24,32},
+// 2 = power-of-two bytes {8,16,32} (device arena: the 24-bit class has no
+// repeat-friendly lane layout in Mosaic, so the Pallas decoder excludes it).
 inline int block_width(const uint32_t* v, int64_t n_blk, int32_t byte_align) {
   uint32_t maxd = 0;
   for (int64_t j = 0; j + 1 < n_blk; ++j) {
     maxd |= v[j + 1] - v[j] - 1;  // OR keeps the max bit width
   }
   int b = bit_length(maxd);
-  if (byte_align && b > 0) b = (b + 7) / 8 * 8;
+  if (byte_align && b > 0) {
+    b = (b + 7) / 8 * 8;
+    if (byte_align >= 2 && b == 24) b = 32;
+  }
   return b;
 }
 

@@ -1,38 +1,27 @@
-"""Pallas decode kernel vs jnp decoder (interpret mode on CPU)."""
+"""Pallas decode kernel vs jnp decoder (interpret mode on CPU).
+
+The kernel itself compiles and runs on the real TPU (verified on-chip, see
+PERFORMANCE.md A/B); CI runs it in interpret mode on the CPU platform.
+"""
 import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
-from inverted_index_2_tpu.codec import packing as P
+from inverted_index_2_tpu.models.query_engine import build_snapshot_arrays
 from inverted_index_2_tpu.ops import decode as D
 from inverted_index_2_tpu.ops.pallas_decode import TQ, decode_postings_pallas
 
 
-def _arena(lists):
-    """Build the (B, stride) byte-aligned block arena like the snapshot builder."""
+def _snap(lists, rng):
+    """Pallas-ready snapshot: pow2 arena, 128-aligned stride, slack rows."""
     voffs = np.zeros(len(lists) + 1, dtype=np.int64)
     np.cumsum([len(l) for l in lists], out=voffs[1:])
-    words, outs = P.encode_bulk(np.concatenate(lists), voffs, byte_align=True)
-    counts, nblocks, block_off, block_b = P.scan_term_blocks(words, outs)
-    nb1 = np.maximum(nblocks, 1)
-    tbs = np.zeros(len(lists) + 1, dtype=np.int32)
-    np.cumsum(nb1, out=tbs[1:])
-    flat = np.zeros(tbs[-1], dtype=np.int32)
-    for i in range(len(lists)):
-        flat[tbs[i] : tbs[i] + nb1[i]] = block_off[i, : nb1[i]]
-    col = np.arange(block_off.shape[1])
-    mask = col[None, :] < nb1[:, None]
-    blk_counts = np.minimum(counts[:, None] - col[None, :] * 128, 128)
-    blk_words = 2 + P._packed_words(np.maximum(blk_counts, 0), block_b)
-    stride = max(4, int(blk_words[mask].max()) + 1)
-    wpad = np.concatenate([words, np.zeros(stride, np.uint32)])
-    arena = wpad[flat[:, None] + np.arange(stride)]
-    return (
-        jnp.asarray(arena),
-        jnp.asarray(tbs),
-        jnp.asarray(counts.astype(np.int32)),
+    blob = b"".join(f"t{i:05d}".encode() for i in range(len(lists)))
+    offs = np.arange(len(lists) + 1, dtype=np.int64) * 6
+    return build_snapshot_arrays(
+        blob, offs, np.concatenate(lists), voffs, stride_align=128
     )
 
 
@@ -41,16 +30,48 @@ def test_pallas_decode_matches_jnp(rng):
         np.unique(rng.integers(0, 5_000_000, size=int(s), dtype=np.uint32))
         for s in rng.integers(1, 700, size=48)
     ]
-    arena, tbs, counts = _arena(lists)
+    snap = _snap(lists, rng)
+    assert snap.blocks.shape[1] % 128 == 0
     Q = 4 * TQ
     term_idx = jnp.asarray(rng.integers(0, len(lists), size=Q).astype(np.int32))
     L = 768
-    pv, pc = decode_postings_pallas(arena, tbs, counts, term_idx, L, interpret=True)
-    jv, jc = D.gather_postings_arena(arena, tbs, counts, term_idx, L)
+    pv, pc = decode_postings_pallas(
+        snap.blocks, snap.term_block_start, snap.counts, term_idx, L, interpret=True
+    )
+    jv, jc = D.gather_postings_arena(
+        snap.blocks, snap.term_block_start, snap.counts, term_idx, L
+    )
     pv, pc, jv, jc = map(np.asarray, (pv, pc, jv, jc))
-    assert np.array_equal(pc, jc)
+    assert np.array_equal(pc, jc)  # both RAW counts
     for q in range(Q):
-        assert np.array_equal(pv[q, : pc[q]], jv[q, : jc[q]]), q
+        c = min(int(pc[q]), L)
+        assert np.array_equal(pv[q, :c], jv[q, :c]), q
     for q, t in enumerate(np.asarray(term_idx)):
         want = lists[t][:L]
         assert np.array_equal(pv[q, : len(want)], want), q
+
+
+def test_decode_pow2_mxu_matches_repeat(rng):
+    """The MXU permutation-matmul interleave (Pallas path) is bit-identical
+    to the jnp.repeat interleave across all width classes {0,8,16,32}."""
+    from inverted_index_2_tpu.codec import packing as P
+
+    lists = []
+    for scale in (1, 120, 60_000, 2**24, 2**30):
+        for s in (1, 5, 127, 128, 129, 400):
+            g = rng.integers(1, 2 * scale + 1, size=s, dtype=np.int64)
+            lists.append(np.unique((np.cumsum(g) % 2**32).astype(np.uint32)))
+    voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(l) for l in lists], out=voffs[1:])
+    words, outs = P.encode_bulk(np.concatenate(lists), voffs, byte_align=2)
+    stride = 256
+    win = np.zeros((len(lists), stride), np.uint32)
+    for i, o in enumerate(outs):
+        blk = words[o + 1 : o + 1 + stride]
+        win[i, : len(blk)] = blk
+    v_rep, _ = D.decode_blocks_pow2(jnp.asarray(win), use_mxu=False)
+    v_mxu, _ = D.decode_blocks_pow2(jnp.asarray(win), use_mxu=True)
+    assert np.array_equal(np.asarray(v_rep), np.asarray(v_mxu))
+    for i, l in enumerate(lists):
+        c = min(128, len(l))
+        assert np.array_equal(np.asarray(v_rep)[i, :c], l[:c]), i
