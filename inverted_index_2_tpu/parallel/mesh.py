@@ -272,6 +272,212 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     return call
 
 
+def make_sharded_prefix_ranges(snap: ShardedSnapshot):
+    """Compile the fan-out prefix range search: every device resolves each
+    prefix to its LOCAL dictionary span [lo, hi) (two batched key searches —
+    the mesh analogue of PrefixSearch's per-shard scan start,
+    inverted_index.go:239-285). Returns (lo (D, P), hi (D, P)) to the host;
+    pad rows sort after every real term and any hi-key, so spans never
+    include padding."""
+    from ..models import query_engine as qe
+
+    def step(keys, lo_keys, hi_keys):
+        lo, hi = qe.prefix_range_step(keys[0], lo_keys, hi_keys)
+        return lo[None, :], hi[None, :]
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    jitted = jax.jit(mapped)
+
+    def call(lo_keys, hi_keys):
+        return jitted(snap.keys, lo_keys, hi_keys)
+
+    return call
+
+
+def make_sharded_decode(snap: ShardedSnapshot, L: int):
+    """Compile a device-LOCAL decode-by-index step: each device decodes rows
+    `idx[d]` of ITS partition into (D, M, L) padded posting rows + raw
+    counts. No collective — results stay sharded and the host reads the
+    slices it needs (prefix unions, range reads)."""
+    from ..ops import decode as dec
+
+    def step(blocks, tbs, counts, idx):
+        vals, raw = dec.gather_postings_arena(blocks[0], tbs[0], counts[0], idx[0], L)
+        return vals[None], raw[None]
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS),) * 4,
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    jitted = jax.jit(mapped)
+
+    def call(idx):
+        return jitted(snap.blocks, snap.term_block_start, snap.counts, idx)
+
+    return call
+
+
+def _prefix_keys(prefixes, width: int):
+    from ..codec import keys as keys_mod
+
+    Wp1 = width + 1
+    lo_k = keys_mod.pack_terms(list(prefixes), width=width)
+    hi_k = np.zeros((len(prefixes), Wp1), dtype=np.uint32)
+    for i, p in enumerate(prefixes):
+        padded = p + b"\xff" * (width * 4 - len(p))
+        hi_k[i] = keys_mod.pack_one(padded[: width * 4], width)
+        hi_k[i, -1] = 0xFFFFFFFF
+    return lo_k, hi_k
+
+
+def _decode_spans(snap: ShardedSnapshot, spans, L: int = 1024):
+    """Exactly decode the rows of each span; spans: [(device, lo, hi), ...].
+
+    Returns a list (per span) of lists of value arrays, IN ROW ORDER. Rows
+    are ladder-grouped by their true counts (fetched to host per span — a
+    few KB) so long posting lists are exact, mirroring the single-chip
+    QueryEngine; device batches run through the sharded local-decode step.
+    """
+    from ..models.query_engine import _RESERVE_BUDGET, _ladder
+
+    D = snap.n_devices
+    results = [[None] * max(0, hi - lo) for d, lo, hi in spans]
+    levels = np.array([L] + _ladder(L, snap.max_count), dtype=np.int64)
+    # per-device work items: (partition row, span index, row-in-span, count)
+    work = {d: [] for d in range(D)}
+    for si, (d, lo, hi) in enumerate(spans):
+        if hi <= lo:
+            continue
+        cnts = np.asarray(snap.counts[d, lo:hi]).astype(np.int64)
+        for r in range(hi - lo):
+            work[d].append((lo + r, si, r, int(cnts[r])))
+    by_level = {}
+    for d, items in work.items():
+        for it in items:
+            lv = int(levels[int(np.searchsorted(levels, max(1, it[3])))])
+            by_level.setdefault(lv, {}).setdefault(d, []).append(it)
+    for lv, dev_items in sorted(by_level.items()):
+        dec = make_sharded_decode(snap, lv)
+        M = max(len(v) for v in dev_items.values())
+        qb = max(8, _RESERVE_BUDGET // lv)
+        for c0 in range(0, M, qb):
+            B = min(qb, M - c0)
+            batch = np.zeros((D, B), dtype=np.int32)
+            meta = {}
+            for d, items in dev_items.items():
+                part = items[c0 : c0 + B]
+                for j, (idx, si, r, c) in enumerate(part):
+                    batch[d, j] = idx
+                meta[d] = part
+            vals, _raw = dec(jnp.asarray(batch))
+            vals = np.asarray(vals)
+            for d, part in meta.items():
+                for j, (idx, si, r, c) in enumerate(part):
+                    results[si][r] = vals[d, j, : min(c, lv)].copy()
+    return results
+
+
+def sharded_prefix_search(snap: ShardedSnapshot, prefixes, L: int = 1024):
+    """PrefixSearch over the mesh: device range resolution on every
+    partition (fan-out), device-local ladder decode, host union. Unmatched
+    prefixes absent; values sorted unique (parity with
+    InvertedIndex.prefix_search, inverted_index.go:192-295)."""
+    if not prefixes:
+        return {}
+    lo_k, hi_k = _prefix_keys(prefixes, snap.width)
+    ranges = make_sharded_prefix_ranges(snap)
+    lo, hi = ranges(jnp.asarray(lo_k), jnp.asarray(hi_k))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    spans, span_prefix = [], []
+    for i, p in enumerate(prefixes):
+        for d in range(snap.n_devices):
+            if hi[d, i] > lo[d, i]:
+                spans.append((d, int(lo[d, i]), int(hi[d, i])))
+                span_prefix.append(i)
+    decoded = _decode_spans(snap, spans, L)
+    out = {}
+    for i, p in enumerate(prefixes):
+        parts = [
+            row
+            for si, rows in enumerate(decoded)
+            if span_prefix[si] == i
+            for row in rows
+        ]
+        if parts:
+            out[p] = np.unique(np.concatenate(parts))
+    return out
+
+
+def sharded_read_range(snap: ShardedSnapshot, min_term=None, max_term=None, L: int = 1024):
+    """Globally sorted (term, values) stream over the mesh, [min,max]
+    inclusive. Device partitions are contiguous shard-key ranges, so global
+    order = device order (the concatenation invariant of
+    inverted_index.go:303-339); each device's span resolves and decodes
+    locally. NOTE: partitions split by SHARD KEY, so terms shorter than two
+    bytes (routed to shard 0 regardless of bytes) can yield out of byte
+    order across devices — same caveat as the reference's shard
+    concatenation."""
+    from ..codec import keys as keys_mod
+
+    lo_k, hi_k = _read_range_keys(snap, min_term, max_term)
+    ranges = make_sharded_prefix_ranges(snap)
+    lo, hi = ranges(jnp.asarray(lo_k), jnp.asarray(hi_k))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    for d in range(snap.n_devices):
+        a, b = int(lo[d, 0]), int(hi[d, 0])
+        if b <= a:
+            continue
+        kr = np.asarray(snap.keys[d, a:b])
+        blob, offs = keys_mod.unpack_keys(kr)
+        rows = _decode_spans(snap, [(d, a, b)], L)[0]
+        for j in range(b - a):
+            yield blob[offs[j] : offs[j + 1]].tobytes(), rows[j]
+
+
+def _read_range_keys(snap: ShardedSnapshot, min_term, max_term):
+    """[min, max] inclusive -> one (lo_key, hi_key) search pair.
+
+    hi_key sorts strictly after max_term but before any term extending it
+    (same bytes, longer): pack(max_term) with the length word bumped by one.
+    """
+    from ..codec import keys as keys_mod
+
+    W = snap.width
+    if min_term is None:
+        lo_k = np.zeros((1, W + 1), dtype=np.uint32)
+    else:
+        lo_k = keys_mod.pack_terms([min_term], width=W)
+    if max_term is None:
+        hi_k = np.full((1, W + 1), _PAD_WORD, dtype=np.uint32)  # first pad row
+    else:
+        hi_k = keys_mod.pack_terms([max_term], width=W)
+        hi_k[0, -1] += 1
+    return lo_k, hi_k
+
+
+def partition_stats(snap: ShardedSnapshot) -> dict:
+    """Skew report: per-device real term counts vs the padded Nmax.
+
+    Partitions pad to the LARGEST device's term count (and block count), so
+    an uneven shard-key split wastes HBM and lanes proportional to
+    Nmax/mean(n) — use this to pick shard fanout / device counts."""
+    keys = np.asarray(snap.keys[:, :, -1])
+    n_real = (keys != _PAD_WORD).sum(axis=1)
+    nmax = int(snap.keys.shape[1])
+    return {
+        "n_terms_per_device": n_real.tolist(),
+        "padded_to": nmax,
+        "padding_overhead": round(float(nmax * snap.n_devices / max(1, n_real.sum())), 3),
+    }
+
+
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

@@ -121,3 +121,45 @@ def test_sharded_boolean_or(built, mesh8):
     for i, q in enumerate(queries):
         want = sorted(set.union(*[truth[t] for t in q]))
         assert out[i, : oc[i]].tolist() == want, q
+
+
+def test_sharded_prefix_search(built, mesh8):
+    ii, truth, snap = built
+    want = ii.prefix_search([b"t", bytes([40]), b"zzzz-none"])
+    got = pm.sharded_prefix_search(snap, [b"t", bytes([40]), b"zzzz-none"], L=128)
+    assert set(got.keys()) == set(want.keys())
+    for p in want:
+        assert got[p].tolist() == want[p].tolist(), p
+
+
+def test_sharded_read_range(built, mesh8):
+    ii, truth, snap = built
+    from inverted_index_2_tpu import to_slice
+
+    vocab = sorted(truth.keys())
+    lo, hi = vocab[3], vocab[-5]
+    want = [(tv.term, tv.values.tolist()) for tv in to_slice(ii.read(lo, hi))]
+    got = [(t, v.tolist()) for t, v in pm.sharded_read_range(snap, lo, hi, L=128)]
+    assert got == want
+    want_all = [(tv.term, tv.values.tolist()) for tv in to_slice(ii.read(None, None))]
+    got_all = [(t, v.tolist()) for t, v in pm.sharded_read_range(snap, None, None, L=128)]
+    assert got_all == want_all
+
+
+def test_sharded_long_lists_ladder(tmp_path, mesh8):
+    """A posting list far beyond L must decode exactly on the mesh (ladder
+    re-serve inside _decode_spans) for prefix and range reads."""
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 400):  # 399 values > L=128
+        ii.put([b"xxbig", b"xxsmall"] if v <= 3 else [b"xxbig"], v)
+    while ii.merge(2, 1000, 2) > 0:
+        pass
+    snap = pm.build_sharded_snapshot(ii, mesh8)
+    got = pm.sharded_prefix_search(snap, [b"xx"], L=128)
+    assert got[b"xx"].tolist() == list(range(1, 400))
+    rows = {t: v.tolist() for t, v in pm.sharded_read_range(snap, None, None, L=128)}
+    assert rows[b"xxbig"] == list(range(1, 400))
+    assert rows[b"xxsmall"] == [1, 2, 3]
+    stats = pm.partition_stats(snap)
+    assert sum(1 for n in stats["n_terms_per_device"] if n) >= 1
+    assert stats["padded_to"] >= max(stats["n_terms_per_device"])
