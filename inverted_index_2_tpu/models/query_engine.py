@@ -200,6 +200,38 @@ def build_snapshot_arrays(
     )
 
 
+def _collect_removed(index) -> np.ndarray:
+    parts = [sh.removed_list.values() for sh in index._snapshot()]
+    return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint32)
+
+
+def snapshot_new_segments(
+    index, base_segments: Dict[str, frozenset], width: Optional[int] = None
+) -> Optional[IndexSnapshot]:
+    """Freeze ONLY the segments not in `base_segments` (shard key ->
+    segment-key set): the O(delta) piece of an incremental refresh. Returns
+    None when nothing is new."""
+    from ..segment.registry import Segments
+
+    views, pinned_all = [], []
+    for sh in index._snapshot():
+        pinned = sh.segments.pin_all()
+        pinned_all.append(pinned)
+        base = base_segments.get(sh.get_key(), frozenset())
+        views.extend(
+            s.view for s in pinned if s.view is not None and s.key not in base
+        )
+    try:
+        merged = merge_views(views, None)
+    finally:
+        for pinned in pinned_all:
+            Segments.release(pinned)
+    if merged is None:
+        return None
+    blob, offsets, values, voffs = merged
+    return build_snapshot_arrays(blob, offsets, values, voffs, None, width)
+
+
 def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = None) -> IndexSnapshot:
     """Freeze an InvertedIndex into a device snapshot.
 
@@ -328,6 +360,48 @@ def boolean_step(
     return out, oc, need
 
 
+def boolean_step_dual(
+    keys1, blocks1, tbs1, counts1, slots1,
+    keys2, blocks2, tbs2, counts2, slots2,
+    qkeys1, qkeys2, k_valid, L: int, op: str, removed=None,
+    max_probes1: int = 0, max_probes2: int = 0,
+):
+    """boolean_step over a MAIN + DELTA snapshot pair (incremental refresh):
+    each term's postings are the union of its rows in both snapshots (a term
+    may live in both — same union semantics as the reference's k-way read
+    across segments, types.go:14-22), then the set op runs on the combined
+    (Q, K, 2L) lists. Returns (out (Q, 2L), oc, need) — need sums both
+    snapshots' raw counts, so callers re-serve at a ladder level covering
+    the union."""
+    Q, K, Wp1 = qkeys1.shape
+    flat1 = qkeys1.reshape(Q * K, Wp1)
+    flat2 = qkeys2.reshape(Q * K, qkeys2.shape[-1])
+    idx1, f1 = _resolve(keys1, flat1, slots1, max_probes1)
+    v1, r1 = dec.gather_postings_arena(blocks1, tbs1, counts1, idx1, L)
+    r1 = jnp.where(f1, r1, 0)
+    idx2, f2 = _resolve(keys2, flat2, slots2, max_probes2)
+    v2, r2 = dec.gather_postings_arena(blocks2, tbs2, counts2, idx2, L)
+    r2 = jnp.where(f2, r2, 0)
+    pair = jnp.stack([v1, v2], axis=1)                        # (QK, 2, L)
+    pcnt = jnp.stack([jnp.minimum(r1, L), jnp.minimum(r2, L)], axis=1)
+    u, uc = setops.union_many(pair, pcnt, jnp.full((Q * K,), 2, jnp.int32))
+    lists = u.reshape(Q, K, 2 * L)
+    ncnt = uc.reshape(Q, K)
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+    need = jnp.max(
+        jnp.where(kmask, (r1 + r2).reshape(Q, K), 0), axis=1
+    ).astype(jnp.int32)
+    if op == "and":
+        out, oc = setops.intersect_many(lists, ncnt, k_valid)
+    elif op == "or":
+        out, oc = setops.union_many(lists, ncnt, k_valid)
+    else:
+        raise ValueError(op)
+    if removed is not None and removed.shape[0] > 0:
+        out, oc = setops.filter_removed(out, oc, removed)
+    return out, oc, need
+
+
 def prefix_range_step(keys, lo_keys, hi_keys):
     """Device prefix -> dictionary range [lo, hi) (PrefixSearch kernel).
 
@@ -344,6 +418,9 @@ def prefix_range_step(keys, lo_keys, hi_keys):
 
 _JIT_LOOKUP = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
 _JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op", "max_probes"))
+_JIT_BOOLEAN_DUAL = jax.jit(
+    boolean_step_dual, static_argnames=("L", "op", "max_probes1", "max_probes2")
+)
 _JIT_PREFIX = jax.jit(prefix_range_step)
 _JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
 
@@ -360,6 +437,22 @@ def _index_fingerprint(index, apply_removed: bool):
 
 def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
+
+
+def _narrow_keys(qk: np.ndarray, to_width: int) -> np.ndarray:
+    """Drop trailing key words down to `to_width` (keeping the length word).
+
+    Always safe toward a snapshot whose corpus fits `to_width`: a term
+    longer than to_width*4 bytes cannot exist there, and the preserved
+    length word keeps equality exact for everything else. (The inverse —
+    widening a key that was packed too narrow — would zero-fill bytes the
+    other tier has, producing false negatives; queries must be PACKED at
+    the maximum width across tiers and narrowed per tier.)"""
+    W = qk.shape[-1] - 1
+    if W == to_width:
+        return qk
+    assert W > to_width
+    return np.concatenate([qk[..., :to_width], qk[..., -1:]], axis=-1)
 
 
 # device-memory budget for one re-serve batch (uint32 elements): bounds the
@@ -392,8 +485,14 @@ class QueryEngine:
     queries instead of memory for all of them).
     """
 
+    # delta promotion threshold: a delta larger than this fraction of main
+    # triggers a full rebuild (the LSM analogue of compaction)
+    DELTA_FRACTION = 0.25
+
     def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256):
         self.snap = snapshot
+        self.delta: Optional[IndexSnapshot] = None  # incremental-refresh tier
+        self._removed = snapshot.removed
         self.L = L
         self.q_bucket = q_bucket
         # module-level jit caches: shared across engine instances so fresh
@@ -402,8 +501,14 @@ class QueryEngine:
         self._boolean = _JIT_BOOLEAN
         self._prefix = _JIT_PREFIX
 
+    def _max_count(self) -> int:
+        m = self.snap.max_count
+        if self.delta is not None:
+            m += self.delta.max_count  # union of a term's rows can reach the sum
+        return m
+
     def _levels(self) -> List[int]:
-        return _ladder(self.L, self.snap.max_count)
+        return _ladder(self.L, self._max_count())
 
     def _level_for(self, need: int) -> int:
         for lv in self._levels():
@@ -415,41 +520,96 @@ class QueryEngine:
         """Memory/meta counters for the frozen snapshot (no host mirrors —
         host_counts is the only host-resident array)."""
         s = self.snap
+        d = self.delta
         return {
             "n_terms": s.n_terms,
             "n_postings": int(s.host_counts.sum()) if s.host_counts is not None else 0,
             "max_posting_len": s.max_count,
             "device_bytes": s.device_bytes(),
             "host_bytes": int(s.host_counts.nbytes) if s.host_counts is not None else 0,
+            "delta_terms": 0 if d is None else d.n_terms,
+            "delta_device_bytes": 0 if d is None else d.device_bytes(),
             "ladder": self._levels(),
         }
 
     @classmethod
     def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
-        return cls(snapshot_index(index, apply_removed=apply_removed), L=L, **kw)
+        fp = _index_fingerprint(index, apply_removed)
+        eng = cls(snapshot_index(index, apply_removed=apply_removed), L=L, **kw)
+        eng._fingerprint = fp
+        eng._main_fp = fp
+        return eng
 
     def refresh(self, index, apply_removed: bool = False) -> bool:
         """Re-freeze from the live index (serve/refresh lifecycle: queries
-        keep running against the old snapshot until the swap — snapshots are
-        immutable, so this is safe mid-flight). No-op (returns False) when
-        the index is unchanged since the last freeze. The key width is
-        re-derived from the new corpus: forcing the old width would truncate
-        terms that grew longer (aliasing distinct terms)."""
+        keep running against the old snapshot pair until the swap —
+        snapshots are immutable, so this is safe mid-flight). No-op
+        (returns False) when the index is unchanged since the last freeze.
+
+        INCREMENTAL (O(delta)): when the change is purely ADDITIVE — every
+        segment of the main freeze still lives, tombstones untouched when
+        apply_removed — only the new segments are merged and uploaded as a
+        small DELTA snapshot; the main tables are untouched. A delta beyond
+        DELTA_FRACTION of main, a compaction (segments vanished), or a
+        tombstone change under apply_removed promotes to a full rebuild
+        (the serve-side analogue of LSM compaction). The key width is
+        re-derived from the new corpus on full rebuilds: forcing the old
+        width would truncate terms that grew longer (aliasing distinct
+        terms)."""
         fp = _index_fingerprint(index, apply_removed)
         if fp == getattr(self, "_fingerprint", None):
             return False
+        base_fp = getattr(self, "_fingerprint", None)
+        if base_fp is not None and self._try_delta_refresh(index, base_fp, fp, apply_removed):
+            self._fingerprint = fp
+            return True
         self.snap = snapshot_index(index, apply_removed=apply_removed)
+        self.delta = None
+        self._removed = self.snap.removed
         self._fingerprint = fp
+        self._main_fp = fp
+        return True
+
+    def _try_delta_refresh(self, index, base_fp, fp, apply_removed: bool) -> bool:
+        main_fp = getattr(self, "_main_fp", None)
+        if main_fp is None or main_fp[0] != apply_removed:
+            return False
+        main_shards = {k: (segs, rl) for k, segs, rl in main_fp[1]}
+        new_terms = 0
+        for key, segs, rl in fp[1]:
+            base_segs, base_rl = main_shards.get(key, ((), 0))
+            if not set(base_segs).issubset(segs):
+                return False  # a main segment was merged away: full rebuild
+            if apply_removed and rl != base_rl:
+                return False  # purge baseline changed: full rebuild
+        base_map = {k: frozenset(segs) for k, segs, rl in main_fp[1]}
+        delta = snapshot_new_segments(index, base_map)
+        if delta is None:
+            # nothing new on disk (e.g. only tombstones, not applied) —
+            # still refresh the tombstone array below
+            delta = self.delta
+        else:
+            main_terms = max(1, self.snap.n_terms)
+            if delta.n_terms > self.DELTA_FRACTION * main_terms:
+                return False  # promote: full rebuild folds the delta in
+        self.delta = delta
+        if not apply_removed:
+            self._removed = jnp.asarray(_collect_removed(index))
         return True
 
     # -- exact lookup --------------------------------------------------------
 
     def lookup_device(self, qkeys: jnp.ndarray, filter_removed: bool = False, L: Optional[int] = None):
-        s = self.snap
+        """Raw device step over the MAIN snapshot (bench/power users; the
+        delta tier is a host-level concern — use lookup() for union
+        semantics across both tiers)."""
+        return self._lookup_on(self.snap, qkeys, filter_removed, L)
+
+    def _lookup_on(self, s: IndexSnapshot, qkeys, filter_removed: bool, L: Optional[int] = None):
         return self._lookup(
             s.keys, s.blocks, s.term_block_start, s.counts, qkeys,
             L or self.L, s.hash_slots, s.max_probes,
-            s.removed if filter_removed else None,
+            self._removed if filter_removed else None,
         )
 
     def lookup(
@@ -458,17 +618,35 @@ class QueryEngine:
         """Host convenience: exact postings per term (None for misses).
         filter_removed applies the vectorized tombstone mask per row.
         Terms whose lists exceed L are re-served at a larger ladder L —
-        results are always exact and fully device-decoded."""
+        results are always exact and fully device-decoded. With a delta
+        snapshot live (incremental refresh), a term's result is the union
+        of its rows in both tiers."""
         if not terms:
             return []
-        s = self.snap
+        main = self._exact_rows(self.snap, terms, filter_removed)
+        if self.delta is None:
+            return main
+        dl = self._exact_rows(self.delta, terms, filter_removed)
+        out: List[Optional[np.ndarray]] = []
+        for a, b in zip(main, dl):
+            if a is None:
+                out.append(b)
+            elif b is None:
+                out.append(a)
+            else:
+                out.append(np.union1d(a, b))
+        return out
+
+    def _exact_rows(
+        self, s: IndexSnapshot, terms: Sequence[bytes], filter_removed: bool
+    ) -> List[Optional[np.ndarray]]:
         if s.n_terms == 0:
             return [None] * len(terms)
         Q = _round_up(len(terms), self.q_bucket)
         qk = keys_mod.pack_terms(list(terms), width=s.width)
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
         qk_p = np.concatenate([qk, pad], axis=0)
-        found, vals, n, raw = self.lookup_device(jnp.asarray(qk_p), filter_removed)
+        found, vals, n, raw = self._lookup_on(s, jnp.asarray(qk_p), filter_removed)
         found, vals, n, raw = (
             np.asarray(found), np.asarray(vals), np.asarray(n), np.asarray(raw)
         )
@@ -490,7 +668,7 @@ class QueryEngine:
             B = len(batch)
             bq = np.repeat(qk[batch[-1] : batch[-1] + 1], _round_up(B, 8), axis=0)
             bq[:B] = qk[batch]
-            f2, v2, n2, _ = self.lookup_device(jnp.asarray(bq), filter_removed, L=lv)
+            f2, v2, n2, _ = self._lookup_on(s, jnp.asarray(bq), filter_removed, L=lv)
             v2, n2 = np.asarray(v2), np.asarray(n2)
             for j, i in enumerate(batch):
                 out[i] = v2[j, : n2[j]].copy()
@@ -511,21 +689,39 @@ class QueryEngine:
         s = self.snap
         K = max(len(q) for q in queries)
         Q = _round_up(len(queries), self.q_bucket)
-        Wp1 = s.width + 1
+        # pack at the max width across tiers; narrowed per tier inside run()
+        W = s.width if self.delta is None else max(s.width, self.delta.width)
+        Wp1 = W + 1
         qk = np.zeros((Q, K, Wp1), dtype=np.uint32)
         kv = np.zeros(Q, dtype=np.int32)
         for i, q in enumerate(queries):
-            kt = keys_mod.pack_terms(list(q), width=s.width)
+            kt = keys_mod.pack_terms(list(q), width=W)
             qk[i, : len(q)] = kt
             kv[i] = len(q)
-        if s.n_terms == 0:
+        if s.n_terms == 0 and self.delta is None:
             return [np.zeros(0, np.uint32) for _ in queries]
-        removed = s.removed if filter_removed else None
-        out, oc, need = self._boolean(
-            s.keys, s.blocks, s.term_block_start, s.counts,
-            jnp.asarray(qk), jnp.asarray(kv), self.L, op,
-            removed, s.hash_slots, s.max_probes,
-        )
+        removed = self._removed if filter_removed else None
+
+        def run(lv, qk_sub, kv_sub):
+            """One device pass at pad lv over main (+delta when live)."""
+            if self.delta is None:
+                return self._boolean(
+                    s.keys, s.blocks, s.term_block_start, s.counts,
+                    jnp.asarray(_narrow_keys(qk_sub, s.width)),
+                    jnp.asarray(kv_sub), lv, op,
+                    removed, s.hash_slots, s.max_probes,
+                )
+            d = self.delta
+            return _JIT_BOOLEAN_DUAL(
+                s.keys, s.blocks, s.term_block_start, s.counts, s.hash_slots,
+                d.keys, d.blocks, d.term_block_start, d.counts, d.hash_slots,
+                jnp.asarray(_narrow_keys(qk_sub, s.width)),
+                jnp.asarray(_narrow_keys(qk_sub, d.width)),
+                jnp.asarray(kv_sub),
+                lv, op, removed, s.max_probes, d.max_probes,
+            )
+
+        out, oc, need = run(self.L, qk, kv)
         out, oc, need = np.asarray(out), np.asarray(oc), np.asarray(need)
         results: List[Optional[np.ndarray]] = [None] * len(queries)
         long_idx = [i for i in range(len(queries)) if need[i] > self.L]
@@ -542,11 +738,7 @@ class QueryEngine:
             bkv = np.zeros(B, dtype=np.int32)
             bq[: len(batch)] = qk[batch]
             bkv[: len(batch)] = kv[batch]
-            o2, c2, _ = self._boolean(
-                s.keys, s.blocks, s.term_block_start, s.counts,
-                jnp.asarray(bq), jnp.asarray(bkv), lv, op,
-                removed, s.hash_slots, s.max_probes,
-            )
+            o2, c2, _ = run(lv, bq, bkv)
             o2, c2 = np.asarray(o2), np.asarray(c2)
             for j, i in enumerate(batch):
                 results[i] = o2[j, : c2[j]].copy()
@@ -554,13 +746,13 @@ class QueryEngine:
 
     # -- exact decode by term index (ladder-grouped) --------------------------------
 
-    def _decode_indices(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _decode_indices(self, idx: np.ndarray, s: Optional[IndexSnapshot] = None) -> tuple[np.ndarray, np.ndarray]:
         """Exact postings of dictionary indices `idx`: (values, voffs[n+1]).
 
         Rows are decoded on device in batches grouped by the smallest ladder
         L that fits each row's TRUE count — every posting list is served
         exactly regardless of length (no host posting mirror exists)."""
-        s = self.snap
+        s = s if s is not None else self.snap
         n = len(idx)
         counts = s.host_counts[idx].astype(np.int64)
         voffs = np.zeros(n + 1, dtype=np.int64)
@@ -594,10 +786,31 @@ class QueryEngine:
 
     def read_range(self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None):
         """Sorted (term, values) stream over [min,max] inclusive from the
-        frozen snapshot — device range resolution (two key searches), term
-        bytes reconstructed from the key matrix, postings device-decoded in
-        chunks. Matches InvertedIndex.read() semantics on the frozen state."""
-        s = self.snap
+        frozen snapshot pair — device range resolution (two key searches),
+        term bytes reconstructed from the key matrix, postings
+        device-decoded in chunks. Matches InvertedIndex.read() semantics on
+        the frozen state; with a delta live, the two tiers merge-join by
+        term (values union on ties — types.go:14-22 semantics)."""
+        main = self._read_range_on(self.snap, min_term, max_term)
+        if self.delta is None:
+            yield from main
+            return
+        dl = self._read_range_on(self.delta, min_term, max_term)
+        a = next(main, None)
+        b = next(dl, None)
+        while a is not None or b is not None:
+            if b is None or (a is not None and a[0] < b[0]):
+                yield a
+                a = next(main, None)
+            elif a is None or b[0] < a[0]:
+                yield b
+                b = next(dl, None)
+            else:
+                yield a[0], np.union1d(a[1], b[1])
+                a = next(main, None)
+                b = next(dl, None)
+
+    def _read_range_on(self, s: IndexSnapshot, min_term, max_term):
         if s.n_terms == 0:
             return
         lo = 0 if min_term is None else int(
@@ -617,7 +830,7 @@ class QueryEngine:
             c1 = min(c0 + self._RANGE_CHUNK, hi)
             kr = np.asarray(s.keys[c0:c1])  # fetch only the range's key rows
             blob, offs = keys_mod.unpack_keys(kr)
-            vals, voffs = self._decode_indices(np.arange(c0, c1))
+            vals, voffs = self._decode_indices(np.arange(c0, c1), s)
             for j in range(c1 - c0):
                 yield (
                     blob[offs[j] : offs[j + 1]].tobytes(),
@@ -630,9 +843,17 @@ class QueryEngine:
         """Device range resolution + vectorized union of device-decoded rows.
 
         Parity with InvertedIndex.prefix_search (inverted_index.go:192-295):
-        unmatched prefixes absent; values sorted unique.
+        unmatched prefixes absent; values sorted unique. With a delta live,
+        results union across both tiers.
         """
-        s = self.snap
+        out = self._prefix_on(self.snap, prefixes)
+        if self.delta is None:
+            return out
+        for p, v in self._prefix_on(self.delta, prefixes).items():
+            out[p] = np.union1d(out[p], v) if p in out else v
+        return out
+
+    def _prefix_on(self, s: IndexSnapshot, prefixes) -> Dict[bytes, np.ndarray]:
         if s.n_terms == 0 or not prefixes:
             return {}
         Wp1 = s.width + 1
@@ -652,7 +873,7 @@ class QueryEngine:
         if not spans:
             return {}
         all_idx = np.concatenate([np.arange(a, b) for _, a, b in spans])
-        vals, voffs = self._decode_indices(all_idx)
+        vals, voffs = self._decode_indices(all_idx, s)
         out: Dict[bytes, np.ndarray] = {}
         k0 = 0
         for p, a, b in spans:

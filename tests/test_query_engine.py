@@ -228,10 +228,10 @@ def test_refresh_noop_detection(tmp_path):
     ii = InvertedIndex(str(tmp_path))
     ii.put([b"a"], 1)
     eng = QueryEngine.from_index(ii)
-    assert eng.refresh(ii) is True   # first refresh records the fingerprint
-    assert eng.refresh(ii) is False  # unchanged -> no rebuild
+    assert eng.refresh(ii) is False  # from_index recorded the fingerprint
     ii.put([b"b"], 2)
     assert eng.refresh(ii) is True
+    assert eng.refresh(ii) is False  # unchanged -> no rebuild
     assert eng.lookup([b"b"])[0].tolist() == [2]
 
 
@@ -275,3 +275,80 @@ def test_ladder_multi_level_and_no_host_mirror(tmp_path):
     # memory accounting exists and is host-mirror-free
     st = eng.stats()
     assert st["host_bytes"] <= 4 * st["n_terms"]
+
+
+def test_incremental_refresh_delta(tmp_path):
+    """Additive changes refresh as an O(delta) DELTA snapshot: main tables
+    untouched, results identical to a full rebuild (union across tiers for
+    lookup/boolean/prefix/read_range)."""
+    import numpy as np
+
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 50):
+        ii.put([b"alpha", b"beta", f"t{v:03d}".encode()], v)
+    eng = QueryEngine.from_index(ii, L=128)
+    main_before = eng.snap
+    # additive change: same term gains values, plus a brand-new LONGER term
+    ii.put([b"alpha", b"gamma-very-long-term"], 100)
+    ii.put([b"beta"], 101)
+    assert eng.refresh(ii) is True
+    assert eng.snap is main_before, "main must not rebuild on additive change"
+    assert eng.delta is not None and eng.delta.n_terms == 3
+    # lookup unions across tiers
+    assert eng.lookup([b"alpha"])[0].tolist() == list(range(1, 50)) + [100]
+    assert eng.lookup([b"gamma-very-long-term"])[0].tolist() == [100]
+    # boolean (dual program): AND across a main-only and a both-tier term
+    res = eng.boolean([[b"alpha", b"beta"], [b"alpha", b"gamma-very-long-term"]], op="and")
+    assert res[0].tolist() == list(range(1, 50))  # 100 vs 101 don't intersect
+    assert res[1].tolist() == [100]
+    res = eng.boolean([[b"beta", b"gamma-very-long-term"]], op="or")
+    assert res[0].tolist() == list(range(1, 50)) + [100, 101]
+    # prefix + range read union across tiers
+    assert eng.prefix_search([b"gamma"])[b"gamma"].tolist() == [100]
+    assert eng.prefix_search([b"alpha"])[b"alpha"].tolist() == list(range(1, 50)) + [100]
+    rr = {t: v.tolist() for t, v in eng.read_range(b"alpha", b"beta")}
+    assert rr[b"alpha"] == list(range(1, 50)) + [100]
+    assert rr[b"beta"] == list(range(1, 50)) + [101]
+    assert [t for t, _ in eng.read_range(None, None)] == sorted(
+        [b"alpha", b"beta", b"gamma-very-long-term"] + [f"t{v:03d}".encode() for v in range(1, 50)]
+    )
+    # equivalence with a full rebuild
+    full = QueryEngine.from_index(ii, L=128)
+    assert full.lookup([b"alpha"])[0].tolist() == eng.lookup([b"alpha"])[0].tolist()
+
+    # compaction removes segments -> promotes to a full rebuild
+    while ii.merge(2, 1000, 2) > 0:
+        pass
+    assert eng.refresh(ii) is True
+    assert eng.delta is None
+    assert eng.snap is not main_before
+    assert eng.lookup([b"alpha"])[0].tolist() == list(range(1, 50)) + [100]
+
+
+def test_incremental_refresh_promotes_on_big_delta(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 20):
+        ii.put([f"base{v:03d}".encode()], v)
+    eng = QueryEngine.from_index(ii, L=128)
+    main_before = eng.snap
+    for v in range(1, 20):  # delta as big as main: must promote
+        ii.put([f"newt{v:03d}".encode()], 100 + v)
+    assert eng.refresh(ii) is True
+    assert eng.delta is None and eng.snap is not main_before
+    assert eng.lookup([b"newt005"])[0].tolist() == [105]
+
+
+def test_incremental_refresh_tombstones(tmp_path):
+    """filter_removed sees tombstones added after a delta refresh (the
+    engine-level removed array refreshes even when tables do not)."""
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"k1", b"k2"], 1)
+    ii.put([b"k1"], 2)
+    eng = QueryEngine.from_index(ii, L=128)
+    ii.put([b"k3"], 3)
+    ii.put_removed([1])
+    assert eng.refresh(ii) is True
+    assert eng.lookup([b"k1"], filter_removed=True)[0].tolist() == [2]
+    assert eng.lookup([b"k2"], filter_removed=True)[0] is None or \
+        eng.lookup([b"k2"], filter_removed=True)[0].tolist() == []
+    assert eng.lookup([b"k3"])[0].tolist() == [3]
