@@ -223,8 +223,20 @@ def sort_key_rows(keys: np.ndarray) -> np.ndarray:
     return order[:n]
 
 
-def merge_gather(src: np.ndarray, starts: np.ndarray, counts: np.ndarray, group: np.ndarray):
-    """Single-pass ragged gather of values + group tags (merge hot path)."""
+def merge_gather(
+    src: np.ndarray,
+    starts: np.ndarray,
+    counts: np.ndarray,
+    group: np.ndarray,
+    out_vals: np.ndarray = None,
+    out_groups: np.ndarray = None,
+):
+    """Single-pass ragged gather of values + group tags (merge hot path).
+
+    Callers may pass pre-allocated `out_vals`/`out_groups` (>= total) to
+    reuse staging buffers across merges (the compaction scratch pool in
+    shard.py); the returned arrays are views of them, valid until the next
+    reuse."""
     lib = _load()
     assert lib is not None
     src = np.ascontiguousarray(src, dtype=np.uint32)
@@ -232,11 +244,13 @@ def merge_gather(src: np.ndarray, starts: np.ndarray, counts: np.ndarray, group:
     counts = np.ascontiguousarray(counts, dtype=np.int64)
     group = np.ascontiguousarray(group, dtype=np.int64)
     total = int(counts.sum())
-    out_vals = np.zeros(total, dtype=np.uint32)
-    out_groups = np.zeros(total, dtype=np.int64)
+    if out_vals is None or len(out_vals) < total:
+        out_vals = np.empty(total, dtype=np.uint32)
+    if out_groups is None or len(out_groups) < total:
+        out_groups = np.empty(total, dtype=np.int64)
     if len(starts):
         lib.tpi_merge_gather(src, starts, counts, group, len(starts), out_vals, out_groups)
-    return out_vals, out_groups
+    return out_vals[:total], out_groups[:total]
 
 
 def merge_pairs(vals: np.ndarray, groups: np.ndarray, removed: np.ndarray):

@@ -1,7 +1,8 @@
 """Generic TTL-evicting object pool.
 
 Replaces /root/reference/evictable_pool.go (there: reuses vellum FST builders
-across Put/Merge calls; here: reuses host staging buffers / encoder scratch).
+across Put/Merge calls; here: reuses the compaction staging buffers — see
+shard._MergeScratch / merge_views — shared process-wide across shards).
 A background daemon thread ticks every `max_age` and evicts items idle longer
 than `max_age`; Close() stops the monitor.
 """

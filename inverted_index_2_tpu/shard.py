@@ -35,6 +35,43 @@ from .utils.ragged import ragged_gather
 REMOVED_LIST_FILE = "removed.list"
 
 
+class _MergeScratch:
+    """Reusable compaction staging buffers (values + group tags).
+
+    The gather stage of every merge needs ~12 bytes per input posting of
+    TRANSIENT staging (consumed by the dedupe/purge pass, then dead).
+    Pooled process-wide with TTL eviction — the analogue of the reference
+    sharing one FST-builder pool across all shards' Put/Merge calls
+    (inverted_index.go:344-352, evictable_pool.go)."""
+
+    def __init__(self):
+        self.vals = np.empty(0, dtype=np.uint32)
+        self.groups = np.empty(0, dtype=np.int64)
+
+    def ensure(self, total: int):
+        if len(self.vals) < total:
+            cap = max(total, 2 * len(self.vals))
+            self.vals = np.empty(cap, dtype=np.uint32)
+            self.groups = np.empty(cap, dtype=np.int64)
+        return self.vals, self.groups
+
+
+def _scratch_pool():
+    """Lazy singleton: created on first merge, TTL 10s (the reference's pool
+    TTL, inverted_index.go:346)."""
+    global _SCRATCH_POOL
+    with _SCRATCH_POOL_LOCK:
+        if _SCRATCH_POOL is None:
+            from .evictable_pool import Pool
+
+            _SCRATCH_POOL = Pool(10.0, _MergeScratch)
+        return _SCRATCH_POOL
+
+
+_SCRATCH_POOL = None
+_SCRATCH_POOL_LOCK = threading.Lock()
+
+
 def shard_key(term: bytes) -> str:
     """First 10 bits of the first two term bytes, rendered %04d
     ("0000".."1023"). Terms shorter than 2 bytes map to shard "0000"
@@ -336,11 +373,18 @@ def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
         else np.zeros(0, np.uint32)
     )
     if native.available():
-        flat_vals, flat_groups = native.merge_gather(
-            all_vals, starts_sorted, counts_sorted, group_id
-        )
-        # union + dedupe + tombstone purge in one native pass
-        out_vals, out_groups = native.merge_pairs(flat_vals, flat_groups, rem)
+        pool = _scratch_pool()
+        scratch = pool.get()
+        try:
+            sv, sg = scratch.ensure(int(counts_sorted.sum()))
+            flat_vals, flat_groups = native.merge_gather(
+                all_vals, starts_sorted, counts_sorted, group_id, sv, sg
+            )
+            # union + dedupe + tombstone purge in one native pass; its
+            # outputs are fresh arrays, so the scratch is free afterwards
+            out_vals, out_groups = native.merge_pairs(flat_vals, flat_groups, rem)
+        finally:
+            pool.put(scratch)
         if len(out_vals) == 0:
             return None
     else:

@@ -1,0 +1,146 @@
+"""Sharded differential oracle: mixed merge regimes, exact tombstone
+retention.
+
+The original differential test (test_differential.py) keeps every shard at
+>= 2 segments so purge semantics stay uniform. This oracle models the
+reference's ACTUAL per-shard behavior (shard.go:127-245):
+
+ * one direct segment per (put x touched shard); shard key = first 10 bits
+   of the first two term bytes, short terms -> shard 0 (shard.go:362-378)
+ * merge(req, m): a shard with fewer than `req` segments SKIPS compaction
+   and RETAINS its tombstones (shard.go:130, :149); merged shards purge the
+   union of their live tombstone batches; all-purged output writes nothing
+ * remove(): GC's batches older than every live segment and now
+   (shard.go:84-98), then appends a new batch
+ * reads never apply tombstones
+
+so random workloads can leave shards in NON-uniform states (1-segment
+shards that keep tombstones, empty shards, shards that skipped a round) and
+still be verified exactly — including the merge RETURN COUNTS.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from inverted_index_2_tpu import InvertedIndex, to_slice
+from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+
+def shard_of(term: bytes) -> int:
+    if len(term) < 2:
+        return 0
+    return ((term[0] << 8) | term[1]) >> 6
+
+
+class ShardOracle:
+    def __init__(self):
+        self.clock = 0
+        self.shards = {}  # sid -> {"segs": [(ts, {term: set(vals)})], "batches": [(ts, set)]}
+
+    def _tick(self):
+        self.clock += 1
+        return self.clock
+
+    def _shard(self, sid):
+        return self.shards.setdefault(sid, {"segs": [], "batches": []})
+
+    def put(self, terms, value):
+        groups = {}
+        for t in set(terms):
+            groups.setdefault(shard_of(t), {})[t] = {value}
+        for sid, seg in groups.items():
+            self._shard(sid)["segs"].append((self._tick(), seg))
+
+    def put_removed(self, values):
+        vals = set(values)
+        for sid, sh in self.shards.items():
+            now = self._tick()
+            live = [ts for ts, _ in sh["segs"]]
+            floor = min(live + [now])
+            sh["batches"] = [(ts, b) for ts, b in sh["batches"] if ts >= floor]
+            sh["batches"].append((now, vals))
+
+    def merge(self, req_count: int) -> int:
+        """merge(req, m=all) across shards; returns input segments consumed."""
+        total = 0
+        for sid, sh in self.shards.items():
+            if len(sh["segs"]) < max(2, req_count):
+                continue
+            claimed = sh["segs"]
+            total += len(claimed)
+            tomb = set().union(*[b for _, b in sh["batches"]]) if sh["batches"] else set()
+            merged = {}
+            for _, seg in claimed:
+                for t, vs in seg.items():
+                    merged.setdefault(t, set()).update(vs)
+            merged = {t: vs - tomb for t, vs in merged.items()}
+            merged = {t: vs for t, vs in merged.items() if vs}
+            sh["segs"] = [(self._tick(), merged)] if merged else []
+            # tombstone batches are NOT cleared by merge (reference parity)
+        return total
+
+    def dump(self):
+        out = {}
+        for sh in self.shards.values():
+            for _, seg in sh["segs"]:
+                for t, vs in seg.items():
+                    out.setdefault(t, set()).update(vs)
+        return out
+
+
+def dump(ii):
+    return {tv.term: set(tv.values.tolist()) for tv in to_slice(ii.read(None, None))}
+
+
+@pytest.mark.parametrize("seed", [7, 0xBEEF, 20260816])
+def test_mixed_regime_random_workload(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    ii = InvertedIndex(str(tmp_path))
+    oracle = ShardOracle()
+    # vocabulary spanning many shards, including short (<2 byte) terms that
+    # route to shard 0 regardless of bytes
+    vocab = [
+        bytes(rng.integers(97, 123, size=int(rng.integers(1, 9)), dtype=np.uint8))
+        for _ in range(50)
+    ] + [b"a", b"z", b""]
+    vocab = sorted(set(v for v in vocab if v != b""))
+    value = 0
+    for round_ in range(8):
+        # UNEVEN puts: some shards end up with 1 segment, some with many,
+        # some untouched this round
+        for _ in range(int(rng.integers(1, 6))):
+            value += 1
+            k = int(rng.integers(1, 7))
+            terms = [vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)]
+            ii.put(terms, value)
+            oracle.put(terms, value)
+        assert dump(ii) == oracle.dump(), f"round {round_} post-put"
+
+        if rng.random() < 0.7 and value:
+            doomed = (rng.choice(value, size=min(4, value), replace=False) + 1).tolist()
+            ii.put_removed(doomed)
+            oracle.put_removed(doomed)
+            assert dump(ii) == oracle.dump(), f"round {round_} post-remove"
+
+        # random merge regime: req varies, so some shards skip and RETAIN
+        # tombstones; assert the exact consumed count each pass
+        req = int(rng.integers(2, 5))
+        while True:
+            want = oracle.merge(req)
+            got = ii.merge(req, 100, 3)
+            assert got == want, f"round {round_} merge count (req={req})"
+            if got == 0:
+                break
+        assert dump(ii) == oracle.dump(), f"round {round_} post-merge"
+
+        if round_ % 3 == 2:
+            ii = InvertedIndex(str(tmp_path))
+            assert dump(ii) == oracle.dump(), f"round {round_} reopen"
+
+    # device engine agreement on the final mixed state
+    data = oracle.dump()
+    eng = QueryEngine.from_index(ii, L=256)
+    got = eng.lookup(sorted(data.keys()))
+    for t, g in zip(sorted(data.keys()), got):
+        assert g is not None and set(g.tolist()) == data[t], t

@@ -132,3 +132,49 @@ def test_block_boundary_monotonicity_rejected():
     if native.available():
         with pytest.raises(ValueError):
             native.encode_bulk(v, voffs)
+
+
+def test_compression_ratio_vs_intcomp_oracle(rng):
+    """BASELINE.md contract: disk codec within 10% of the reference's
+    intcomp output, asserted against the wire-level oracle
+    (tests/intcomp_oracle.py) on adversarial distributions."""
+    from intcomp_oracle import bulk_intcomp_size_bytes, intcomp_size_bytes
+
+    def ours_bytes(values, voffs):
+        words, _ = P.encode_bulk(values, voffs)
+        return len(words) * 4
+
+    cases = {}
+    # dense runs: consecutive integers (our delta-1 trick packs these at b=0)
+    cases["dense-runs"] = [np.arange(s, s + 1000, dtype=np.uint32) for s in range(0, 20_000, 1000)]
+    # full 2^32 span, sparse
+    cases["2^32-span"] = [
+        np.unique(rng.integers(0, 2**32 - 1, size=3000, dtype=np.uint32).astype(np.uint32))
+        for _ in range(8)
+    ]
+    # geometric gaps around 1k (config-3 shape)
+    cases["geo-1k"] = [
+        np.unique((np.cumsum(rng.integers(1, 2000, size=1000)) % 2**32).astype(np.uint32))
+        for _ in range(16)
+    ]
+    # small dense universe (heavy duplication of gaps 1-5)
+    cases["small-universe"] = [
+        np.unique(rng.integers(0, 4000, size=900, dtype=np.uint32)) for _ in range(16)
+    ]
+    # block-boundary sizes
+    cases["boundaries"] = [
+        np.unique(rng.integers(0, 10**6, size=s, dtype=np.uint32))
+        for s in (127, 128, 129, 255, 256, 257, 383)
+    ]
+    for name, lists in cases.items():
+        voffs = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum([len(l) for l in lists], out=voffs[1:])
+        values = np.concatenate(lists)
+        ours = ours_bytes(values, voffs)
+        ref = bulk_intcomp_size_bytes(values, voffs)
+        assert ours <= ref * 1.10, (name, ours, ref, ours / ref)
+
+    # single-value lists: fixed per-list overhead dominates; both codecs are
+    # within one word of each other (ours 12B vs model 12B)
+    one = np.array([12345], dtype=np.uint32)
+    assert ours_bytes(one, np.array([0, 1])) <= intcomp_size_bytes(one) + 4

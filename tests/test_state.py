@@ -113,3 +113,28 @@ class TestPool:
         p.close()
         p.put(object())
         assert p.size() == 0
+
+
+def test_merge_uses_scratch_pool(tmp_path):
+    """The evictable pool serves the compaction hot path (reference parity:
+    the FST-builder pool serves Put/Merge, inverted_index.go:344-352):
+    merging draws a scratch from the shared pool and returns it."""
+    import inverted_index_2_tpu.shard as shard_mod
+    from inverted_index_2_tpu import Shard
+    from inverted_index_2_tpu.codec import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("pool wiring is on the native merge path")
+    sh = Shard(str(tmp_path / "s"))
+    sh.put([b"t1", b"t2"], 1)
+    sh.put([b"t2", b"t3"], 2)
+    assert sh.merge(2, 10) == 2
+    pool = shard_mod._scratch_pool()
+    with pool._m:
+        idle = len(pool._list)
+    assert idle >= 1  # scratch was rented and returned
+    scratch = pool.get()
+    assert len(scratch.vals) > 0  # it was grown by the merge
+    pool.put(scratch)
