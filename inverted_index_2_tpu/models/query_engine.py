@@ -460,15 +460,18 @@ def _narrow_keys(qk: np.ndarray, to_width: int) -> np.ndarray:
 _RESERVE_BUDGET = 1 << 24  # 64 MiB of uint32
 
 
-def _ladder(L: int, max_count: int) -> List[int]:
-    """Static L sizes for exact re-serves: L, 8L, 64L, ... capped at the
+def _ladder(L: int, max_count: int, step: int = 4) -> List[int]:
+    """Static L sizes for exact re-serves: L, 4L, 16L, ... capped at the
     corpus' longest posting list (rounded up to a block multiple). A handful
-    of levels => a handful of compiled programs, each reused."""
+    of levels => a handful of compiled programs, each reused (levels compile
+    lazily — only sizes a workload actually hits). Step 4 balances re-serve
+    cost (a clipped query pays ~step/2 x the base pass) against program
+    count; heavy-tailed corpora hit 2-3 levels in practice."""
     levels = []
     cur = L
     top = _round_up(max_count, 128)
     while cur < top:
-        cur = min(cur * 8, top)
+        cur = min(cur * step, top)
         levels.append(cur)
     return levels
 

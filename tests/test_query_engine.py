@@ -255,7 +255,7 @@ def test_ladder_multi_level_and_no_host_mirror(tmp_path):
     assert not hasattr(snap, "host_values")
     assert snap.max_count == 4321
     eng = QueryEngine(snap, L=128)
-    assert eng._levels() == [1024, 4352]  # 8*128, then rounded-up max
+    assert eng._levels() == [512, 2048, 4352]  # 4x steps, rounded-up max
     got = eng.lookup(blob_terms)
     assert got[0].tolist() == list(range(1, 101))
     assert got[1].tolist() == list(range(1, 901))
@@ -352,3 +352,47 @@ def test_incremental_refresh_tombstones(tmp_path):
     assert eng.lookup([b"k2"], filter_removed=True)[0] is None or \
         eng.lookup([b"k2"], filter_removed=True)[0].tolist() == []
     assert eng.lookup([b"k3"])[0].tolist() == [3]
+
+
+def test_refresh_concurrent_with_writers(tmp_path):
+    """Delta refreshes racing live writers + a merger must stay exact: the
+    serve/refresh lifecycle analogue of the reference's goroutine storms
+    (inverted_index_test.go:84-138)."""
+    import threading
+
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"seed"], 1)
+    eng = QueryEngine.from_index(ii, L=128)
+    stop = threading.Event()
+    errors = []
+
+    def writer(base):
+        v = base
+        while not stop.is_set():
+            v += 1
+            ii.put([f"w{base}-{v % 37:02d}".encode()], v)
+
+    def merger():
+        while not stop.is_set():
+            ii.merge(2, 100, 2)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (1000, 2000)]
+    threads.append(threading.Thread(target=merger))
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(15):
+            eng.refresh(ii)  # mixes delta and full rebuilds under churn
+            got = eng.lookup([b"seed"])[0]
+            assert got is not None and got.tolist() == [1]
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    # final: a quiesced refresh matches the host read exactly
+    eng.refresh(ii)
+    host = {tv.term: tv.values.tolist() for tv in to_slice(ii.read(None, None))}
+    terms = sorted(host.keys())
+    got = eng.lookup(terms)
+    for t, g in zip(terms, got):
+        assert g is not None and g.tolist() == host[t], t
