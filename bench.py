@@ -335,6 +335,43 @@ def bench_postlen1k(n_terms=200_000, Q=4096, iters=4, L=2048, seed=11):
     return out
 
 
+def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api"):
+    """END-TO-END QueryEngine.boolean throughput: includes Python-side query
+    packing, dispatch, result download, and exact ladder re-serves of
+    clipped queries — the number a user of the public API sees (the scan
+    benches above isolate kernel throughput)."""
+    import jax
+
+    from inverted_index_2_tpu.models.query_engine import (
+        QueryEngine,
+        build_snapshot_arrays,
+    )
+
+    snap = build_snapshot_arrays(blob, offsets, values, voffs)
+    jax.block_until_ready(snap.keys)
+    eng = QueryEngine(snap, L=L, q_bucket=Q)
+    # reconstruct term bytes for query sampling
+    from inverted_index_2_tpu.codec.keys import unpack_keys
+
+    kb, ko = unpack_keys(np.asarray(snap.keys[:: max(1, snap.n_terms // 50_000)]))
+    terms = [kb[ko[i] : ko[i + 1]].tobytes() for i in range(len(ko) - 1)]
+    rng = np.random.default_rng(13)
+    batches = []
+    for _ in range(iters):
+        qs = []
+        for _ in range(Q):
+            k = int(rng.integers(2, 9))
+            qs.append([terms[i] for i in rng.choice(len(terms), size=k, replace=False)])
+        batches.append(qs)
+    for qs in batches:  # warm pass: compile every size-class program hit
+        eng.boolean(qs, op="and")
+    t0 = time.monotonic()
+    for qs in batches:
+        eng.boolean(qs, op="and")
+    dt = time.monotonic() - t0
+    return {f"{name}_and_qps": round(Q * iters / dt)}
+
+
 def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     """Sharded fan-out lookup over a Mesh of all attached devices (config 4/5
     shape; with one chip this exercises the shard_map + psum path on real
@@ -376,7 +413,10 @@ def main():
     blob, offsets, values, voffs = gen_corpus(n_terms, mean_len)
     details = {}
     details.update(bench_query(blob, offsets, values, voffs, Q, iters))
+    details.update(bench_api(blob, offsets, values, voffs))
     details.update(bench_postlen1k())
+    b2 = gen_corpus(200_000, 1000, seed=11)
+    details.update(bench_api(*b2, Q=1024, iters=2, L=2048, name="api_postlen1k"))
     details.update(bench_ingest())
     details.update(bench_compaction())
     details.update(bench_compression(values, voffs))

@@ -424,14 +424,22 @@ _JIT_BOOLEAN_DUAL = jax.jit(
 _JIT_PREFIX = jax.jit(prefix_range_step)
 _JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
 
+from ..ops import concat_bool as _cb
+
+_JIT_RESOLVE = jax.jit(_cb.resolve_step, static_argnames=("max_probes",))
+_JIT_CONCAT_BOOL = jax.jit(_cb.boolean_concat_step, static_argnames=("SB", "op"))
+_JIT_FILTER = jax.jit(setops.filter_removed)
+
 
 def _index_fingerprint(index, apply_removed: bool):
     """Cheap identity of the index's visible state (segment keys + tombstone
-    batch counts per shard) for refresh no-op detection."""
+    batch counts per shard) for refresh no-op detection. Tombstone counts are
+    ALWAYS part of the identity: even without apply_removed they feed the
+    engine's filter_removed array, so a tombstone-only change must refresh."""
     parts = []
     for sh in index._snapshot():
         segs = tuple(s.key for s in sh.segments.snapshot())
-        parts.append((sh.get_key(), segs, len(sh.removed_list) if apply_removed else 0))
+        parts.append((sh.get_key(), segs, len(sh.removed_list)))
     return (apply_removed, tuple(parts))
 
 
@@ -650,9 +658,7 @@ class QueryEngine:
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
         qk_p = np.concatenate([qk, pad], axis=0)
         found, vals, n, raw = self._lookup_on(s, jnp.asarray(qk_p), filter_removed)
-        found, vals, n, raw = (
-            np.asarray(found), np.asarray(vals), np.asarray(n), np.asarray(raw)
-        )
+        found, vals, n, raw = jax.device_get((found, vals, n, raw))
         out: List[Optional[np.ndarray]] = [None] * len(terms)
         long_idx = []
         for i in range(len(terms)):
@@ -672,7 +678,8 @@ class QueryEngine:
             bq = np.repeat(qk[batch[-1] : batch[-1] + 1], _round_up(B, 8), axis=0)
             bq[:B] = qk[batch]
             f2, v2, n2, _ = self._lookup_on(s, jnp.asarray(bq), filter_removed, L=lv)
-            v2, n2 = np.asarray(v2), np.asarray(n2)
+            n2 = np.asarray(n2)
+            v2 = np.asarray(v2[:, : max(1, int(n2.max(initial=0)))])
             for j, i in enumerate(batch):
                 out[i] = v2[j, : n2[j]].copy()
         return out
@@ -695,15 +702,22 @@ class QueryEngine:
         # pack at the max width across tiers; narrowed per tier inside run()
         W = s.width if self.delta is None else max(s.width, self.delta.width)
         Wp1 = W + 1
+        # ONE pack over the flattened terms (a per-query pack_terms loop was
+        # Python-bound on this 1-vCPU host at 10k-query batches)
         qk = np.zeros((Q, K, Wp1), dtype=np.uint32)
-        kv = np.zeros(Q, dtype=np.int32)
-        for i, q in enumerate(queries):
-            kt = keys_mod.pack_terms(list(q), width=W)
-            qk[i, : len(q)] = kt
-            kv[i] = len(q)
+        kv = np.array([len(q) for q in queries] + [0] * (Q - len(queries)), dtype=np.int32)
+        flat_terms = [t for q in queries for t in q]
+        packed = keys_mod.pack_terms(flat_terms, width=W)
+        rows = np.repeat(np.arange(len(queries)), kv[: len(queries)])
+        cols = np.concatenate([np.arange(k) for k in kv[: len(queries)]]) if flat_terms else np.zeros(0, np.int64)
+        qk[rows, cols] = packed
         if s.n_terms == 0 and self.delta is None:
             return [np.zeros(0, np.uint32) for _ in queries]
         removed = self._removed if filter_removed else None
+        if self.delta is None:
+            # steady state: concat-decode path — work proportional to each
+            # query's TOTAL posting count, no truncation/re-serve at all
+            return self._boolean_concat(queries, qk, kv, op, removed)
 
         def run(lv, qk_sub, kv_sub):
             """One device pass at pad lv over main (+delta when live)."""
@@ -725,7 +739,10 @@ class QueryEngine:
             )
 
         out, oc, need = run(self.L, qk, kv)
-        out, oc, need = np.asarray(out), np.asarray(oc), np.asarray(need)
+        # ONE device_get per round trip: separate np.asarray calls each pay
+        # the tunnel RPC latency (~30ms); the base-pass matrix is small
+        # enough to ship untrimmed in the same fetch
+        out, oc, need = jax.device_get((out, oc, need))
         results: List[Optional[np.ndarray]] = [None] * len(queries)
         long_idx = [i for i in range(len(queries)) if need[i] > self.L]
         for i in range(len(queries)):
@@ -742,9 +759,97 @@ class QueryEngine:
             bq[: len(batch)] = qk[batch]
             bkv[: len(batch)] = kv[batch]
             o2, c2, _ = run(lv, bq, bkv)
-            o2, c2 = np.asarray(o2), np.asarray(c2)
+            # big-L re-serves DO trim before download (the padded matrix can
+            # be tens of MB; results are narrow): one small fetch for counts,
+            # one for the populated prefix
+            c2 = np.asarray(c2)
+            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
             for j, i in enumerate(batch):
                 results[i] = o2[j, : c2[j]].copy()
+        return results
+
+    # size classes for the concat path: total-block budgets per query.
+    # Geometric x4 keeps compiled programs few; each class pays only its own
+    # real volume (SB*128 values sorted per query).
+    _SB_CLASSES = (8, 32, 128, 512, 2048, 8192, 32768)
+
+    def _boolean_concat(self, queries, qk, kv, op: str, removed):
+        """Exact AND/OR sized by each query's REAL total postings:
+        resolve counts (cheap pass), group queries into total-block classes,
+        then one concat-decode + sort + run-length reduction per class
+        (ops/concat_bool.py). No padding to the longest list, no re-serve."""
+        s = self.snap
+        nq = len(queries)
+        K = qk.shape[1]
+        idx, found, raw = _JIT_RESOLVE(
+            s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
+        )
+        idx_h, found_h, raw_h = jax.device_get((idx, found, raw))
+        sb_q = np.minimum(
+            -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
+        ).sum(axis=1)
+        results: List[Optional[np.ndarray]] = [None] * nq
+        order = np.argsort(sb_q, kind="stable")
+        stride = int(s.blocks.shape[1])
+        pos = 0
+        # phase 1: dispatch every class chunk (async); B pads to a power of
+        # two so compiled shapes repeat across batches
+        dispatches = []  # (query indices, out_dev, oc_dev)
+        for SB in self._SB_CLASSES:
+            hi = int(np.searchsorted(sb_q[order], SB, side="right"))
+            members = order[pos:hi]
+            pos = hi
+            if not len(members):
+                continue
+            qb = max(8, (_RESERVE_BUDGET // (SB * max(stride, 128))) // 8 * 8)
+            for c0 in range(0, len(members), qb):
+                batch = members[c0 : c0 + qb]
+                B = 8
+                while B < len(batch):
+                    B *= 2
+                bi = np.zeros((B, K), dtype=np.int32)
+                bf = np.zeros((B, K), dtype=bool)
+                bkv = np.zeros(B, dtype=np.int32)
+                bi[: len(batch)] = idx_h[batch]
+                bf[: len(batch)] = found_h[batch]
+                bkv[: len(batch)] = kv[batch]
+                out, oc = _JIT_CONCAT_BOOL(
+                    s.blocks, s.term_block_start, s.counts,
+                    jnp.asarray(bi), jnp.asarray(bf), jnp.asarray(bkv),
+                    SB, op,
+                )
+                if removed is not None and removed.shape[0] > 0:
+                    out, oc = _JIT_FILTER(out, oc, removed)
+                dispatches.append((batch, out, oc))
+            if pos >= nq:
+                break
+        # phase 2: ONE pipelined fetch of all counts, then one of all
+        # trimmed result prefixes (each device_get issues every async copy
+        # before blocking — sequential np.asarray would pay the tunnel RPC
+        # per array)
+        ocs = jax.device_get([d[2] for d in dispatches])
+        trimmed = [
+            d[1][:, : max(1, int(o.max(initial=0)))] for d, o in zip(dispatches, ocs)
+        ]
+        outs = jax.device_get(trimmed)
+        for (batch, _, _), oc, out in zip(dispatches, ocs, outs):
+            for j, qi in enumerate(batch):
+                results[qi] = out[j, : oc[j]].copy()
+        # queries beyond the largest class (pathological): process singly at
+        # their exact block budget rounded up
+        for qi in order[pos:]:
+            SB = int(_round_up(int(sb_q[qi]), 8))
+            bi = np.repeat(idx_h[qi : qi + 1], 8, axis=0).astype(np.int32)
+            bf = np.repeat(found_h[qi : qi + 1], 8, axis=0)
+            bkv = np.full(8, kv[qi], dtype=np.int32)
+            out, oc = _JIT_CONCAT_BOOL(
+                s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(bi), jnp.asarray(bf), jnp.asarray(bkv), SB, op,
+            )
+            if removed is not None and removed.shape[0] > 0:
+                out, oc = _JIT_FILTER(out, oc, removed)
+            oc = np.asarray(oc)
+            results[qi] = np.asarray(out[0, : oc[0]]).copy()
         return results
 
     # -- exact decode by term index (ladder-grouped) --------------------------------
@@ -777,9 +882,10 @@ class QueryEngine:
                 v, _ = _JIT_DECODE(
                     s.blocks, s.term_block_start, s.counts, jnp.asarray(bi), lv
                 )
-                v = np.asarray(v)[: len(ss)]
-                m = np.arange(lv, dtype=np.int64)[None, :] < counts[ss][:, None]
-                dst = (voffs[ss][:, None] + np.arange(lv, dtype=np.int64)[None, :])[m]
+                w = min(max(1, int(counts[ss].max())), lv)
+                v = np.asarray(v[: len(ss), :w])
+                m = np.arange(w, dtype=np.int64)[None, :] < counts[ss][:, None]
+                dst = (voffs[ss][:, None] + np.arange(w, dtype=np.int64)[None, :])[m]
                 flat[dst] = v[m]
         return flat, voffs
 

@@ -1,0 +1,144 @@
+"""Concat-decode boolean queries: work proportional to REAL posting data.
+
+The padded formulation (boolean_step: decode each of K terms to a fixed
+(Q, K, L) matrix, then set-op) pays K*L_pad per query, where L_pad must
+cover the LONGEST list — brutal for heavy-tailed corpora (BASELINE config 3,
+mean posting length 1k): most of the sorted volume is padding, and clipped
+queries re-serve at an even larger pad.
+
+This formulation sizes each query by its TOTAL posting count instead:
+
+  1. resolve_step (cheap, no decode): term -> dictionary index + raw counts
+  2. the host groups queries into total-BLOCK classes SB (few static shapes)
+  3. boolean_concat_step: each query's block rows — CONSECUTIVE per term in
+     the arena — are laid out contiguously into (Q, SB) slots (term-of-slot
+     resolved by a K-step static select, no gathers), decoded in one row
+     gather, masked to real lanes, sorted ONCE at (Q, SB*128), and reduced
+     by run length: a value appears exactly as many times as lists that
+     contain it (lists are sorted-unique), so
+        AND: run length == k_valid      OR: first of run
+     (the same trick as setops._intersect_sort, over concat instead of pad).
+
+Exactness is unconditional — there is no truncation and no re-serve; a
+query whose lists total 5k postings sorts ~5k+slack values regardless of
+its longest list. Genuine 0xFFFFFFFF members are handled like
+setops.union_many (they are bit-identical to padding at the count boundary).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 128
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def resolve_step(keys, counts, qkeys, slots=None, max_probes: int = 0):
+    """Batched term resolution only: (idx (Q,K), found (Q,K), raw (Q,K)).
+
+    qkeys: (Q, K, W+1). No posting decode — this is the cheap first pass
+    whose raw counts let the host pick each query's size class."""
+    from . import dict_search as ds
+
+    Q, K, Wp1 = qkeys.shape
+    flat = qkeys.reshape(Q * K, Wp1)
+    if slots is not None:
+        idx, found = ds.hash_lookup_rows(keys, slots, flat, max_probes)
+    else:
+        idx, found = ds.lookup_rows(keys, flat)
+    raw = jnp.where(found, counts[idx], 0)
+    return idx.reshape(Q, K), found.reshape(Q, K), raw.reshape(Q, K)
+
+
+def boolean_concat_step(
+    blocks, term_block_start, counts,
+    idx, found, k_valid, SB: int, op: str,
+):
+    """Set op over each query's CONCATENATED decoded lists.
+
+    blocks/term_block_start/counts: snapshot arena tables.
+    idx/found: (Q, K) from resolve_step. k_valid: (Q,).
+    SB: static total-block budget per query (callers group queries so that
+    every query's blocks fit: sum_k ceil(raw_k/128) <= SB).
+
+    Returns (out (Q, S=SB*128) compacted ascending, oc (Q,)).
+    """
+    Q, K = idx.shape
+    S = SB * BLOCK
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+    live = found & kmask
+    cnt = jnp.where(live, counts[idx], 0)            # (Q, K) raw counts
+    nb = (cnt + BLOCK - 1) // BLOCK                   # blocks per term
+    cum = jnp.concatenate(
+        [jnp.zeros((Q, 1), jnp.int32), jnp.cumsum(nb, axis=1, dtype=jnp.int32)],
+        axis=1,
+    )                                                 # (Q, K+1)
+    tbs = term_block_start[idx]                       # (Q, K)
+
+    s_idx = jnp.arange(SB, dtype=jnp.int32)[None, :]  # (1, SB)
+    # term of each slot: j = #(cum[1..K] <= s); static K-step selects for the
+    # per-slot term attributes (no dynamic gathers)
+    j_of = jnp.zeros((Q, SB), jnp.int32)
+    for k in range(1, K):
+        j_of = j_of + (s_idx >= cum[:, k : k + 1]).astype(jnp.int32)
+    cum_j = jnp.zeros((Q, SB), jnp.int32)
+    tbs_j = jnp.zeros((Q, SB), jnp.int32)
+    cnt_j = jnp.zeros((Q, SB), jnp.int32)
+    for k in range(K):
+        sel = j_of == k
+        cum_j = jnp.where(sel, cum[:, k : k + 1], cum_j)
+        tbs_j = jnp.where(sel, tbs[:, k : k + 1], tbs_j)
+        cnt_j = jnp.where(sel, cnt[:, k : k + 1], cnt_j)
+    in_use = s_idx < cum[:, K:]                       # slot holds a real block
+    bit = s_idx - cum_j                               # block index within term
+    rows = jnp.where(in_use, tbs_j + bit, 0)
+
+    from .decode import decode_blocks_ba
+
+    win = blocks[rows]                                # (Q, SB, stride)
+    vals, _ = decode_blocks_ba(win)                   # (Q, SB, 128)
+    lanes = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+    vl = jnp.clip(cnt_j - bit * BLOCK, 0, BLOCK)      # valid lanes per block
+    mask = in_use[..., None] & (lanes < vl[..., None])
+    flat = jnp.where(mask, vals, SENTINEL).reshape(Q, S)
+    svals = jnp.sort(flat, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((Q, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
+    )
+    if op == "and":
+        keep = jnp.zeros((Q, S), dtype=bool)
+        for j in range(K):  # j = k_valid - 1 (static shifts, no gathers)
+            shifted = (
+                svals
+                if j == 0
+                else jnp.concatenate(
+                    [svals[:, j:], jnp.full((Q, j), SENTINEL, dtype=svals.dtype)],
+                    axis=1,
+                )
+            )
+            keep = jnp.where((k_valid == j + 1)[:, None], shifted == svals, keep)
+        keep &= first & (svals != SENTINEL)
+        # genuine 0xFFFFFFFF in every valid list: it is each list's LAST
+        # value, i.e. lane (cnt-1)%128 of block (nb-1); test via the decoded
+        # matrix (one tiny (Q, K) gather)
+        last_slot = jnp.maximum(cum[:, 1:] - 1, 0)    # (Q, K) slot of last block
+        last_lane = jnp.maximum((cnt - 1) % BLOCK, 0)
+        last_val = jnp.take_along_axis(
+            vals.reshape(Q, S),
+            (last_slot * BLOCK + last_lane).astype(jnp.int32),
+            axis=1,
+        )
+        has_ff = (cnt > 0) & (last_val == SENTINEL)
+        ff_all = jnp.all(has_ff | ~live, axis=1) & (k_valid > 0) & jnp.any(live, axis=1)
+        # an absent REQUIRED term voids the AND entirely
+        any_missing = jnp.any(kmask & ~found, axis=1)
+        keep &= ~any_missing[:, None]
+        ff_all &= ~any_missing
+        oc = (jnp.sum(keep, axis=1) + ff_all.astype(jnp.int32)).astype(jnp.int32)
+    else:  # or
+        n_valid = jnp.sum(mask.reshape(Q, S), axis=1).astype(jnp.int32)
+        in_region = jnp.arange(S, dtype=jnp.int32)[None, :] < n_valid[:, None]
+        keep = first & in_region
+        oc = jnp.sum(keep, axis=1).astype(jnp.int32)
+    out = jnp.sort(jnp.where(keep, svals, SENTINEL), axis=1)
+    return out, oc

@@ -396,3 +396,46 @@ def test_refresh_concurrent_with_writers(tmp_path):
     got = eng.lookup(terms)
     for t, g in zip(terms, got):
         assert g is not None and g.tolist() == host[t], t
+
+
+def test_boolean_concat_fuzz(tmp_path, rng):
+    """Fuzz the concat-decode boolean path (work sized by real postings):
+    mixed list lengths spanning several block classes, missing terms,
+    genuine 0xFFFFFFFF members, 1..6-term queries, AND + OR, with and
+    without tombstone filtering."""
+    ii = InvertedIndex(str(tmp_path))
+    truth = {}
+    vocab = []
+    for i in range(30):
+        t = f"t{i:02d}".encode()
+        vocab.append(t)
+        n = int(rng.integers(1, 700))
+        vals = np.unique(rng.integers(0, 5000, size=n, dtype=np.uint32))
+        if i % 7 == 0:
+            vals = np.unique(np.concatenate([vals, [0xFFFFFFFF]])).astype(np.uint32)
+        truth[t] = set(int(v) for v in vals)
+        for v in vals:
+            ii.put([t], int(v))
+    while ii.merge(2, 10000, 2) > 0:
+        pass
+    eng = QueryEngine.from_index(ii, L=128)
+    queries = []
+    for _ in range(40):
+        k = int(rng.integers(1, 7))
+        q = [vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)]
+        if rng.random() < 0.2:
+            q[-1] = b"missing-term"
+        queries.append(q)
+    for op in ("and", "or"):
+        got = eng.boolean(queries, op=op)
+        for q, g in zip(queries, got):
+            sets = [truth.get(t, set()) for t in q]
+            want = set.intersection(*sets) if op == "and" else set.union(*sets)
+            assert g.tolist() == sorted(want), (op, q)
+    rm = [int(v) for v in rng.integers(0, 5000, size=50)]
+    ii.put_removed(rm)
+    eng.refresh(ii)
+    got = eng.boolean(queries[:10], op="or", filter_removed=True)
+    for q, g in zip(queries[:10], got):
+        want = set.union(*[truth.get(t, set()) for t in q]) - set(rm)
+        assert g.tolist() == sorted(want), q
