@@ -272,6 +272,144 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     return call
 
 
+def make_sharded_boolean_concat(snap: ShardedSnapshot, SB: int, op: str):
+    """Concat-decode boolean over the mesh (the exact-any-length formulation
+    of ops/concat_bool.py, distributed): each device resolves and decodes
+    ONLY the terms it owns into its (Q, SB*128) concat slice, the slices
+    all_gather over ICI, and the run-length reduction (AND: run == k_valid;
+    OR: run starts) runs replicated on the (Q, D*SB*128) sorted concat.
+
+    SB: per-DEVICE total-block budget (every device's owned blocks for one
+    query must fit). Exact for any posting length — no truncation signal
+    needed, unlike make_sharded_boolean's padded-L formulation.
+    Returns call(qkeys (Q,K,W+1), k_valid (Q,)) -> (out (Q, S_out), oc).
+    """
+    from ..ops import concat_bool as cb
+    from ..ops import dict_search as ds
+    from ..ops.decode import decode_blocks_ba
+
+    probes = snap.max_probes
+    D = snap.mesh.shape[SHARD_AXIS]
+    BLOCK = 128
+
+    def step(keys, blocks, tbs_arr, counts, slots, qkeys, k_valid):
+        Q, K, Wp1 = qkeys.shape
+        flat = qkeys.reshape(Q * K, Wp1)
+        idx, found = ds.hash_lookup_rows(keys[0], slots[0], flat, probes)
+        idx = idx.reshape(Q, K)
+        found = found.reshape(Q, K)
+        kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+        live = found & kmask
+        cnt = jnp.where(live, counts[0][idx], 0)
+        nb = (cnt + BLOCK - 1) // BLOCK
+        cum = jnp.concatenate(
+            [jnp.zeros((Q, 1), jnp.int32), jnp.cumsum(nb, axis=1, dtype=jnp.int32)],
+            axis=1,
+        )
+        tbs_q = tbs_arr[0][idx]
+        s_idx = jnp.arange(SB, dtype=jnp.int32)[None, :]
+        j_of = jnp.zeros((Q, SB), jnp.int32)
+        for k in range(1, K):
+            j_of = j_of + (s_idx >= cum[:, k : k + 1]).astype(jnp.int32)
+        cum_j = jnp.zeros((Q, SB), jnp.int32)
+        tbs_j = jnp.zeros((Q, SB), jnp.int32)
+        cnt_j = jnp.zeros((Q, SB), jnp.int32)
+        for k in range(K):
+            sel = j_of == k
+            cum_j = jnp.where(sel, cum[:, k : k + 1], cum_j)
+            tbs_j = jnp.where(sel, tbs_q[:, k : k + 1], tbs_j)
+            cnt_j = jnp.where(sel, cnt[:, k : k + 1], cnt_j)
+        in_use = s_idx < cum[:, K:]
+        bit = s_idx - cum_j
+        rows = jnp.where(in_use, tbs_j + bit, 0)
+        vals, _ = decode_blocks_ba(blocks[0][rows])
+        lanes = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+        vl = jnp.clip(cnt_j - bit * BLOCK, 0, BLOCK)
+        mask = in_use[..., None] & (lanes < vl[..., None])
+        local = jnp.where(mask, vals, cb.SENTINEL).reshape(Q, SB * BLOCK)
+
+        # assemble every device's slice over ICI; replicated reduction
+        gathered = jax.lax.all_gather(local, SHARD_AXIS)      # (D, Q, S_loc)
+        svals = jnp.sort(
+            jnp.moveaxis(gathered, 0, 1).reshape(Q, D * SB * BLOCK), axis=1
+        )
+        S = D * SB * BLOCK
+        first = jnp.concatenate(
+            [jnp.ones((Q, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
+        )
+        if op == "and":
+            keep = jnp.zeros((Q, S), dtype=bool)
+            for j in range(K):
+                shifted = (
+                    svals
+                    if j == 0
+                    else jnp.concatenate(
+                        [svals[:, j:], jnp.full((Q, j), cb.SENTINEL, dtype=svals.dtype)],
+                        axis=1,
+                    )
+                )
+                keep = jnp.where((k_valid == j + 1)[:, None], shifted == svals, keep)
+            keep &= first & (svals != cb.SENTINEL)
+            # genuine 0xFFFFFFFF member: owner tests its terms' last values,
+            # psum counts how many of the query's terms contain it
+            last_slot = jnp.maximum(cum[:, 1:] - 1, 0)
+            last_lane = jnp.maximum((cnt - 1) % BLOCK, 0)
+            last_val = jnp.take_along_axis(
+                vals.reshape(Q, SB * BLOCK),
+                (last_slot * BLOCK + last_lane).astype(jnp.int32),
+                axis=1,
+            )
+            ff_cnt = jax.lax.psum(
+                jnp.sum(((cnt > 0) & (last_val == cb.SENTINEL)).astype(jnp.int32), axis=1),
+                SHARD_AXIS,
+            )
+            n_found = jax.lax.psum(jnp.sum(live.astype(jnp.int32), axis=1), SHARD_AXIS)
+            ff_all = (ff_cnt == k_valid) & (k_valid > 0)
+            # a required term found nowhere voids the AND (run-length already
+            # handles the non-ff values; this guards the ff shortcut)
+            ff_all &= n_found == k_valid
+            oc = (jnp.sum(keep, axis=1) + ff_all.astype(jnp.int32)).astype(jnp.int32)
+        else:
+            valid = svals != cb.SENTINEL  # pads sort last; a genuine ff row
+            # boundary is count-interchangeable (union_many convention)
+            n_ff = jax.lax.psum(
+                jnp.sum(
+                    ((cnt > 0)
+                     & (jnp.take_along_axis(
+                         vals.reshape(Q, SB * BLOCK),
+                         (jnp.maximum(cum[:, 1:] - 1, 0) * BLOCK
+                          + jnp.maximum((cnt - 1) % BLOCK, 0)).astype(jnp.int32),
+                         axis=1,
+                     ) == cb.SENTINEL)).astype(jnp.int32),
+                    axis=1,
+                ),
+                SHARD_AXIS,
+            )
+            keep = first & valid
+            oc = (jnp.sum(keep, axis=1) + (n_ff > 0).astype(jnp.int32)).astype(jnp.int32)
+        out = jnp.sort(jnp.where(keep, svals, cb.SENTINEL), axis=1)
+        return out, oc
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
+        out_specs=(P(), P()),
+        # outputs ARE replicated (they derive from all_gather + psum), but
+        # the static replication checker can't see through the mixed flow
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def call(qkeys, k_valid):
+        return jitted(
+            snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+            snap.hash_slots, qkeys, k_valid,
+        )
+
+    return call
+
+
 def make_sharded_prefix_ranges(snap: ShardedSnapshot):
     """Compile the fan-out prefix range search: every device resolves each
     prefix to its LOCAL dictionary span [lo, hi) (two batched key searches —

@@ -163,3 +163,55 @@ def test_sharded_long_lists_ladder(tmp_path, mesh8):
     stats = pm.partition_stats(snap)
     assert sum(1 for n in stats["n_terms_per_device"] if n) >= 1
     assert stats["padded_to"] >= max(stats["n_terms_per_device"])
+
+
+def test_sharded_boolean_concat(built, mesh8):
+    """Concat-decode boolean over the mesh: exact for any list length, no
+    truncation signal needed; AND and OR vs Python-set truth."""
+    ii, truth, snap = built
+    import jax.numpy as jnp2
+
+    vocab = sorted(truth.keys())
+    rng = np.random.default_rng(5)
+    Kk = 4
+    queries = []
+    for _ in range(10):
+        k = int(rng.integers(1, Kk + 1))
+        queries.append([vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)])
+    queries.append([vocab[0], b"zz-missing"])
+    qk = np.zeros((16, Kk, snap.width + 1), dtype=np.uint32)
+    kv = np.zeros(16, dtype=np.int32)
+    for i, q in enumerate(queries):
+        qk[i, : len(q)] = K.pack_terms(q, width=snap.width)
+        kv[i] = len(q)
+    for op in ("and", "or"):
+        fn = pm.make_sharded_boolean_concat(snap, SB=8, op=op)
+        out, oc = fn(jnp2.asarray(qk), jnp2.asarray(kv))
+        out, oc = np.asarray(out), np.asarray(oc)
+        for i, q in enumerate(queries):
+            sets = [truth.get(t, set()) for t in q]
+            want = sorted(set.intersection(*sets) if op == "and" else set.union(*sets))
+            assert out[i, : oc[i]].tolist() == want, (op, q)
+
+
+def test_sharded_boolean_concat_long_lists(tmp_path, mesh8):
+    """Lists far beyond any padded L stay exact through the mesh concat."""
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 700):
+        ii.put([b"qqbig"] + ([b"qqother"] if v % 5 == 0 else []), v)
+    while ii.merge(2, 1000, 2) > 0:
+        pass
+    snap = pm.build_sharded_snapshot(ii, mesh8)
+    import jax.numpy as jnp2
+
+    qk = np.zeros((8, 2, snap.width + 1), dtype=np.uint32)
+    qk[0] = K.pack_terms([b"qqbig", b"qqother"], width=snap.width)
+    kv = np.zeros(8, dtype=np.int32)
+    kv[0] = 2
+    fn = pm.make_sharded_boolean_concat(snap, SB=8, op="and")
+    out, oc = fn(jnp2.asarray(qk), jnp2.asarray(kv))
+    want = [v for v in range(1, 700) if v % 5 == 0]
+    assert np.asarray(out)[0, : int(oc[0])].tolist() == want
+    fn = pm.make_sharded_boolean_concat(snap, SB=8, op="or")
+    out, oc = fn(jnp2.asarray(qk), jnp2.asarray(kv))
+    assert np.asarray(out)[0, : int(oc[0])].tolist() == list(range(1, 700))
