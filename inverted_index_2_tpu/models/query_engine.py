@@ -22,7 +22,7 @@ batched array programs over an immutable DEVICE SNAPSHOT of the index:
         prefix:   device range search + device decode + vectorized union
 
     Long posting lists are EXACT: rows whose true count exceeds the fast-path
-    L are re-served at the smallest ladder level (L, 8L, 64L, ... capped at
+    L are re-served at the smallest ladder level (L, 4L, 16L, ... capped at
     the corpus' longest list) that fits — everything decodes on device; the
     snapshot keeps NO host mirror of terms or postings.
 
@@ -205,12 +205,42 @@ def _collect_removed(index) -> np.ndarray:
     return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.uint32)
 
 
+def _purge_merged(merged, removed: np.ndarray):
+    """Apply tombstones to merged (blob, offsets, values, voffs) arrays,
+    dropping emptied terms; returns the purged tuple or None if everything
+    was removed (the apply_removed=True build semantics)."""
+    blob, offsets, values, voffs = merged
+    keep = ~np.isin(values, removed, assume_unique=False)
+    # recompute per-term counts after the purge; drop empty terms
+    term_of = np.repeat(np.arange(len(voffs) - 1), np.diff(voffs))
+    values = values[keep]
+    term_of = term_of[keep]
+    new_counts = np.bincount(term_of, minlength=len(voffs) - 1)
+    nz = new_counts > 0
+    if not nz.any():
+        return None
+    lens = np.diff(offsets)[nz]
+    starts = offsets[:-1][nz]
+    from ..utils.ragged import ragged_gather
+
+    blob_arr = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, bytes) else blob
+    nb, _ = ragged_gather(blob_arr, starts, lens)
+    offsets = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    voffs = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
+    np.cumsum(new_counts[nz], out=voffs[1:])
+    return nb.tobytes(), offsets, values, voffs
+
+
 def snapshot_new_segments(
-    index, base_segments: Dict[str, frozenset], width: Optional[int] = None
+    index, base_segments: Dict[str, frozenset], width: Optional[int] = None,
+    removed: Optional[np.ndarray] = None,
 ) -> Optional[IndexSnapshot]:
     """Freeze ONLY the segments not in `base_segments` (shard key ->
     segment-key set): the O(delta) piece of an incremental refresh. Returns
-    None when nothing is new."""
+    None when nothing is new. Pass `removed` (sorted tombstones) to purge
+    the delta at build — REQUIRED under apply_removed, where the main tier
+    was purged and an unpurged delta would resurrect removed values."""
     from ..segment.registry import Segments
 
     views, pinned_all = [], []
@@ -228,6 +258,10 @@ def snapshot_new_segments(
             Segments.release(pinned)
     if merged is None:
         return None
+    if removed is not None and len(removed):
+        merged = _purge_merged(merged, removed)
+        if merged is None:
+            return None
     blob, offsets, values, voffs = merged
     return build_snapshot_arrays(blob, offsets, values, voffs, None, width)
 
@@ -260,27 +294,12 @@ def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = No
         snap = _empty_snapshot(width or 1)
         snap.removed = jnp.asarray(removed)
         return snap
-    blob, offsets, values, voffs = merged
     if apply_removed and len(removed):
-        keep = ~np.isin(values, removed, assume_unique=False)
-        # recompute per-term counts after the purge; drop empty terms
-        term_of = np.repeat(np.arange(len(voffs) - 1), np.diff(voffs))
-        values = values[keep]
-        term_of = term_of[keep]
-        new_counts = np.bincount(term_of, minlength=len(voffs) - 1)
-        nz = new_counts > 0
-        lens = np.diff(offsets)[nz]
-        starts = offsets[:-1][nz]
-        from ..utils.ragged import ragged_gather
-
-        blob_arr = np.frombuffer(blob, dtype=np.uint8)
-        nb, _ = ragged_gather(blob_arr, starts, lens)
-        offsets = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        blob = nb.tobytes()
-        voffs = np.zeros(int(nz.sum()) + 1, dtype=np.int64)
-        np.cumsum(new_counts[nz], out=voffs[1:])
+        merged = _purge_merged(merged, removed)
+        if merged is None:
+            return _empty_snapshot(width or 1)
         removed = np.zeros(0, np.uint32)
+    blob, offsets, values, voffs = merged
     return build_snapshot_arrays(blob, offsets, values, voffs, removed, width)
 
 
@@ -489,7 +508,7 @@ class QueryEngine:
 
     Q is padded to buckets so jit caches stay small. L (posting pad length)
     is the FAST-PATH pad: queries whose posting lists exceed L are re-served
-    exactly on device at the smallest ladder level that fits (L, 8L, 64L, ...
+    exactly on device at the smallest ladder level that fits (L, 4L, 16L, ...
     up to the corpus' longest list) — results are always exact, with no host
     mirror of the postings (the reference streams any-length runs,
     reader.go:79-98; here exactness costs a second pass for the rare long
@@ -570,8 +589,7 @@ class QueryEngine:
         fp = _index_fingerprint(index, apply_removed)
         if fp == getattr(self, "_fingerprint", None):
             return False
-        base_fp = getattr(self, "_fingerprint", None)
-        if base_fp is not None and self._try_delta_refresh(index, base_fp, fp, apply_removed):
+        if getattr(self, "_fingerprint", None) is not None and self._try_delta_refresh(index, fp, apply_removed):
             self._fingerprint = fp
             return True
         self.snap = snapshot_index(index, apply_removed=apply_removed)
@@ -581,12 +599,11 @@ class QueryEngine:
         self._main_fp = fp
         return True
 
-    def _try_delta_refresh(self, index, base_fp, fp, apply_removed: bool) -> bool:
+    def _try_delta_refresh(self, index, fp, apply_removed: bool) -> bool:
         main_fp = getattr(self, "_main_fp", None)
         if main_fp is None or main_fp[0] != apply_removed:
             return False
         main_shards = {k: (segs, rl) for k, segs, rl in main_fp[1]}
-        new_terms = 0
         for key, segs, rl in fp[1]:
             base_segs, base_rl = main_shards.get(key, ((), 0))
             if not set(base_segs).issubset(segs):
@@ -594,7 +611,11 @@ class QueryEngine:
             if apply_removed and rl != base_rl:
                 return False  # purge baseline changed: full rebuild
         base_map = {k: frozenset(segs) for k, segs, rl in main_fp[1]}
-        delta = snapshot_new_segments(index, base_map)
+        # under apply_removed the main tier was purged at build: purge the
+        # delta against the SAME (unchanged — checked above) tombstone set,
+        # so the pair is bit-identical to a full purged rebuild
+        rem = _collect_removed(index) if apply_removed else None
+        delta = snapshot_new_segments(index, base_map, removed=rem)
         if delta is None:
             # nothing new on disk (e.g. only tombstones, not applied) —
             # still refresh the tombstone array below
@@ -668,6 +689,9 @@ class QueryEngine:
                 long_idx.append(i)  # exact re-serve below
             else:
                 out[i] = vals[i, : n[i]].copy()
+        # largest need first: each batch then re-serves at ITS level instead
+        # of every batch paying the global max level
+        long_idx.sort(key=lambda i: -raw[i])
         # exact re-serve of long lists, grouped by ladder level
         while long_idx:
             need = int(max(raw[i] for i in long_idx))
@@ -744,7 +768,10 @@ class QueryEngine:
         # enough to ship untrimmed in the same fetch
         out, oc, need = jax.device_get((out, oc, need))
         results: List[Optional[np.ndarray]] = [None] * len(queries)
-        long_idx = [i for i in range(len(queries)) if need[i] > self.L]
+        long_idx = sorted(
+            (i for i in range(len(queries)) if need[i] > self.L),
+            key=lambda i: -need[i],
+        )
         for i in range(len(queries)):
             if need[i] <= self.L:
                 results[i] = out[i, : oc[i]].copy()

@@ -50,6 +50,85 @@ def resolve_step(keys, counts, qkeys, slots=None, max_probes: int = 0):
     return idx.reshape(Q, K), found.reshape(Q, K), raw.reshape(Q, K)
 
 
+def concat_layout(tbs_q, cnt, SB: int):
+    """Slot assignment for the contiguous per-query block layout.
+
+    tbs_q: (Q, K) first arena row per term; cnt: (Q, K) raw counts (already
+    masked to live terms). Returns (rows, in_use, bit, cnt_j, cum):
+    rows (Q, SB) arena row per slot, in_use (Q, SB), bit = block index
+    within its term, cnt_j = owning term's count, cum (Q, K+1) block prefix
+    sums. Term-of-slot resolves with K-step static selects — no gathers."""
+    Q, K = tbs_q.shape
+    nb = (cnt + BLOCK - 1) // BLOCK
+    cum = jnp.concatenate(
+        [jnp.zeros((Q, 1), jnp.int32), jnp.cumsum(nb, axis=1, dtype=jnp.int32)],
+        axis=1,
+    )
+    s_idx = jnp.arange(SB, dtype=jnp.int32)[None, :]
+    j_of = jnp.zeros((Q, SB), jnp.int32)
+    for k in range(1, K):
+        j_of = j_of + (s_idx >= cum[:, k : k + 1]).astype(jnp.int32)
+    cum_j = jnp.zeros((Q, SB), jnp.int32)
+    tbs_j = jnp.zeros((Q, SB), jnp.int32)
+    cnt_j = jnp.zeros((Q, SB), jnp.int32)
+    for k in range(K):
+        sel = j_of == k
+        cum_j = jnp.where(sel, cum[:, k : k + 1], cum_j)
+        tbs_j = jnp.where(sel, tbs_q[:, k : k + 1], tbs_j)
+        cnt_j = jnp.where(sel, cnt[:, k : k + 1], cnt_j)
+    in_use = s_idx < cum[:, K:]
+    bit = s_idx - cum_j
+    rows = jnp.where(in_use, tbs_j + bit, 0)
+    return rows, in_use, bit, cnt_j, cum
+
+
+def decode_masked(blocks, rows, in_use, bit, cnt_j):
+    """Decode the laid-out blocks and mask real lanes -> (Q, SB*128) flat
+    values (invalid slots/lanes = SENTINEL) plus the raw decoded matrix."""
+    from .decode import decode_blocks_ba
+
+    Q, SB = rows.shape
+    vals, _ = decode_blocks_ba(blocks[rows])          # (Q, SB, 128)
+    lanes = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+    vl = jnp.clip(cnt_j - bit * BLOCK, 0, BLOCK)
+    mask = in_use[..., None] & (lanes < vl[..., None])
+    flat = jnp.where(mask, vals, SENTINEL).reshape(Q, SB * BLOCK)
+    return flat, vals, mask
+
+
+def run_reaches_k(svals, k_valid, K: int):
+    """run length >= k_valid at each position: svals[i] == svals[i+kv-1],
+    selected among K static shifts (values unique per list, so run length
+    can never exceed k_valid — equality follows)."""
+    Q, S = svals.shape
+    keep = jnp.zeros((Q, S), dtype=bool)
+    for j in range(K):
+        shifted = (
+            svals
+            if j == 0
+            else jnp.concatenate(
+                [svals[:, j:], jnp.full((Q, j), SENTINEL, dtype=svals.dtype)],
+                axis=1,
+            )
+        )
+        keep = jnp.where((k_valid == j + 1)[:, None], shifted == svals, keep)
+    return keep
+
+
+def last_values(vals, cum, cnt):
+    """Each term's LAST posting value from the decoded matrix (for the
+    genuine-0xFFFFFFFF membership test): (Q, K)."""
+    Q = cnt.shape[0]
+    S = vals.shape[1] * BLOCK
+    last_slot = jnp.maximum(cum[:, 1:] - 1, 0)
+    last_lane = jnp.maximum((cnt - 1) % BLOCK, 0)
+    return jnp.take_along_axis(
+        vals.reshape(Q, S),
+        (last_slot * BLOCK + last_lane).astype(jnp.int32),
+        axis=1,
+    )
+
+
 def boolean_concat_step(
     blocks, term_block_start, counts,
     idx, found, k_valid, SB: int, op: str,
@@ -68,67 +147,17 @@ def boolean_concat_step(
     kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
     live = found & kmask
     cnt = jnp.where(live, counts[idx], 0)            # (Q, K) raw counts
-    nb = (cnt + BLOCK - 1) // BLOCK                   # blocks per term
-    cum = jnp.concatenate(
-        [jnp.zeros((Q, 1), jnp.int32), jnp.cumsum(nb, axis=1, dtype=jnp.int32)],
-        axis=1,
-    )                                                 # (Q, K+1)
-    tbs = term_block_start[idx]                       # (Q, K)
-
-    s_idx = jnp.arange(SB, dtype=jnp.int32)[None, :]  # (1, SB)
-    # term of each slot: j = #(cum[1..K] <= s); static K-step selects for the
-    # per-slot term attributes (no dynamic gathers)
-    j_of = jnp.zeros((Q, SB), jnp.int32)
-    for k in range(1, K):
-        j_of = j_of + (s_idx >= cum[:, k : k + 1]).astype(jnp.int32)
-    cum_j = jnp.zeros((Q, SB), jnp.int32)
-    tbs_j = jnp.zeros((Q, SB), jnp.int32)
-    cnt_j = jnp.zeros((Q, SB), jnp.int32)
-    for k in range(K):
-        sel = j_of == k
-        cum_j = jnp.where(sel, cum[:, k : k + 1], cum_j)
-        tbs_j = jnp.where(sel, tbs[:, k : k + 1], tbs_j)
-        cnt_j = jnp.where(sel, cnt[:, k : k + 1], cnt_j)
-    in_use = s_idx < cum[:, K:]                       # slot holds a real block
-    bit = s_idx - cum_j                               # block index within term
-    rows = jnp.where(in_use, tbs_j + bit, 0)
-
-    from .decode import decode_blocks_ba
-
-    win = blocks[rows]                                # (Q, SB, stride)
-    vals, _ = decode_blocks_ba(win)                   # (Q, SB, 128)
-    lanes = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
-    vl = jnp.clip(cnt_j - bit * BLOCK, 0, BLOCK)      # valid lanes per block
-    mask = in_use[..., None] & (lanes < vl[..., None])
-    flat = jnp.where(mask, vals, SENTINEL).reshape(Q, S)
+    rows, in_use, bit, cnt_j, cum = concat_layout(term_block_start[idx], cnt, SB)
+    flat, vals, mask = decode_masked(blocks, rows, in_use, bit, cnt_j)
     svals = jnp.sort(flat, axis=1)
     first = jnp.concatenate(
         [jnp.ones((Q, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
     )
     if op == "and":
-        keep = jnp.zeros((Q, S), dtype=bool)
-        for j in range(K):  # j = k_valid - 1 (static shifts, no gathers)
-            shifted = (
-                svals
-                if j == 0
-                else jnp.concatenate(
-                    [svals[:, j:], jnp.full((Q, j), SENTINEL, dtype=svals.dtype)],
-                    axis=1,
-                )
-            )
-            keep = jnp.where((k_valid == j + 1)[:, None], shifted == svals, keep)
-        keep &= first & (svals != SENTINEL)
-        # genuine 0xFFFFFFFF in every valid list: it is each list's LAST
-        # value, i.e. lane (cnt-1)%128 of block (nb-1); test via the decoded
-        # matrix (one tiny (Q, K) gather)
-        last_slot = jnp.maximum(cum[:, 1:] - 1, 0)    # (Q, K) slot of last block
-        last_lane = jnp.maximum((cnt - 1) % BLOCK, 0)
-        last_val = jnp.take_along_axis(
-            vals.reshape(Q, S),
-            (last_slot * BLOCK + last_lane).astype(jnp.int32),
-            axis=1,
-        )
-        has_ff = (cnt > 0) & (last_val == SENTINEL)
+        keep = run_reaches_k(svals, k_valid, K) & first & (svals != SENTINEL)
+        # genuine 0xFFFFFFFF in every valid list: its run merges with the
+        # padding sentinels, so test each list's LAST value instead
+        has_ff = (cnt > 0) & (last_values(vals, cum, cnt) == SENTINEL)
         ff_all = jnp.all(has_ff | ~live, axis=1) & (k_valid > 0) & jnp.any(live, axis=1)
         # an absent REQUIRED term voids the AND entirely
         any_missing = jnp.any(kmask & ~found, axis=1)

@@ -113,19 +113,11 @@ def _intersect_sort(lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarra
         [jnp.ones((Q, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
     )
     # run reaches k_valid <=> svals[i] == svals[i + k_valid - 1]; k_valid is
-    # dynamic but K is tiny, so select among K static shifts (no gathers)
-    keep = jnp.zeros((Q, K * L), dtype=bool)
-    for j in range(K):  # j = k_valid - 1
-        shifted = (
-            svals
-            if j == 0
-            else jnp.concatenate(
-                [svals[:, j:], jnp.full((Q, j), SENTINEL, dtype=svals.dtype)],
-                axis=1,
-            )
-        )
-        keep = jnp.where((k_valid == j + 1)[:, None], shifted == svals, keep)
-    keep &= first & (svals != SENTINEL)
+    # dynamic but K is tiny, so select among K static shifts (no gathers;
+    # shared with the concat-decode formulation)
+    from .concat_bool import run_reaches_k
+
+    keep = run_reaches_k(svals, k_valid, K) & first & (svals != SENTINEL)
     # a GENUINE 0xFFFFFFFF present in every valid list: its run merges with
     # the padding sentinels, so test it separately via each list's last slot
     last = jnp.take_along_axis(

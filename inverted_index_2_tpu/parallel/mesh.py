@@ -16,8 +16,8 @@ collectives.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -53,6 +53,11 @@ class ShardedSnapshot:
     max_probes: int = 1
     max_count: int = 0              # longest posting list across partitions
                                     # (sizes the exact re-serve ladder)
+    # compiled shard_map programs, keyed by (kind, params): rebuilding the
+    # jit closure per call would recompile (~20-60s each over this tunnel)
+    _jit_cache: Dict[Tuple, Callable] = field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def n_devices(self) -> int:
@@ -201,6 +206,9 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     Returns (found, vals, n, raw) per query; raw > L flags truncation (the
     owning device's true count survives the psum since misses contribute 0).
     """
+    _ck = ("lookup", L)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
     probes = snap.max_probes
 
     def step(keys, blocks, tbs, counts, slots, qkeys):
@@ -222,6 +230,7 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     def call(keys, blocks, tbs, counts, qkeys):
         return jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys)
 
+    snap._jit_cache[_ck] = call
     return call
 
 
@@ -235,6 +244,9 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     and the caller must re-serve that query through a program compiled at a
     larger ladder L (make_sharded_boolean(snap, L2, op)); mirrors the
     single-chip boolean_step contract."""
+    _ck = ("bool", L, op)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
     from ..ops import setops
 
     probes = snap.max_probes
@@ -269,6 +281,7 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     def call(keys, blocks, tbs, counts, qkeys, k_valid):
         return jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys, k_valid)
 
+    snap._jit_cache[_ck] = call
     return call
 
 
@@ -284,6 +297,9 @@ def make_sharded_boolean_concat(snap: ShardedSnapshot, SB: int, op: str):
     needed, unlike make_sharded_boolean's padded-L formulation.
     Returns call(qkeys (Q,K,W+1), k_valid (Q,)) -> (out (Q, S_out), oc).
     """
+    _ck = ("bool_concat", SB, op)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
     from ..ops import concat_bool as cb
     from ..ops import dict_search as ds
     from ..ops.decode import decode_blocks_ba
@@ -301,68 +317,24 @@ def make_sharded_boolean_concat(snap: ShardedSnapshot, SB: int, op: str):
         kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
         live = found & kmask
         cnt = jnp.where(live, counts[0][idx], 0)
-        nb = (cnt + BLOCK - 1) // BLOCK
-        cum = jnp.concatenate(
-            [jnp.zeros((Q, 1), jnp.int32), jnp.cumsum(nb, axis=1, dtype=jnp.int32)],
-            axis=1,
-        )
-        tbs_q = tbs_arr[0][idx]
-        s_idx = jnp.arange(SB, dtype=jnp.int32)[None, :]
-        j_of = jnp.zeros((Q, SB), jnp.int32)
-        for k in range(1, K):
-            j_of = j_of + (s_idx >= cum[:, k : k + 1]).astype(jnp.int32)
-        cum_j = jnp.zeros((Q, SB), jnp.int32)
-        tbs_j = jnp.zeros((Q, SB), jnp.int32)
-        cnt_j = jnp.zeros((Q, SB), jnp.int32)
-        for k in range(K):
-            sel = j_of == k
-            cum_j = jnp.where(sel, cum[:, k : k + 1], cum_j)
-            tbs_j = jnp.where(sel, tbs_q[:, k : k + 1], tbs_j)
-            cnt_j = jnp.where(sel, cnt[:, k : k + 1], cnt_j)
-        in_use = s_idx < cum[:, K:]
-        bit = s_idx - cum_j
-        rows = jnp.where(in_use, tbs_j + bit, 0)
-        vals, _ = decode_blocks_ba(blocks[0][rows])
-        lanes = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
-        vl = jnp.clip(cnt_j - bit * BLOCK, 0, BLOCK)
-        mask = in_use[..., None] & (lanes < vl[..., None])
-        local = jnp.where(mask, vals, cb.SENTINEL).reshape(Q, SB * BLOCK)
+        rows, in_use, bit, cnt_j, cum = cb.concat_layout(tbs_arr[0][idx], cnt, SB)
+        local, vals, mask = cb.decode_masked(blocks[0], rows, in_use, bit, cnt_j)
 
         # assemble every device's slice over ICI; replicated reduction
         gathered = jax.lax.all_gather(local, SHARD_AXIS)      # (D, Q, S_loc)
-        svals = jnp.sort(
-            jnp.moveaxis(gathered, 0, 1).reshape(Q, D * SB * BLOCK), axis=1
-        )
         S = D * SB * BLOCK
+        svals = jnp.sort(jnp.moveaxis(gathered, 0, 1).reshape(Q, S), axis=1)
         first = jnp.concatenate(
             [jnp.ones((Q, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
         )
+        # genuine 0xFFFFFFFF members: each OWNER tests its terms' last values;
+        # psum counts how many of the query's terms contain it mesh-wide
+        has_ff_local = (cnt > 0) & (cb.last_values(vals, cum, cnt) == cb.SENTINEL)
+        ff_cnt = jax.lax.psum(
+            jnp.sum(has_ff_local.astype(jnp.int32), axis=1), SHARD_AXIS
+        )
         if op == "and":
-            keep = jnp.zeros((Q, S), dtype=bool)
-            for j in range(K):
-                shifted = (
-                    svals
-                    if j == 0
-                    else jnp.concatenate(
-                        [svals[:, j:], jnp.full((Q, j), cb.SENTINEL, dtype=svals.dtype)],
-                        axis=1,
-                    )
-                )
-                keep = jnp.where((k_valid == j + 1)[:, None], shifted == svals, keep)
-            keep &= first & (svals != cb.SENTINEL)
-            # genuine 0xFFFFFFFF member: owner tests its terms' last values,
-            # psum counts how many of the query's terms contain it
-            last_slot = jnp.maximum(cum[:, 1:] - 1, 0)
-            last_lane = jnp.maximum((cnt - 1) % BLOCK, 0)
-            last_val = jnp.take_along_axis(
-                vals.reshape(Q, SB * BLOCK),
-                (last_slot * BLOCK + last_lane).astype(jnp.int32),
-                axis=1,
-            )
-            ff_cnt = jax.lax.psum(
-                jnp.sum(((cnt > 0) & (last_val == cb.SENTINEL)).astype(jnp.int32), axis=1),
-                SHARD_AXIS,
-            )
+            keep = cb.run_reaches_k(svals, k_valid, K) & first & (svals != cb.SENTINEL)
             n_found = jax.lax.psum(jnp.sum(live.astype(jnp.int32), axis=1), SHARD_AXIS)
             ff_all = (ff_cnt == k_valid) & (k_valid > 0)
             # a required term found nowhere voids the AND (run-length already
@@ -370,23 +342,10 @@ def make_sharded_boolean_concat(snap: ShardedSnapshot, SB: int, op: str):
             ff_all &= n_found == k_valid
             oc = (jnp.sum(keep, axis=1) + ff_all.astype(jnp.int32)).astype(jnp.int32)
         else:
-            valid = svals != cb.SENTINEL  # pads sort last; a genuine ff row
-            # boundary is count-interchangeable (union_many convention)
-            n_ff = jax.lax.psum(
-                jnp.sum(
-                    ((cnt > 0)
-                     & (jnp.take_along_axis(
-                         vals.reshape(Q, SB * BLOCK),
-                         (jnp.maximum(cum[:, 1:] - 1, 0) * BLOCK
-                          + jnp.maximum((cnt - 1) % BLOCK, 0)).astype(jnp.int32),
-                         axis=1,
-                     ) == cb.SENTINEL)).astype(jnp.int32),
-                    axis=1,
-                ),
-                SHARD_AXIS,
-            )
-            keep = first & valid
-            oc = (jnp.sum(keep, axis=1) + (n_ff > 0).astype(jnp.int32)).astype(jnp.int32)
+            # pads sort last; a genuine ff at the count boundary is
+            # count-interchangeable (union_many convention)
+            keep = first & (svals != cb.SENTINEL)
+            oc = (jnp.sum(keep, axis=1) + (ff_cnt > 0).astype(jnp.int32)).astype(jnp.int32)
         out = jnp.sort(jnp.where(keep, svals, cb.SENTINEL), axis=1)
         return out, oc
 
@@ -407,6 +366,7 @@ def make_sharded_boolean_concat(snap: ShardedSnapshot, SB: int, op: str):
             snap.hash_slots, qkeys, k_valid,
         )
 
+    snap._jit_cache[_ck] = call
     return call
 
 
@@ -417,6 +377,9 @@ def make_sharded_prefix_ranges(snap: ShardedSnapshot):
     inverted_index.go:239-285). Returns (lo (D, P), hi (D, P)) to the host;
     pad rows sort after every real term and any hi-key, so spans never
     include padding."""
+    _ck = ("prefix_ranges",)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
     from ..models import query_engine as qe
 
     def step(keys, lo_keys, hi_keys):
@@ -434,6 +397,7 @@ def make_sharded_prefix_ranges(snap: ShardedSnapshot):
     def call(lo_keys, hi_keys):
         return jitted(snap.keys, lo_keys, hi_keys)
 
+    snap._jit_cache[_ck] = call
     return call
 
 
@@ -442,6 +406,9 @@ def make_sharded_decode(snap: ShardedSnapshot, L: int):
     `idx[d]` of ITS partition into (D, M, L) padded posting rows + raw
     counts. No collective — results stay sharded and the host reads the
     slices it needs (prefix unions, range reads)."""
+    _ck = ("decode", L)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
     from ..ops import decode as dec
 
     def step(blocks, tbs, counts, idx):
@@ -459,6 +426,7 @@ def make_sharded_decode(snap: ShardedSnapshot, L: int):
     def call(idx):
         return jitted(snap.blocks, snap.term_block_start, snap.counts, idx)
 
+    snap._jit_cache[_ck] = call
     return call
 
 

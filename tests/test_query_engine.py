@@ -439,3 +439,33 @@ def test_boolean_concat_fuzz(tmp_path, rng):
     for q, g in zip(queries[:10], got):
         want = set.union(*[truth.get(t, set()) for t in q]) - set(rm)
         assert g.tolist() == sorted(want), q
+
+
+def test_delta_refresh_apply_removed_purges(tmp_path):
+    """Under apply_removed=True, a delta refresh must purge the NEW segments
+    against the (unchanged) tombstones — an unpurged delta would resurrect
+    removed values that a full rebuild of the same state purges."""
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"k1", b"k2"] + [f"fill{i:02d}".encode() for i in range(20)], 1)
+    ii.put([b"k1"], 7)
+    ii.put_removed([7])
+    eng = QueryEngine.from_index(ii, L=128, apply_removed=True)
+    assert eng.lookup([b"k1"])[0].tolist() == [1]
+    main_before = eng.snap
+    ii.put([b"k1", b"k3"], 7)  # value 7 re-enters via a NEW segment
+    assert eng.refresh(ii, apply_removed=True) is True
+    assert eng.snap is main_before  # main untouched (delta path taken)
+    # the new segment purges to NOTHING -> delta rightly collapses to None
+    full = QueryEngine.from_index(ii, L=128, apply_removed=True)
+    assert eng.lookup([b"k1"])[0].tolist() == full.lookup([b"k1"])[0].tolist() == [1]
+    assert eng.lookup([b"k3"])[0] is None and full.lookup([b"k3"])[0] is None
+
+    # partial survival: the delta keeps 8 but must NOT resurrect 7
+    ii.put([b"k1", b"k3"], 8)
+    assert eng.refresh(ii, apply_removed=True) is True
+    assert eng.snap is main_before and eng.delta is not None
+    full = QueryEngine.from_index(ii, L=128, apply_removed=True)
+    assert eng.lookup([b"k1"])[0].tolist() == full.lookup([b"k1"])[0].tolist() == [1, 8]
+    assert eng.lookup([b"k3"])[0].tolist() == full.lookup([b"k3"])[0].tolist() == [8]
+    got = eng.boolean([[b"k1", b"k3"]], op="and")[0]
+    assert got.tolist() == [8]
