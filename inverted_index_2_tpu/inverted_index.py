@@ -252,6 +252,67 @@ class InvertedIndex:
 
         return SequentialDynamicIterator(pick_next)
 
+    def read_bulk(
+        self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None
+    ):
+        """Columnar bulk read: the whole [min,max] inclusive range as four
+        arrays (blob uint8, offsets[n+1], values uint32, voffs[n+1]) — the
+        zero-Python-loop counterpart of read() for bulk consumers (exports,
+        reindexing, snapshot feeds). Same union/tombstone semantics as
+        read(); returns None when the range is empty."""
+        from .segment.registry import Segments
+        from .shard import merge_views
+
+        views, pinned_all = [], []
+        for s in self._snapshot():
+            pinned = s.segments.pin_all()
+            pinned_all.append(pinned)
+            views.extend(
+                sg.view
+                for sg in pinned
+                if sg.view is not None and sg.view.overlaps(min_term, max_term)
+            )
+        try:
+            merged = merge_views(views, None)
+        finally:
+            for pinned in pinned_all:
+                Segments.release(pinned)
+        if merged is None:
+            return None
+        blob, offsets, values, voffs = merged
+        n = len(offsets) - 1
+        blob_arr = np.frombuffer(blob, dtype=np.uint8)
+
+        def term_at(i):
+            return blob_arr[offsets[i] : offsets[i + 1]].tobytes()
+
+        lo, hi = 0, n
+        if min_term is not None:
+            a, b = 0, n
+            while a < b:
+                m = (a + b) // 2
+                if term_at(m) < min_term:
+                    a = m + 1
+                else:
+                    b = m
+            lo = a
+        if max_term is not None:
+            a, b = lo, n
+            while a < b:
+                m = (a + b) // 2
+                if term_at(m) <= max_term:
+                    a = m + 1
+                else:
+                    b = m
+            hi = a
+        if hi <= lo:
+            return None
+        sub_blob = blob_arr[offsets[lo] : offsets[hi]]
+        sub_off = offsets[lo : hi + 1] - offsets[lo]
+        sub_vals = values[voffs[lo] : voffs[hi]]
+        sub_voffs = voffs[lo : hi + 1] - voffs[lo]
+        return sub_blob, sub_off, sub_vals, sub_voffs
+
     # ---- observability --------------------------------------------------------
 
     def stats(self) -> Dict[str, int]:

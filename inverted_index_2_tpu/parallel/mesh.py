@@ -93,14 +93,41 @@ def shard_ranges(n_devices: int, fanout: int = 1024) -> List[range]:
     return [range(d * per, min((d + 1) * per, fanout)) for d in range(n_devices)]
 
 
+def balanced_ranges(index, n_devices: int, fanout: int = 1024) -> List[range]:
+    """Contiguous shard-key ranges cut at ~equal TERM counts.
+
+    Contiguity preserves the global-order invariant (device order = term
+    order); cutting by data volume instead of key count fixes the skew of
+    real corpora, whose term prefixes concentrate in a narrow band of the
+    10-bit space (e.g. lowercase ASCII spans only ~100 of 1024 keys)."""
+    per_key = np.zeros(fanout, dtype=np.int64)
+    for sh in index._snapshot():
+        try:
+            k = int(sh.get_key())
+        except ValueError:
+            continue
+        per_key[k] = sum(s.terms for s in sh.segments.snapshot())
+    total = int(per_key.sum())
+    if total == 0:
+        return shard_ranges(n_devices, fanout)
+    cum = np.cumsum(per_key)
+    bounds = [0]
+    for d in range(1, n_devices):
+        cut = int(np.searchsorted(cum, total * d // n_devices, side="left")) + 1
+        bounds.append(min(max(cut, bounds[-1]), fanout))
+    bounds.append(fanout)
+    return [range(bounds[d], bounds[d + 1]) for d in range(n_devices)]
+
+
 def build_sharded_snapshot(
     index, mesh: Mesh, width: Optional[int] = None
 ) -> ShardedSnapshot:
     """Freeze an InvertedIndex into per-device partitions along `mesh`'s
     shard axis. Shard dirs are routed to devices by contiguous shard-key
-    ranges (global term order = device order for terms >= 2 bytes)."""
+    ranges cut at ~equal term counts (global term order = device order for
+    terms >= 2 bytes; see balanced_ranges for the skew rationale)."""
     n_dev = mesh.shape[SHARD_AXIS]
-    ranges = shard_ranges(n_dev)
+    ranges = balanced_ranges(index, n_dev)
     parts: List[qe.IndexSnapshot] = []
     for r in ranges:
         views = []

@@ -172,3 +172,28 @@ def test_enable_logging_merge(tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="inverted_index_2_tpu"):
         assert ii.merge(2, 10, 1) == 2
     assert any("merged 2 segments" in r.message for r in caplog.records)
+
+
+def test_read_bulk_matches_streaming(tmp_path):
+    """read_bulk's columnar arrays agree with the streaming read() on the
+    same range (union semantics, tombstones unapplied)."""
+    import numpy as np
+
+    from inverted_index_2_tpu import to_slice
+
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"alpha", b"beta", b"gamma", b"delta"], 1)
+    ii.put([b"beta", b"epsilon"], 2)
+    ii.put_removed([1])  # must NOT affect reads
+    for rng_args in ((None, None), (b"beta", b"epsilon"), (b"a", b"b"), (b"zz", None)):
+        want = [(tv.term, tv.values.tolist()) for tv in to_slice(ii.read(*rng_args))]
+        got = ii.read_bulk(*rng_args)
+        if got is None:
+            assert want == []
+            continue
+        blob, offs, vals, voffs = got
+        rows = [
+            (blob[offs[i] : offs[i + 1]].tobytes(), vals[voffs[i] : voffs[i + 1]].tolist())
+            for i in range(len(offs) - 1)
+        ]
+        assert rows == want, rng_args

@@ -215,3 +215,24 @@ def test_sharded_boolean_concat_long_lists(tmp_path, mesh8):
     fn = pm.make_sharded_boolean_concat(snap, SB=8, op="or")
     out, oc = fn(jnp2.asarray(qk), jnp2.asarray(kv))
     assert np.asarray(out)[0, : int(oc[0])].tolist() == list(range(1, 700))
+
+
+def test_balanced_ranges(tmp_path, mesh8):
+    """Contiguous data-balanced partitioning: an ASCII corpus (narrow
+    shard-key band) spreads over all devices instead of landing on one."""
+    ii = InvertedIndex(str(tmp_path))
+    for i in range(256):
+        ii.put([f"{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}x{i:03d}".encode()], i + 1)
+    rs = pm.balanced_ranges(ii, 8)
+    # full coverage, contiguous, in order
+    assert rs[0].start == 0 and rs[-1].stop == 1024
+    for a, b in zip(rs, rs[1:]):
+        assert a.stop == b.start
+    snap = pm.build_sharded_snapshot(ii, mesh8)
+    stats = pm.partition_stats(snap)
+    busy = sum(1 for n in stats["n_terms_per_device"] if n > 0)
+    assert busy >= 6, stats  # was 1 device with key-uniform ranges
+    assert stats["padding_overhead"] < 2.0, stats
+    # correctness intact: global sorted order + lookups
+    got = [t for t, _ in pm.sharded_read_range(snap, None, None, L=128)]
+    assert got == sorted(got) and len(got) == 256
