@@ -117,6 +117,40 @@ def merge_views_device(views: List, removed: Optional[np.ndarray] = None):
         else np.zeros(0, np.uint32)
     )
 
+    # ---- shape bucketing: real merges never repeat exact (N, V, R, W)
+    # shapes, and an unbucketed call recompiles (~20-60s on this tunnel)
+    # every time. Pad every dimension to the next power of two:
+    #  * terms: extra all-0xFFFFFFFF key rows (impossible length word) sort
+    #    LAST and form one pad group
+    #  * values: 0xFFFFFFFF values tagged to the first pad row; they compact
+    #    to the END of the kept region (the pad group has the largest id)
+    #    and are excluded below by rep_orig < N_real
+    #  * removed: repeat the last element (sorted order and membership
+    #    semantics unchanged)
+    def _pow2(x: int) -> int:
+        return 1 << max(0, x - 1).bit_length()
+
+    N_real = N
+    Wp1 = keys_all.shape[1]
+    W2p1 = _pow2(Wp1 - 1) + 1
+    N_pad = _pow2(N_real + 1)  # always >= N_real+1: pad values need a pad row
+    keys_pad = np.full((N_pad, W2p1), 0xFFFFFFFF, dtype=np.uint32)
+    keys_pad[:N_real, : Wp1 - 1] = keys_all[:, :-1]
+    keys_pad[:N_real, Wp1 - 1 : W2p1 - 1] = 0
+    keys_pad[:N_real, -1] = keys_all[:, -1]
+    V_real = len(all_vals)
+    V_pad = _pow2(V_real)
+    vals_p = np.full(V_pad, 0xFFFFFFFF, dtype=np.uint32)
+    vals_p[:V_real] = all_vals
+    tov_p = np.full(V_pad, N_real, dtype=np.int32)
+    tov_p[:V_real] = term_of_value
+    if len(rem):
+        rem_p = np.full(_pow2(len(rem)), rem[-1], dtype=np.uint32)
+        rem_p[: len(rem)] = rem
+    else:
+        rem_p = rem
+    keys_all, all_vals, term_of_value, rem = keys_pad, vals_p, tov_p, rem_p
+
     perm, group_head, group_of_pos, kept, out_values, out_group, group_counts = (
         _JIT_MERGE(
             jnp.asarray(keys_all),
@@ -134,14 +168,19 @@ def merge_views_device(views: List, removed: Optional[np.ndarray] = None):
     perm = np.asarray(perm)
     group_head = np.asarray(group_head)
 
-    # groups with surviving values, ascending (== term order)
+    # groups with surviving values, ascending (== term order); drop the pad
+    # group (its representative row is a pad row, rep_orig >= N_real — pads
+    # sort last, so real groups own the PREFIX of the kept value region)
     kept_groups = np.unique(out_group)
-    voffs = np.zeros(len(kept_groups) + 1, dtype=np.int64)
-    np.cumsum(group_counts[kept_groups], out=voffs[1:])
-
-    # representative original term per kept group -> rebuild blob (host)
     head_pos = np.nonzero(group_head)[0]
     rep_orig = perm[head_pos[kept_groups]]
+    real = rep_orig < N_real
+    kept_groups = kept_groups[real]
+    rep_orig = rep_orig[real]
+    if len(kept_groups) == 0:
+        return None
+    voffs = np.zeros(len(kept_groups) + 1, dtype=np.int64)
+    np.cumsum(group_counts[kept_groups], out=voffs[1:])
     n_per = np.array([v.n_terms for v in views], dtype=np.int64)
     view_base = np.zeros(len(views) + 1, dtype=np.int64)
     np.cumsum(n_per, out=view_base[1:])
@@ -158,4 +197,5 @@ def merge_views_device(views: List, removed: Optional[np.ndarray] = None):
     out_offsets = np.zeros(len(kept_groups) + 1, dtype=np.int64)
     np.cumsum(g_tlen, out=out_offsets[1:])
 
-    return out_blob.tobytes(), out_offsets, out_values, voffs
+    # real groups own the prefix of the kept region; drop pad survivors
+    return out_blob.tobytes(), out_offsets, out_values[: int(voffs[-1])], voffs
