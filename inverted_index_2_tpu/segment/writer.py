@@ -60,22 +60,21 @@ def _writev(path: str, bufs) -> None:
         os.close(fd)
 
 
-def _write_dict(path: str, mode: int, offsets: np.ndarray, outs, blob) -> None:
+def _write_dict(path: str, mode: int, offsets: np.ndarray, outs, blob, const_out=None) -> None:
     """Encode + write the dict file. `outs` is an ndarray, or (for direct
-    mode) a broadcast array whose elements are all equal — detected and
-    stored as ONE value (FLAG_OUTS_CONST). Fixed-width term sets store the
-    width instead of the offsets array (FLAG_FIXED_WIDTH). `blob` may be
-    bytes or a uint8 ndarray (written zero-copy)."""
+    mode) all-equal — passed explicitly as `const_out` (then outs may be
+    None) or detected as a zero-stride broadcast array — and stored as ONE
+    value (FLAG_OUTS_CONST). Fixed-width term sets store the width instead
+    of the offsets array (FLAG_FIXED_WIDTH). `blob` may be bytes or a uint8
+    ndarray (written zero-copy)."""
     n = len(offsets) - 1
     blob_len = len(blob)
     flags = 0
     off_dt = "<u4" if blob_len < 2**32 else "<u8"
     if off_dt == "<u4":
         flags |= formats.FLAG_OFFSETS_U32
-    # constant outs: a broadcast array (ingest fast path) or all-equal check
-    # is the caller's responsibility via broadcast; detect zero-stride only
-    const_out = None
-    if n > 0 and isinstance(outs, np.ndarray) and outs.ndim == 1 and outs.strides[0] == 0:
+    if const_out is None and n > 0 and isinstance(outs, np.ndarray) \
+            and outs.ndim == 1 and outs.strides[0] == 0:
         const_out = int(outs[0])
     if const_out is not None:
         out_max = const_out
@@ -128,10 +127,11 @@ def write_direct_segment(
     Returns the segment key.
     """
     key = key or _unique_key(basedir)
-    n = len(offsets) - 1
-    outs = np.broadcast_to(np.uint64(value), n)
     tmp = formats.dict_path(basedir, key) + formats.TMP_SUFFIX
-    _write_dict(tmp, formats.MODE_DIRECT, np.asarray(offsets), outs, blob)
+    _write_dict(
+        tmp, formats.MODE_DIRECT, np.asarray(offsets), None, blob,
+        const_out=int(value),
+    )
     os.rename(tmp, formats.dict_path(basedir, key))
     return key
 
