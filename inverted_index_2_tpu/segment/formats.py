@@ -82,6 +82,8 @@ def read_header(buf: bytes) -> DictHeader:
         raise ValueError("bad segment dict magic")
     if version != VERSION:
         raise ValueError(f"unsupported segment version {version}")
+    if mode not in (MODE_NORMAL, MODE_DIRECT):
+        raise ValueError(f"corrupt segment dict mode {mode}")
     return DictHeader(mode=mode, n_terms=n_terms, blob_len=blob_len, flags=flags)
 
 

@@ -55,6 +55,8 @@ class SegmentView:
         )
         if hdr.flags & formats.FLAG_FIXED_WIDTH:
             self._fixed_width = int(mm[off : off + off_w].view(off_dt)[0])
+            if self._fixed_width * n != hdr.blob_len:
+                raise ValueError("segment dict corrupt (fixed width != blob)")
             self._off_mm = None
             off += off_w
         else:

@@ -94,3 +94,47 @@ def test_reopen_equivalence_after_everything(tmp_path, rng):
     s1 = {s.get_key(): s.removed_list.values().tolist() for s in ii._snapshot()}
     s2 = {s.get_key(): s.removed_list.values().tolist() for s in ii2._snapshot()}
     assert s1 == s2
+
+
+def test_corruption_fuzz_never_crashes(tmp_path, rng):
+    """Random byte flips in segment files must raise cleanly (ValueError /
+    struct errors) or be survivable — never segfault or return garbage that
+    escapes as Python-level corruption (the native decoder bounds-checks
+    untrusted disk bytes). Flips that happen to keep files well-formed are
+    fine; the invariant is NO crash."""
+    import numpy as np
+
+    from inverted_index_2_tpu import InvertedIndex, to_slice
+
+    d = str(tmp_path)
+    ii = InvertedIndex(d)
+    for v in range(1, 30):
+        ii.put([f"term{v:02d}".encode(), b"shared"], v)
+    while ii.merge(2, 100, 2) > 0:
+        pass
+    del ii
+    files = []
+    for root, _dirs, names in os.walk(d):
+        for nm in names:
+            files.append(os.path.join(root, nm))
+    assert files
+    for trial in range(40):
+        target = files[int(rng.integers(0, len(files)))]
+        orig = open(target, "rb").read()
+        if not len(orig):
+            continue
+        data = bytearray(orig)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] ^= int(rng.integers(1, 256))
+        with open(target, "wb") as f:
+            f.write(bytes(data))
+        try:
+            ii2 = InvertedIndex(d)
+            for tv in to_slice(ii2.read(None, None)):
+                assert isinstance(tv.term, bytes)
+                np.asarray(tv.values)
+        except (ValueError, KeyError, OverflowError, MemoryError, OSError):
+            pass  # clean rejection is acceptable
+        finally:
+            with open(target, "wb") as f:
+                f.write(orig)
