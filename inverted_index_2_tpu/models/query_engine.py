@@ -546,6 +546,40 @@ class QueryEngine:
                 return lv
         return _round_up(need, 128)
 
+    def warmup(self, k_max: int = 8, ops: Sequence[str] = ("and", "or")) -> int:
+        """Precompile the serving programs before traffic arrives (first
+        compiles cost seconds; tens of seconds over a remote-compile
+        tunnel). Compiles the lookup step, the resolve step, and every
+        boolean size class a corpus of this shape can hit, at one query
+        bucket each. Returns the number of programs compiled."""
+        s = self.snap
+        if s.n_terms == 0:
+            return 0
+        n = 0
+        qk = jnp.zeros((self.q_bucket, s.width + 1), dtype=jnp.uint32)
+        jax.block_until_ready(self._lookup_on(s, qk, False)[0])
+        n += 1
+        bqk = jnp.zeros((8, k_max, s.width + 1), dtype=jnp.uint32)
+        kv = jnp.zeros((8,), dtype=jnp.int32)
+        jax.block_until_ready(
+            _JIT_RESOLVE(s.keys, s.counts, bqk, s.hash_slots, s.max_probes)[0]
+        )
+        n += 1
+        max_blocks = k_max * (-(-max(1, s.max_count) // 128))
+        bi = jnp.zeros((8, k_max), dtype=jnp.int32)
+        bf = jnp.zeros((8, k_max), dtype=bool)
+        for SB in self._SB_CLASSES:
+            for op in ops:
+                jax.block_until_ready(
+                    _JIT_CONCAT_BOOL(
+                        s.blocks, s.term_block_start, s.counts, bi, bf, kv, SB, op
+                    )[0]
+                )
+                n += 1
+            if SB >= max_blocks:
+                break
+        return n
+
     def stats(self) -> Dict[str, int]:
         """Memory/meta counters for the frozen snapshot (no host mirrors —
         host_counts is the only host-resident array)."""

@@ -469,3 +469,15 @@ def test_delta_refresh_apply_removed_purges(tmp_path):
     assert eng.lookup([b"k3"])[0].tolist() == full.lookup([b"k3"])[0].tolist() == [8]
     got = eng.boolean([[b"k1", b"k3"]], op="and")[0]
     assert got.tolist() == [8]
+
+
+def test_warmup_compiles_serving_programs(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 30):
+        ii.put([f"w{v:02d}".encode()], v)
+    eng = QueryEngine.from_index(ii, L=128)
+    n = eng.warmup(k_max=4)
+    assert n >= 3  # lookup + resolve + at least one boolean class
+    # serving still exact after warmup
+    assert eng.lookup([b"w05"])[0].tolist() == [5]
+    assert eng.boolean([[b"w05", b"w06"]], op="or")[0].tolist() == [5, 6]
