@@ -423,6 +423,20 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
 
 
 def main():
+    # TPI_PROFILE=<dir>: capture a JAX profiler trace of the query section
+    # (open with TensorBoard / xprof; per-kernel timings + HLO)
+    profile_dir = os.environ.get("TPI_PROFILE")
+    if profile_dir:
+        import contextlib
+
+        import jax
+
+        trace_cm = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+
     n_terms = int(os.environ.get("BENCH_TERMS", 1_000_000))
     mean_len = int(os.environ.get("BENCH_MEAN_POSTLEN", 10))
     Q = int(os.environ.get("BENCH_Q", 10_000))
@@ -430,7 +444,8 @@ def main():
 
     blob, offsets, values, voffs = gen_corpus(n_terms, mean_len)
     details = {}
-    details.update(bench_query(blob, offsets, values, voffs, Q, iters))
+    with trace_cm:
+        details.update(bench_query(blob, offsets, values, voffs, Q, iters))
     details.update(bench_api(blob, offsets, values, voffs))
     details.update(bench_postlen1k())
     b2 = gen_corpus(200_000, 1000, seed=11)
