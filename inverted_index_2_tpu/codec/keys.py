@@ -42,6 +42,11 @@ def pack_blob(blob: bytes | np.ndarray, offsets: np.ndarray, width: int | None =
     nbytes = W * 4
     if n == 0:
         return np.zeros((0, W + 1), dtype=np.uint32)
+    if n >= 512:
+        from . import native
+
+        if native.available():
+            return native.pack_keys(arr, offsets, W)
     if len(arr) == 0:
         mat = np.zeros((n, nbytes), dtype=np.uint32)
     else:

@@ -103,6 +103,8 @@ def _bind(lib):
         lib.tpi_gather_bytes.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
         lib.tpi_sort_key_rows.restype = None
         lib.tpi_sort_key_rows.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64, i32p]
+        lib.tpi_pack_keys.restype = None
+        lib.tpi_pack_keys.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u32p]
     except AttributeError:
         # stale shared object (symbol set changed): fall back to numpy
         return None
@@ -209,6 +211,19 @@ def concat_terms(blob: np.ndarray, offsets: np.ndarray, order: np.ndarray):
     if m:
         lib.tpi_concat_terms(blob, offsets, order, m, out_blob, out_offsets)
     return out_blob, out_offsets
+
+
+def pack_keys(blob: np.ndarray, offsets: np.ndarray, W: int) -> np.ndarray:
+    """Native twin of keys.pack_blob: (n, W+1) big-endian key rows."""
+    lib = _load()
+    assert lib is not None
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    out = np.empty((max(n, 1), W + 1), dtype=np.uint32)
+    if n:
+        lib.tpi_pack_keys(blob, offsets, n, W, out)
+    return out[:n]
 
 
 def sort_key_rows(keys: np.ndarray) -> np.ndarray:

@@ -409,7 +409,14 @@ def merge_views(views: List[SegmentView], removed: Optional[np.ndarray] = None):
 
         out_groups = (pairs >> np.uint64(32)).astype(np.int64)
         out_vals = (pairs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    kept, group_counts = np.unique(out_groups, return_counts=True)
+    # out_groups is already sorted (merge core emits (group, value) order):
+    # run-boundary diff beats np.unique's internal sort (~13% of merge time)
+    heads = np.empty(len(out_groups), dtype=bool)
+    heads[0] = True
+    np.not_equal(out_groups[1:], out_groups[:-1], out=heads[1:])
+    head_idx = np.nonzero(heads)[0]
+    kept = out_groups[head_idx]
+    group_counts = np.diff(np.append(head_idx, len(out_groups)))
     voffs = np.zeros(len(kept) + 1, dtype=np.int64)
     np.cumsum(group_counts, out=voffs[1:])
 

@@ -401,6 +401,37 @@ int64_t tpi_ingest_sort_concat(const uint8_t* blob, const int64_t* offsets,
   return m;
 }
 
+// Pack terms (blob, offsets) into (n, W+1) big-endian uint32 key rows:
+// W words of 4 term bytes (zero-padded) + the length word — the fixed-width
+// bytes.Compare-exact layout of codec/keys.py (numpy twin: pack_blob).
+void tpi_pack_keys(const uint8_t* blob, const int64_t* offsets, int64_t n,
+                   int64_t W, uint32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t off = offsets[i];
+    const int64_t len = offsets[i + 1] - off;
+    const uint8_t* p = blob + off;
+    uint32_t* row = out + i * (W + 1);
+    const int64_t full = len / 4;
+    int64_t w = 0;
+    for (; w < full && w < W; ++w) {
+      uint32_t v;
+      std::memcpy(&v, p + w * 4, 4);
+      row[w] = __builtin_bswap32(v);
+    }
+    if (w < W) {
+      // partial word: remaining 0-3 bytes, high-aligned
+      uint32_t v = 0;
+      const int64_t rem = len - w * 4;
+      for (int64_t b = 0; b < rem && b < 4; ++b) {
+        v |= static_cast<uint32_t>(p[w * 4 + b]) << (24 - 8 * b);
+      }
+      row[w++] = v;
+      for (; w < W; ++w) row[w] = 0;
+    }
+    row[W] = static_cast<uint32_t>(len);
+  }
+}
+
 // Gather terms order[0..m) into a packed (out_blob, out_offsets[m+1]) pair.
 void tpi_concat_terms(const uint8_t* blob, const int64_t* offsets,
                       const int32_t* order, int64_t m, uint8_t* out_blob,

@@ -84,3 +84,30 @@ def test_scan_rejects_zero_nblk():
     tbs = np.array([0, 2], dtype=np.int64)
     with pytest.raises(ValueError):
         native.scan_blocks(bad, np.array([0], dtype=np.int64), tbs)
+
+
+def test_pack_keys_native_matches_numpy(rng):
+    from inverted_index_2_tpu.codec import keys as K
+    from inverted_index_2_tpu.codec import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib absent")
+    terms = [
+        bytes(rng.integers(0, 256, size=int(l), dtype=np.uint8))
+        for l in rng.integers(0, 23, size=1500)
+    ]
+    blob = b"".join(terms)
+    offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in terms], out=offsets[1:])
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    for W in (1, 3, 6, 8):
+        a = native.pack_keys(arr, offsets, W)
+        # numpy path (force by slicing below the dispatch threshold)
+        b = np.concatenate(
+            [K.pack_blob(arr[offsets[i] : offsets[i + 1]].tobytes(),
+                         np.array([0, offsets[i + 1] - offsets[i]]), W)
+             for i in range(len(terms))]
+        )
+        assert np.array_equal(a, b), W
