@@ -97,12 +97,19 @@ def build_table_np(hashes: np.ndarray) -> np.ndarray:
 
 def build_table(keys: np.ndarray) -> np.ndarray:
     """Build the slot table for packed key rows (native C++ when available)."""
+    return build_table_with_probes(keys)[0]
+
+
+def build_table_with_probes(keys: np.ndarray):
+    """(slots, max_probes) in one pass — the separate numpy probe-length
+    scan cost ~0.1s per million terms at snapshot build."""
     hashes = hash_rows_np(np.ascontiguousarray(keys, dtype=np.uint32))
     from . import native
 
-    if native.available() and hasattr(native, "hash_build"):
-        return native.hash_build(hashes)
-    return build_table_np(hashes)
+    if native.available():
+        return native.hash_build_with_probes(hashes)
+    slots = build_table_np(hashes)
+    return slots, max_probe_len(slots, hashes)
 
 
 def max_probe_len(slots: np.ndarray, hashes: np.ndarray) -> int:

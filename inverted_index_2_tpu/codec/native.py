@@ -87,6 +87,8 @@ def _bind(lib):
         lib.tpi_scan_blocks.argtypes = [u32p, ctypes.c_int64, i64p, ctypes.c_int64, i64p, i32p]
         lib.tpi_hash_build.restype = None
         lib.tpi_hash_build.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
+        lib.tpi_hash_build_v2.restype = ctypes.c_int32
+        lib.tpi_hash_build_v2.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
         u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
         u16p = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
         lib.tpi_ingest_sort.restype = ctypes.c_int64
@@ -301,17 +303,25 @@ def gather_bytes(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.nd
 
 def hash_build(hashes: np.ndarray) -> np.ndarray:
     """Native linear-probe hash-table build (see codec/hashing.py)."""
+    return hash_build_with_probes(hashes)[0]
+
+
+def hash_build_with_probes(hashes: np.ndarray, S: int = None):
+    """Native build + longest probe chain: (slots, max_probes). `S` forces a
+    table size (the mesh stacker shares one size across devices)."""
     lib = _load()
     assert lib is not None
     hashes = np.ascontiguousarray(hashes, dtype=np.uint32)
     from .hashing import table_size
 
     n = len(hashes)
-    S = table_size(n)
+    if S is None:
+        S = table_size(n)
     slots = np.full(S, -1, dtype=np.int32)
-    if n:
-        lib.tpi_hash_build(hashes, n, slots, S)
-    return slots
+    if not n:
+        return slots, 1
+    mp = int(lib.tpi_hash_build_v2(hashes, n, slots, S))
+    return slots, mp
 
 
 def scan_blocks(words: np.ndarray, outs: np.ndarray, tbs: np.ndarray) -> np.ndarray:

@@ -180,8 +180,7 @@ def build_snapshot_arrays(
 
     rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
     if build_hash:
-        slots = hashing.build_table(keys)
-        max_probes = hashing.max_probe_len(slots, hashing.hash_rows_np(keys))
+        slots, max_probes = hashing.build_table_with_probes(keys)
     else:
         slots = np.full(8, -1, dtype=np.int32)
         max_probes = 1

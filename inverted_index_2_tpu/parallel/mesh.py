@@ -173,9 +173,8 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
             from ..codec import native
 
             if native.available():
-                native._load().tpi_hash_build(
-                    np.ascontiguousarray(h), n, slots, S
-                )
+                slots, mp = native.hash_build_with_probes(h, S=S)
+                probes = max(probes, mp)
             else:
                 full = hashing.build_table_np(h)
                 # rebuild at size S if the fallback chose a different size
@@ -188,7 +187,7 @@ def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapsh
                         slots[pos] = i
                 else:
                     slots = full
-            probes = max(probes, hashing.max_probe_len(slots, h))
+                probes = max(probes, hashing.max_probe_len(slots, h))
         tables.append(slots)
     stack = lambda i: np.stack([pp[i] for pp in padded], axis=0)
     shard = NamedSharding(mesh, P(SHARD_AXIS))

@@ -586,4 +586,21 @@ void tpi_hash_build(const uint32_t* hashes, int64_t N, int32_t* slots,
   }
 }
 
+// Build + longest-probe-chain in one call (the numpy post-pass cost ~0.1s
+// per million terms at snapshot build). Returns max probe length (final
+// displacement + 1), >= 1.
+int32_t tpi_hash_build_v2(const uint32_t* hashes, int64_t N, int32_t* slots,
+                          int64_t S) {
+  tpi_hash_build(hashes, N, slots, S);
+  const uint32_t mask = static_cast<uint32_t>(S - 1);
+  uint32_t maxd = 0;
+  for (int64_t s = 0; s < S; ++s) {
+    const int32_t idx = slots[s];
+    if (idx < 0) continue;
+    const uint32_t d = (static_cast<uint32_t>(s) - (hashes[idx] & mask)) & mask;
+    if (d > maxd) maxd = d;
+  }
+  return static_cast<int32_t>(maxd) + 1;
+}
+
 }  // extern "C"
