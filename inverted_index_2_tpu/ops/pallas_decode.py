@@ -105,7 +105,7 @@ def decode_postings_pallas(
         num_scalar_prefetch=1,
         grid=(Q // TQ,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # arena stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # arena stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # P4 permutation
             pl.BlockSpec(memory_space=pltpu.VMEM),  # P2 permutation
         ],
