@@ -75,3 +75,43 @@ def test_decode_pow2_mxu_matches_repeat(rng):
     for i, l in enumerate(lists):
         c = min(128, len(l))
         assert np.array_equal(np.asarray(v_rep)[i, :c], l[:c]), i
+
+
+def test_pallas_intersect_matches_setops(rng):
+    """ops/pallas_bool.intersect_pallas vs setops.intersect_many (bit-exact),
+    over overlapping draws incl. empty lists, single-term queries, garbage
+    padding, and a genuine 0xFFFFFFFF member."""
+    from inverted_index_2_tpu.ops import setops
+    from inverted_index_2_tpu.ops.pallas_bool import intersect_pallas
+
+    Q, K, L = 16, 4, 256
+    lists = np.zeros((Q, K, L), dtype=np.uint32)
+    counts = np.zeros((Q, K), dtype=np.int32)
+    kv = rng.integers(1, K + 1, size=Q).astype(np.int32)
+    for q in range(Q):
+        pool = rng.choice(600, size=400, replace=False).astype(np.uint32)
+        for j in range(K):
+            n = int(rng.integers(0, L + 1))
+            v = np.sort(rng.choice(pool, size=min(n, len(pool)), replace=False))
+            counts[q, j] = len(v)
+            lists[q, j, : len(v)] = v
+            lists[q, j, len(v):] = rng.integers(
+                0, 2**32, size=L - len(v), dtype=np.uint32
+            )
+    # query 0: a genuine 0xFFFFFFFF member of every list (counts, not
+    # sentinels, define validity)
+    for j in range(K):
+        c = counts[0, j]
+        lists[0, j, c] = 0xFFFFFFFF
+        counts[0, j] = c + 1
+
+    rv, rc = setops.intersect_many(
+        jnp.asarray(lists), jnp.asarray(counts), jnp.asarray(kv)
+    )
+    gv, gc = intersect_pallas(
+        jnp.asarray(lists), jnp.asarray(counts), jnp.asarray(kv), interpret=True
+    )
+    rv, rc, gv, gc = map(np.asarray, (rv, rc, gv, gc))
+    assert np.array_equal(rc, gc)
+    for q in range(Q):
+        assert np.array_equal(rv[q, : rc[q]], gv[q, : gc[q]]), q
