@@ -336,7 +336,10 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     import jax
     import jax.numpy as jnp
 
-    from inverted_index_2_tpu.models.query_engine import boolean_step
+    from inverted_index_2_tpu.models.query_engine import (
+        boolean_fused_step,
+        boolean_step,
+    )
 
     blob, offsets, values, voffs = corpus
     n = snap.n_terms
@@ -348,9 +351,14 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     def scan_bool(keys, blocks, tbs, counts, slots, staged, kvs, L, mp, op):
         def body(carry, xs):
             qk, kv = xs
-            o, oc, need = boolean_step(
-                keys, blocks, tbs, counts, qk, kv, L, op, None, slots, mp
-            )
+            if op == "fused_and":
+                o, oc, need = boolean_fused_step(
+                    keys, blocks, tbs, counts, qk, kv, L, None, slots, mp
+                )
+            else:
+                o, oc, need = boolean_step(
+                    keys, blocks, tbs, counts, qk, kv, L, op, None, slots, mp
+                )
             chk = carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0])
             return chk, jnp.sum((need > L).astype(jnp.int32))
         return jax.lax.scan(body, jnp.uint32(0), (staged, kvs))
@@ -362,7 +370,15 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     bidx = rng.integers(0, n, size=(iters, Q, K))
     staged = jnp.asarray(hk[bidx])
     kvs_d = jnp.asarray(kvs)
-    for op, name in (("and", "and_qps_postlen1k"), ("or", "or_qps_postlen1k")):
+    # production AND on TPU is the FUSED Pallas kernel (probes walked to
+    # full length; re-serve only when the SMALLEST list exceeds L); the
+    # sort-based padded path is kept as the _sort variant and as the
+    # production path off-TPU / on compact arenas
+    ops = [("and", "and_qps_postlen1k_sort", "postlen1k_reserve_frac_sort"),
+           ("or", "or_qps_postlen1k", None)]
+    if snap.arena_aligned:
+        ops.insert(0, ("fused_and", "and_qps_postlen1k", "postlen1k_reserve_frac"))
+    for op, name, frac_name in ops:
         chk, nres = scan_bool(
             *tables, snap.hash_slots, staged, kvs_d, L, snap.max_probes, op
         )
@@ -374,9 +390,13 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
         jax.block_until_ready(chk)
         dt = time.monotonic() - t0
         out[name] = round(Q * iters / dt)
-        out["postlen1k_reserve_frac"] = round(
-            float(np.asarray(nres).sum()) / (Q * iters), 4
-        )
+        if frac_name:
+            out[frac_name] = round(
+                float(np.asarray(nres).sum()) / (Q * iters), 4
+            )
+    if not snap.arena_aligned:
+        out["and_qps_postlen1k"] = out["and_qps_postlen1k_sort"]
+        out["postlen1k_reserve_frac"] = out["postlen1k_reserve_frac_sort"]
     return out
 
 

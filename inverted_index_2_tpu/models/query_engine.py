@@ -38,6 +38,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
+import os
+
 import numpy as np
 
 import jax
@@ -74,6 +76,8 @@ class IndexSnapshot:
     max_probes: int = 1             # static probe bound (longest chain)
     max_count: int = 0              # longest posting list (host int)
     host_counts: np.ndarray = field(repr=False, default=None)  # (N,) int32
+    arena_aligned: bool = False     # 128-lane stride + slack rows: the
+                                    # Pallas in-kernel DMA paths are usable
 
     @property
     def n_terms(self) -> int:
@@ -113,13 +117,20 @@ def _expand_arena(wpad, flat, stride: int):
 
 def build_snapshot_arrays(
     blob, offsets, values, voffs, removed=None, width=None, build_hash: bool = True,
-    stride_align: int = 1,
+    stride_align: Optional[int] = None,
 ):
     """Lower merged (blob, offsets, values, voffs) arrays to device tables.
 
     build_hash=False skips hash-table construction (the mesh stacker builds
     per-device tables at a common size itself — building here too would be
-    duplicated O(N) work)."""
+    duplicated O(N) work).
+
+    stride_align: None = AUTO — on a TPU backend, align the arena stride to
+    128 lanes (enabling the fused Pallas AND kernel's in-kernel DMA) when
+    that costs at most 2x the compact stride; corpora with tiny blocks
+    (short posting lists, where alignment would inflate the arena up to
+    ~25x and the padded XLA paths are already fast) stay compact. Explicit
+    1 forces compact, 128 forces aligned. TPI_PALLAS_AND=0 disables auto."""
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if n == 0:
@@ -162,9 +173,17 @@ def build_snapshot_arrays(
     blk_words = 2 + packing._packed_words(h_nblk, h_b)
     max_bw = int(blk_words.max()) if len(blk_words) else 3
     stride = max(4, max_bw + 1)
-    # Mosaic DMA slices must be 128-lane aligned: the Pallas decode kernel
-    # needs stride_align=128 (arena rows grow up to ~2x; XLA row gathers are
-    # stride-insensitive, so the compact default stays 1)
+    if stride_align is None:
+        aligned = -(-stride // 128) * 128
+        auto_ok = (
+            os.environ.get("TPI_PALLAS_AND", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and aligned <= 2 * stride
+        )
+        stride_align = 128 if auto_ok else 1
+    # Mosaic DMA slices must be 128-lane aligned: the Pallas kernels need
+    # stride_align=128 (arena rows grow up to ~2x; XLA row gathers are
+    # stride-insensitive, so the compact fallback stays 1)
     stride = -(-stride // stride_align) * stride_align
     if stride_align > 1:
         # trailing slack rows (all zeros) so the Pallas kernel's (K, stride)
@@ -196,6 +215,7 @@ def build_snapshot_arrays(
         max_probes=max_probes,
         max_count=int(counts.max()) if len(counts) else 0,
         host_counts=counts32,
+        arena_aligned=stride_align > 1,
     )
 
 
@@ -420,6 +440,43 @@ def boolean_step_dual(
     return out, oc, need
 
 
+def boolean_fused_step(
+    keys, blocks, term_block_start, counts,
+    qkeys, k_valid, L: int, removed=None,
+    slots=None, max_probes: int = 0, interpret: bool = False,
+):
+    """Batched AND through the FUSED Pallas kernel (ops/pallas_fused.py):
+    resolve terms, swap each query's smallest list into the base slot, then
+    decode + membership-compare directly over the block arena in VMEM.
+    Probe lists are walked to their FULL length — `need` is the BASE
+    (smallest) count only, so the ladder re-serve fraction is
+    P(min list > L) instead of P(any list > L) (measured 0.003 vs 0.49 at
+    the config-3 shape, L=2048). Requires an arena built with
+    stride_align=128 (IndexSnapshot.arena_aligned).
+
+    Returns (out (Q, L) compacted ascending, oc (Q,), need (Q,))."""
+    from ..ops.pallas_fused import fused_and_pallas, reorder_smallest_base
+
+    Q, K, Wp1 = qkeys.shape
+    flat = qkeys.reshape(Q * K, Wp1)
+    idx, found = _resolve(keys, flat, slots, max_probes)
+    idx = idx.reshape(Q, K)
+    found = found.reshape(Q, K)
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+    live = found & kmask
+    # a missing REQUIRED term carries count 0, wins the argmin, and empties
+    # the AND via an empty base — exactly the required semantics
+    cnt = jnp.where(live, counts[idx], 0).astype(jnp.int32)
+    rows = jnp.where(live, term_block_start[idx], 0).astype(jnp.int32)
+    rows2, cnt2, need = reorder_smallest_base(rows, cnt, k_valid)
+    out, oc = fused_and_pallas(
+        blocks, rows2, cnt2, k_valid, L, interpret=interpret
+    )
+    if removed is not None and removed.shape[0] > 0:
+        out, oc = setops.filter_removed(out, oc, removed)
+    return out, oc, need
+
+
 def prefix_range_step(keys, lo_keys, hi_keys):
     """Device prefix -> dictionary range [lo, hi) (PrefixSearch kernel).
 
@@ -438,6 +495,9 @@ _JIT_LOOKUP = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
 _JIT_BOOLEAN = jax.jit(boolean_step, static_argnames=("L", "op", "max_probes"))
 _JIT_BOOLEAN_DUAL = jax.jit(
     boolean_step_dual, static_argnames=("L", "op", "max_probes1", "max_probes2")
+)
+_JIT_BOOLEAN_FUSED = jax.jit(
+    boolean_fused_step, static_argnames=("L", "max_probes", "interpret")
 )
 _JIT_PREFIX = jax.jit(prefix_range_step)
 _JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
@@ -772,6 +832,11 @@ class QueryEngine:
             return [np.zeros(0, np.uint32) for _ in queries]
         removed = self._removed if filter_removed else None
         if self.delta is None:
+            if op == "and" and self._use_fused():
+                # fused Pallas AND: decode + membership directly over the
+                # arena; probes never truncate, re-serve only when the
+                # SMALLEST list exceeds L
+                return self._boolean_fused(queries, qk, kv, removed)
             # steady state: concat-decode path — work proportional to each
             # query's TOTAL posting count, no truncation/re-serve at all
             return self._boolean_concat(queries, qk, kv, op, removed)
@@ -832,6 +897,82 @@ class QueryEngine:
     # Geometric x4 keeps compiled programs few; each class pays only its own
     # real volume (SB*128 values sorted per query).
     _SB_CLASSES = (8, 32, 128, 512, 2048, 8192, 32768)
+
+    def _use_fused(self) -> bool:
+        """Fused Pallas AND is available: 128-aligned arena + TPU backend
+        (TPI_FUSED_AND=0 disables; =interp routes through the kernel
+        interpreter off-TPU, for tests)."""
+        mode = os.environ.get("TPI_FUSED_AND", "1")
+        if mode == "0" or not self.snap.arena_aligned:
+            return False
+        return mode == "interp" or jax.default_backend() == "tpu"
+
+    def _boolean_fused(self, queries, qk, kv, removed):
+        """AND via the fused arena kernel + ladder re-serve on the BASE
+        (smallest-list) count. Base lists beyond the arena slack bound
+        (SLACK_ROWS*128 values) fall back to the exact concat path."""
+        from ..ops.pallas_decode import SLACK_ROWS
+
+        s = self.snap
+        interp = (
+            os.environ.get("TPI_FUSED_AND") == "interp"
+            and jax.default_backend() != "tpu"
+        )
+
+        def run(lv, qk_sub, kv_sub):
+            return _JIT_BOOLEAN_FUSED(
+                s.keys, s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(_narrow_keys(qk_sub, s.width)),
+                jnp.asarray(kv_sub), lv,
+                removed, s.hash_slots, s.max_probes, interp,
+            )
+
+        out_dev, oc, need = run(self.L, qk, kv)
+        # AND results are tiny (intersections of independent lists):
+        # fetch counts first, then ONLY the populated prefix of the result
+        # matrix — the untrimmed (Q, L) fetch costs ~2MB per bucket over
+        # the tunnel and dominated the API path
+        oc, need = jax.device_get((oc, need))
+        m = max(1, int(oc.max(initial=0)))
+        out = np.asarray(out_dev[:, :m])
+        results: List[Optional[np.ndarray]] = [None] * len(queries)
+        max_lv = SLACK_ROWS * 128
+        long_idx, overflow = [], []
+        for i in range(len(queries)):
+            if need[i] <= self.L:
+                results[i] = out[i, : oc[i]].copy()
+            elif need[i] <= max_lv:
+                long_idx.append(i)
+            else:
+                overflow.append(i)
+        long_idx.sort(key=lambda i: -need[i])
+        K = qk.shape[1]
+        Wp1 = qk.shape[2]
+        while long_idx:
+            lv = self._level_for(int(max(need[i] for i in long_idx)))
+            qb = max(1, _RESERVE_BUDGET // (K * lv))
+            batch, long_idx = long_idx[:qb], long_idx[qb:]
+            B = _round_up(len(batch), 8)
+            bq = np.zeros((B, K, Wp1), dtype=np.uint32)
+            bkv = np.zeros(B, dtype=np.int32)
+            bq[: len(batch)] = qk[batch]
+            bkv[: len(batch)] = kv[batch]
+            o2, c2, _ = run(lv, bq, bkv)
+            c2 = np.asarray(c2)
+            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
+            for j, i in enumerate(batch):
+                results[i] = o2[j, : c2[j]].copy()
+        if overflow:
+            sub = [queries[i] for i in overflow]
+            B = _round_up(len(overflow), 8)
+            bq = np.zeros((B, K, Wp1), dtype=np.uint32)
+            bkv = np.zeros(B, dtype=np.int32)
+            bq[: len(overflow)] = qk[overflow]
+            bkv[: len(overflow)] = kv[overflow]
+            sub_res = self._boolean_concat(sub, bq, bkv, "and", removed)
+            for i, r in zip(overflow, sub_res):
+                results[i] = r
+        return results
 
     def _boolean_concat(self, queries, qk, kv, op: str, removed):
         """Exact AND/OR sized by each query's REAL total postings:

@@ -1,0 +1,299 @@
+"""Pallas TPU kernel: FUSED decode + boolean AND over the block arena.
+
+The two-stage AND pipeline (XLA row-gather decode to (Q*K, L), then a set
+op — boolean_step) pays three times for padding: the decode gathers L slots
+per term regardless of its real length, the set op sorts or compares padded
+volume, and any term longer than L clips the whole query into a ladder
+re-serve at 4x the cost (measured re-serve fraction 0.48 at L=2048 on the
+config-3 shape, mean posting length 1k).
+
+This kernel replaces the pipeline for AND queries:
+
+  * the BASE list (slot 0 — the host reorders each query so slot 0 is its
+    SMALLEST term; an AND result is a subset of every input list) is
+    DMA'd from the arena and decoded into VMEM at pad L;
+  * every PROBE list is walked in GP-block groups to its FULL length —
+    DMA group -> decode in VMEM (MXU permutation interleave, same path as
+    ops/pallas_decode) -> broadcast membership compare against the base —
+    no L bound, no truncation, no HBM round trip for decoded values;
+  * a query re-serves only when its SMALLEST list exceeds L:
+    P(min > L) ~ P(single > L)^k, so the 0.48 re-serve fraction collapses
+    to ~2% at k=2 (and vanishes for wider queries).
+
+Reference behavior matched: pairwise member semantics of MergeTermValues
+(/root/reference/file/types.go) with merge-only tombstone purge left to the
+caller's filter step. Arena requirements: build_snapshot_arrays(
+stride_align=128) — lane-aligned rows for in-kernel DMA slices, with
+trailing slack rows covering the group overrun (SLACK_ROWS >= GP).
+
+Mosaic notes: see ops/pallas_bool.py (lane-axis layout, no lax.cond, i32
+loop carries, flat SMEM prefetch operands, sublane-direction reductions).
+
+Falls back to the jnp path off-TPU; `interpret=True` is used by tests on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .decode import _P2, _P4, decode_blocks_pow2
+
+_SENT = np.uint32(0xFFFFFFFF)
+
+TQ = 8        # queries per program
+CHUNK = 128   # values per block
+GP = 16       # probe blocks fetched per DMA group (covers the mean config-3
+              # list in one group; overruns land in the arena slack rows)
+BG0 = 4       # base chunks per compare group (bounds compare volume by the
+              # BASE list's real length, not the static pad C)
+
+
+def _kernel_factory(K: int, C: int, stride: int):
+    BG = min(BG0, C)  # base group cannot exceed the pad
+    def _kernel(rows_ref, counts_ref, kvalid_ref, arena, p4_ref, p2_ref,
+                out_ref, cnt_ref, base_win, probe_win, probe_pre, pv_buf,
+                base_buf, hit_buf, sems, psems):
+        """Grid: (Q//TQ,). rows_ref/counts_ref (Q*K,) i32 + kvalid_ref (Q,)
+        i32 scalar-prefetched (slot 0 = smallest list per query). arena:
+        (B+slack, stride) u32 in HBM. out_ref: (TQ, C, 128) masked base;
+        cnt_ref: (TQ, 128) keep counts. base_win (C, stride) / probe_win
+        (GP, stride) DMA landing buffers; base_buf (C, 128) decoded base
+        (a VMEM ref so base GROUPS can be sliced at dynamic offsets);
+        hit_buf (C, 128) i32 per-pair hit accumulator (dynamic-offset
+        read-modify-write); sems: (2,) DMA."""
+        q0 = pl.program_id(0) * TQ
+        perms = (p4_ref[:], p2_ref[:])
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 0) * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 1)
+        )
+        sid = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK, 1), 1)
+
+        # ALL TQ base windows DMA'd in flight, then ONE batched decode:
+        # a per-query decode of (C, 128) is 2-vreg ops at full issue cost
+        # (measured ~17us/query of pure overhead); batching across the
+        # tile amortizes it 8x
+        def base_dma(r):
+            return pltpu.make_async_copy(
+                arena.at[pl.ds(rows_ref[(q0 + r) * K], C)],
+                base_win.at[r],
+                sems.at[r],
+            )
+
+        for r in range(TQ):
+            base_dma(r).start()
+        for r in range(TQ):
+            base_dma(r).wait()
+        bases, _ = decode_blocks_pow2(
+            base_win[:], use_mxu=True, perms=perms
+        )                                                   # (TQ, C, 128)
+        base_buf[:] = bases
+
+        for r in range(TQ):
+            q = q0 + r
+            n0 = counts_ref[q * K]
+            kv = kvalid_ref[q]
+            # live base groups: compare volume scales with the smallest
+            # list's real length (mean ~3 chunks at config-3), not C=16
+            nbg = (n0 + BG * CHUNK - 1) // (BG * CHUNK)
+            base = base_buf[r]                              # (C, 128)
+            keep0 = (pos < n0).astype(jnp.int32)
+
+            # hide probe-DMA latency AND decode-op overhead: every pair's
+            # FIRST group goes in flight before the pair loop, then ONE
+            # batched decode covers all of them (the mean config-3 list
+            # fits one GP group, so most pairs never issue a serial
+            # follow-up DMA and never decode again)
+            def pre_dma(j1):
+                return pltpu.make_async_copy(
+                    arena.at[pl.ds(rows_ref[q * K + j1], GP)],
+                    probe_pre.at[j1 - 1],
+                    psems.at[j1 - 1],
+                )
+
+            for j1 in range(1, K):
+                @pl.when(j1 < kv)
+                def _(j1=j1):
+                    pre_dma(j1).start()
+
+            for j1 in range(1, K):
+                @pl.when(j1 < kv)
+                def _(j1=j1):
+                    pre_dma(j1).wait()
+
+            pv_all, _ = decode_blocks_pow2(
+                probe_pre[:], use_mxu=True, perms=perms
+            )                                               # (K-1, GP, 128)
+            pv_buf[:] = pv_all
+
+            def jbody(j, keep, r=r, q=q, nbg=nbg):
+                nj = counts_ref[q * K + j]
+                rj = rows_ref[q * K + j]
+                ngrp = (nj + GP * CHUNK - 1) // (GP * CHUNK)
+                hit_buf[:] = jnp.zeros((C, CHUNK), dtype=jnp.int32)
+
+                def probe_block(pv, g, carry, r=r, nj=nj, nbg=nbg):
+                    def bgbody(bg, c2, r=r, pv=pv, g=g, nj=nj):
+                        bs = bg * BG
+                        base_g = base_buf[r, pl.ds(bs, BG), :]  # (BG, 128)
+                        for p in range(GP):
+                            # skip chunks past the list's real length
+                            # (static GP covers the longest group; the mean
+                            # config-3 list fills half of it)
+                            @pl.when((g * GP + p) * CHUNK < nj)
+                            def _(p=p, bs=bs, base_g=base_g, pv=pv, g=g,
+                                  nj=nj):
+                                ch = pv[p]                  # (128,)
+                                cvalid = (
+                                    sid + (g * GP + p) * CHUNK
+                                ) < nj
+                                eq = (
+                                    base_g[:, None, :] == ch[None, :, None]
+                                )
+                                hit_buf[pl.ds(bs, BG), :] = hit_buf[
+                                    pl.ds(bs, BG), :
+                                ] | jnp.any(eq & cvalid, axis=1).astype(
+                                    jnp.int32
+                                )
+                        return c2
+
+                    return jax.lax.fori_loop(0, nbg, bgbody, carry)
+
+                probe_block(pv_buf[jnp.maximum(j - 1, 0)], 0, jnp.int32(0))
+
+                def gbody(g, carry, rj=rj, nj=nj, nbg=nbg):
+                    pdma = pltpu.make_async_copy(
+                        arena.at[pl.ds(rj + g * GP, GP)], probe_win,
+                        sems.at[TQ],
+                    )
+                    pdma.start()
+                    pdma.wait()
+                    pv, _ = decode_blocks_pow2(
+                        probe_win[:], use_mxu=True, perms=perms
+                    )                                       # (GP, 128)
+                    return probe_block(pv, g, carry)
+
+                jax.lax.fori_loop(1, ngrp, gbody, jnp.int32(0))
+                return keep & hit_buf[:]
+
+            keep = jax.lax.fori_loop(1, kv, jbody, keep0) > 0
+            out_ref[r] = jnp.where(keep, base, _SENT)
+            cnt_ref[r, :] = jnp.full(
+                (CHUNK,), jnp.sum(keep.astype(jnp.int32)), dtype=jnp.int32
+            )
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("L", "compact", "interpret"))
+def fused_and_pallas(
+    blocks: jnp.ndarray,
+    rows: jnp.ndarray,
+    counts: jnp.ndarray,
+    k_valid: jnp.ndarray,
+    L: int,
+    compact: bool = True,
+    interpret: bool = False,
+):
+    """AND over arena-resident posting lists, decode fused in-kernel.
+
+    blocks: (B+slack, stride) u32 arena (stride_align=128, slack >= GP).
+    rows:   (Q, K) i32 first arena row per term; slot 0 = SMALLEST list
+            (callers reorder); 0 for missing terms.
+    counts: (Q, K) i32 raw counts; 0 for missing terms (a missing required
+            term empties the AND by contributing an empty base/probe).
+    k_valid: (Q,) i32 number of terms per query (>= 1).
+    L: static base pad (multiple of 128). Probe lists are walked to their
+       FULL length regardless of L; only counts[:, 0] > L needs a re-serve.
+
+    Returns (vals (Q, L) compacted ascending, oc (Q,) i32).
+    """
+    Q, K = rows.shape
+    assert Q % TQ == 0, f"Q={Q} must be a multiple of {TQ}"
+    assert L % CHUNK == 0
+    C = L // CHUNK
+    stride = int(blocks.shape[1])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Q // TQ,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # arena stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P4 permutation
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P2 permutation
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TQ, C, CHUNK),
+                lambda i, r_ref, c_ref, k_ref: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TQ, CHUNK),
+                lambda i, r_ref, c_ref, k_ref: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TQ, C, stride), jnp.uint32),      # base_win
+            pltpu.VMEM((GP, stride), jnp.uint32),         # probe_win
+            pltpu.VMEM((K - 1, GP, stride), jnp.uint32),  # probe_pre
+            pltpu.VMEM((K - 1, GP, CHUNK), jnp.uint32),   # pv_buf (decoded)
+            pltpu.VMEM((TQ, C, CHUNK), jnp.uint32),       # base_buf
+            pltpu.VMEM((C, CHUNK), jnp.int32),            # hit_buf
+            pltpu.SemaphoreType.DMA((TQ + 1,)),
+            pltpu.SemaphoreType.DMA((K - 1,)),            # prefetch sems
+        ],
+    )
+    masked, cnt = pl.pallas_call(
+        _kernel_factory(K, C, stride),
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, C, CHUNK), jnp.uint32),
+            jax.ShapeDtypeStruct((Q, CHUNK), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        rows.astype(jnp.int32).reshape(Q * K),
+        counts.astype(jnp.int32).reshape(Q * K),
+        k_valid.astype(jnp.int32),
+        blocks,
+        jnp.asarray(_P4),
+        jnp.asarray(_P2),
+    )
+    flat = masked.reshape(Q, L)
+    if not compact:
+        # lazy-compaction serving: AND results are typically tiny (the
+        # intersection of independent lists), so callers download the
+        # counts first and run the (Q, L) compaction sort — measured as
+        # expensive as the whole kernel — only over nonzero-result rows
+        return flat, cnt[:, 0]
+    return jnp.sort(flat, axis=1), cnt[:, 0]
+
+
+def reorder_smallest_base(rows: jnp.ndarray, counts: jnp.ndarray,
+                          k_valid: jnp.ndarray):
+    """Swap each query's smallest-count ACTIVE slot into slot 0.
+
+    Missing terms carry count 0 and win the argmin — an empty base empties
+    the AND, which is exactly the required semantics. Inactive slots
+    (>= k_valid) are excluded. Returns (rows', counts', need) where need is
+    the base (smallest) count per query — the only count whose excess over
+    L forces a ladder re-serve."""
+    Q, K = rows.shape
+    kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+    guarded = jnp.where(kmask, counts, jnp.int32(0x7FFFFFFF))
+    b = jnp.argmin(guarded, axis=1).astype(jnp.int32)       # (Q,)
+    cols = jnp.arange(K, dtype=jnp.int32)[None, :]
+    perm = jnp.where(
+        cols == 0, b[:, None], jnp.where(cols == b[:, None], 0, cols)
+    )
+    rows2 = jnp.take_along_axis(rows, perm, axis=1)
+    counts2 = jnp.take_along_axis(counts, perm, axis=1)
+    need = jnp.where(k_valid > 0, counts2[:, 0], 0)
+    return rows2, counts2, need

@@ -115,3 +115,83 @@ def test_pallas_intersect_matches_setops(rng):
     assert np.array_equal(rc, gc)
     for q in range(Q):
         assert np.array_equal(rv[q, : rc[q]], gv[q, : gc[q]]), q
+
+
+def test_fused_and_step_matches_reference(rng):
+    """boolean_fused_step (interpret) vs numpy set algebra: probes walked
+    past L, missing terms, tombstone filter, smallest-base reorder."""
+    import jax.numpy as jnp
+
+    from inverted_index_2_tpu.models.query_engine import boolean_fused_step
+
+    lists = [
+        np.unique(rng.integers(0, 3_000, size=int(s), dtype=np.uint32))
+        for s in [1, 5, 60, 140, 300, 700, 650, 129, 128, 127, 40, 500]
+    ]
+    snap = _snap(lists, rng)
+    assert snap.arena_aligned
+    Q, K, L = 16, 4, 256
+    hk = np.asarray(snap.keys)
+    idx = rng.integers(0, len(lists), size=(Q, K)).astype(np.int32)
+    kv = rng.integers(1, K + 1, size=Q).astype(np.int32)
+    qk = np.zeros((Q, K, hk.shape[1]), dtype=np.uint32)
+    for i in range(Q):
+        qk[i, : kv[i]] = hk[idx[i, : kv[i]]]
+    # query 2: an unresolvable term (garbage key) -> empty AND
+    if kv[2] < 2:
+        kv[2] = 2
+    qk[2, 1] = np.arange(hk.shape[1], dtype=np.uint32) + 7_777_777
+    removed = np.unique(
+        np.concatenate([l[::3] for l in lists[:4]])
+    ).astype(np.uint32)
+
+    out, oc, need = boolean_fused_step(
+        snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+        jnp.asarray(qk), jnp.asarray(kv), L,
+        removed=jnp.asarray(removed),
+        slots=snap.hash_slots, max_probes=snap.max_probes, interpret=True,
+    )
+    out, oc, need = map(np.asarray, (out, oc, need))
+    for q in range(Q):
+        expect = None
+        if q == 2:
+            expect = np.zeros(0, np.uint32)
+        else:
+            for t_i in range(kv[q]):
+                lv = lists[idx[q, t_i]]
+                expect = lv if expect is None else np.intersect1d(expect, lv)
+            expect = np.setdiff1d(expect, removed)
+        if need[q] > L:
+            continue  # engine re-serves these at a ladder level
+        assert oc[q] == len(expect), (q, oc[q], len(expect))
+        assert np.array_equal(out[q, : oc[q]], expect), q
+
+
+def test_engine_fused_and_routing(rng, monkeypatch):
+    """QueryEngine.boolean routes AND through the fused kernel
+    (TPI_FUSED_AND=interp off-TPU) and matches the concat path exactly,
+    including ladder re-serves (smallest list > L)."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 2_000, size=int(s), dtype=np.uint32))
+        for s in [400, 420, 380, 350, 500, 30, 410, 390]
+    ]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=8)
+    assert eng._use_fused()
+    queries = [
+        [terms[0], terms[1]],                 # both lists > L: base re-serve
+        [terms[5], terms[2]],                 # small base, big probe: no re-serve
+        [terms[3], b"missing-term"],          # absent required term
+        [terms[4]],                           # single term
+        [terms[6], terms[7], terms[1]],
+    ]
+    got = eng.boolean(queries, "and")
+    monkeypatch.setenv("TPI_FUSED_AND", "0")
+    want = eng.boolean(queries, "and")
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w), (g, w)
