@@ -51,6 +51,7 @@ GP = 16       # probe blocks fetched per DMA group (covers the mean config-3
               # list in one group; overruns land in the arena slack rows)
 BG0 = 4       # base chunks per compare group (bounds compare volume by the
               # BASE list's real length, not the static pad C)
+PP = 4        # probe chunks folded into one compare op (op-issue bound)
 
 
 def _kernel_factory(K: int, C: int, stride: int):
@@ -72,7 +73,12 @@ def _kernel_factory(K: int, C: int, stride: int):
             jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 0) * CHUNK
             + jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 1)
         )
-        sid = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK, 1), 1)
+        # probe element index within a PP-chunk op-group: chunk id on axis
+        # 1, lane on axis 2 (sublane-direction reductions stay cheap)
+        pid = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 1) * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 2)
+        )
 
         # ALL TQ base windows DMA'd in flight, then ONE batched decode:
         # a per-query decode of (C, 128) is 2-vreg ops at full issue cost
@@ -141,25 +147,28 @@ def _kernel_factory(K: int, C: int, stride: int):
                     def bgbody(bg, c2, r=r, pv=pv, g=g, nj=nj):
                         bs = bg * BG
                         base_g = base_buf[r, pl.ds(bs, BG), :]  # (BG, 128)
-                        for p in range(GP):
-                            # skip chunks past the list's real length
-                            # (static GP covers the longest group; the mean
-                            # config-3 list fills half of it)
+                        for p in range(0, GP, PP):
+                            # PP chunks per compare op (the inner loop is
+                            # op-issue bound, not compute bound); skip
+                            # op-groups entirely past the list's real
+                            # length (the mean config-3 list fills half
+                            # the static GP group)
                             @pl.when((g * GP + p) * CHUNK < nj)
                             def _(p=p, bs=bs, base_g=base_g, pv=pv, g=g,
                                   nj=nj):
-                                ch = pv[p]                  # (128,)
+                                ch = pv[p:p + PP]           # (PP, 128)
                                 cvalid = (
-                                    sid + (g * GP + p) * CHUNK
-                                ) < nj
+                                    pid + (g * GP + p) * CHUNK
+                                ) < nj                      # (1, PP, 128, 1)
                                 eq = (
-                                    base_g[:, None, :] == ch[None, :, None]
-                                )
+                                    base_g[:, None, None, :]
+                                    == ch[None, :, :, None]
+                                )                           # (BG, PP, 128, 128)
                                 hit_buf[pl.ds(bs, BG), :] = hit_buf[
                                     pl.ds(bs, BG), :
-                                ] | jnp.any(eq & cvalid, axis=1).astype(
-                                    jnp.int32
-                                )
+                                ] | jnp.any(
+                                    eq & cvalid, axis=(1, 2)
+                                ).astype(jnp.int32)
                         return c2
 
                     return jax.lax.fori_loop(0, nbg, bgbody, carry)
