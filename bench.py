@@ -397,6 +397,16 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     if not snap.arena_aligned:
         out["and_qps_postlen1k"] = out["and_qps_postlen1k_sort"]
         out["postlen1k_reserve_frac"] = out["postlen1k_reserve_frac_sort"]
+    # honest intersect bandwidth: REAL posting bytes an AND batch must
+    # consider (sum of every queried term's true list length), per second —
+    # the postlen-10 corpus' intersect_gbps is tiny because its lists are,
+    # not because the kernel idles
+    hc = snap.host_counts.astype(np.int64)
+    kmask = np.arange(K)[None, None, :] < kvs[:, :, None]
+    qbytes = (np.where(kmask, hc[bidx], 0).sum() * 4) / (iters * Q)
+    out["intersect_gbps_postlen1k"] = round(
+        float(out["and_qps_postlen1k"] * qbytes) / 1e9, 2
+    )
     return out
 
 

@@ -637,6 +637,26 @@ class QueryEngine:
                 n += 1
             if SB >= max_blocks:
                 break
+        if "and" in ops and self._use_fused():
+            # the fused Pallas program's cold compile over a remote-compile
+            # tunnel has measured MINUTES at its worst — precompile the
+            # base-L program and the query-bucket shape before traffic
+            bqk_full = jnp.zeros(
+                (self.q_bucket, k_max, s.width + 1), dtype=jnp.uint32
+            )
+            kv_full = jnp.zeros((self.q_bucket,), dtype=jnp.int32)
+            interp = (
+                os.environ.get("TPI_FUSED_AND") == "interp"
+                and jax.default_backend() != "tpu"
+            )
+            jax.block_until_ready(
+                _JIT_BOOLEAN_FUSED(
+                    s.keys, s.blocks, s.term_block_start, s.counts,
+                    bqk_full, kv_full, self.L,
+                    None, s.hash_slots, s.max_probes, interp,
+                )[1]
+            )
+            n += 1
         return n
 
     def stats(self) -> Dict[str, int]:
