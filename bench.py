@@ -515,6 +515,15 @@ def main():
         print(f"[bench] {_label}: {time.monotonic() - t0:.1f}s", file=sys.stderr)
         return out
 
+    def soft_phase(_label, fn, *a, **kw):
+        """Optional phase: a failure logs and skips instead of killing the
+        run — the headline JSON line must always print."""
+        try:
+            return phase(_label, fn, *a, **kw)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"[bench] FAILED {_label}: {e!r}", file=sys.stderr)
+            return {}
+
     def over_budget(name):
         if time.monotonic() - start > budget_s:
             print(f"[bench] SKIP {name}: over BENCH_BUDGET_S={budget_s:.0f}", file=sys.stderr)
@@ -531,25 +540,33 @@ def main():
     # phase order tracks key priority: postlen1k and mesh carry
     # driver-required detail keys; the api phases are supplementary and run
     # last so an erratically slow host sheds them first
+    b2 = snap1k = None
     if not over_budget("postlen1k"):
-        n1k = int(os.environ.get("BENCH_POSTLEN1K_TERMS", 32_000))
-        b2 = phase("gen_postlen1k", gen_corpus, n1k, 1000, seed=11)
-        snap1k, build1k_s = phase("snap_postlen1k", build_snapshot, b2)
-        details.update(phase("postlen1k", bench_postlen1k, b2, snap1k, build1k_s))
-    else:
-        b2 = snap1k = None
+        try:
+            n1k = int(os.environ.get("BENCH_POSTLEN1K_TERMS", 32_000))
+            b2 = phase("gen_postlen1k", gen_corpus, n1k, 1000, seed=11)
+            snap1k, build1k_s = phase("snap_postlen1k", build_snapshot, b2)
+            details.update(
+                soft_phase("postlen1k", bench_postlen1k, b2, snap1k, build1k_s)
+            )
+        except Exception as e:
+            print(f"[bench] FAILED postlen1k setup: {e!r}", file=sys.stderr)
     if os.environ.get("BENCH_MESH", "1") != "0" and not over_budget("mesh"):
-        details.update(phase("mesh", bench_mesh, blob, offsets, values, voffs, Q=Q))
-    if b2 is not None and not over_budget("api_postlen1k"):
         details.update(
-            phase(
+            soft_phase("mesh", bench_mesh, blob, offsets, values, voffs, Q=Q)
+        )
+    if snap1k is not None and not over_budget("api_postlen1k"):
+        details.update(
+            soft_phase(
                 "api_postlen1k", bench_api, *b2,
                 Q=1024, iters=2, L=2048, name="api_postlen1k", snap=snap1k,
             )
         )
     del snap1k, b2  # free ~GB of device + host memory
     if not over_budget("api"):
-        details.update(phase("api", bench_api, blob, offsets, values, voffs))
+        details.update(
+            soft_phase("api", bench_api, blob, offsets, values, voffs)
+        )
 
     out = {
         "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,
