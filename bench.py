@@ -154,6 +154,41 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         return out
 
     extra = {}
+    # ---- prefix -> dictionary range resolution (PrefixSearch kernel) ----
+    from inverted_index_2_tpu.codec import keys as keys_mod
+    from inverted_index_2_tpu.models.query_engine import prefix_range_step
+
+    pblob, poffs = keys_mod.unpack_keys(host_keys[rng.integers(0, n, size=Q)])
+    tb = pblob.tobytes()
+    plens = rng.integers(2, 5, size=Q)
+    prefixes = [
+        tb[poffs[i]: poffs[i] + max(1, min(int(plens[i]), int(poffs[i + 1] - poffs[i])))]
+        for i in range(Q)
+    ]
+    lo_k = keys_mod.pack_terms(prefixes, width=snap.width)
+    hi_k = np.zeros_like(lo_k)
+    for i, p in enumerate(prefixes):
+        padded = (p + b"\xff" * (snap.width * 4 - len(p)))[: snap.width * 4]
+        hi_k[i] = keys_mod.pack_one(padded, snap.width)
+        hi_k[i, -1] = 0xFFFFFFFF
+    pit = max(2, iters // 2)
+    plo = jnp.asarray(np.broadcast_to(lo_k, (pit, *lo_k.shape)))
+    phi = jnp.asarray(np.broadcast_to(hi_k, (pit, *hi_k.shape)))
+
+    @jax.jit
+    def scan_prefix(keys, plo, phi):
+        def body(carry, xs):
+            lo, hi = prefix_range_step(keys, xs[0], xs[1])
+            return carry ^ jnp.int32(jnp.sum(hi - lo)), None
+        return jax.lax.scan(body, jnp.int32(0), (plo, phi))[0]
+
+    c0 = scan_prefix(snap.keys, plo, phi)
+    jax.block_until_ready(c0)
+    t0 = time.monotonic()
+    c0 = scan_prefix(snap.keys, plo, phi)
+    jax.block_until_ready(c0)
+    extra["prefix_range_qps"] = round(Q * pit / (time.monotonic() - t0))
+
     for K2, op, name in ((8, "and", "and8_qps"), (4, "or", "or_qps")):
         it2 = max(2, and_iters // 2)
         bi = rng.integers(0, n, size=(it2, Q, K2))
