@@ -195,3 +195,34 @@ def test_engine_fused_and_routing(rng, monkeypatch):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert np.array_equal(g, w), (g, w)
+
+
+def test_engine_fused_overflow_falls_back_to_concat(rng, monkeypatch):
+    """Base lists beyond the arena slack bound (SLACK_ROWS*128) must route
+    through the exact concat path; shrink the bound to exercise it."""
+    from inverted_index_2_tpu.models import query_engine as qe
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 5_000, size=int(s), dtype=np.uint32))
+        for s in [900, 950, 40, 800]
+    ]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=128, q_bucket=8)
+    assert eng._use_fused()
+    # bound the ladder at 2 chunks: every base > 256 overflows
+    import inverted_index_2_tpu.ops.pallas_decode as pd
+
+    monkeypatch.setattr(pd, "SLACK_ROWS", 2)
+    queries = [
+        [terms[0], terms[1]],   # base ~900 > 256: overflow -> concat
+        [terms[2], terms[3]],   # base 40 <= L: fused fast path
+    ]
+    got = eng.boolean(queries, "and")
+    monkeypatch.setenv("TPI_FUSED_AND", "0")
+    want = eng.boolean(queries, "and")
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+    assert len(got[0]) > 0  # overflow path produced the real intersection
