@@ -165,12 +165,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         tb[poffs[i]: poffs[i] + max(1, min(int(plens[i]), int(poffs[i + 1] - poffs[i])))]
         for i in range(Q)
     ]
-    lo_k = keys_mod.pack_terms(prefixes, width=snap.width)
-    hi_k = np.zeros_like(lo_k)
-    for i, p in enumerate(prefixes):
-        padded = (p + b"\xff" * (snap.width * 4 - len(p)))[: snap.width * 4]
-        hi_k[i] = keys_mod.pack_one(padded, snap.width)
-        hi_k[i, -1] = 0xFFFFFFFF
+    lo_k, hi_k = keys_mod.prefix_bounds(prefixes, snap.width)
     pit = max(2, iters // 2)
     plo = jnp.asarray(np.broadcast_to(lo_k, (pit, *lo_k.shape)))
     phi = jnp.asarray(np.broadcast_to(hi_k, (pit, *hi_k.shape)))
@@ -586,10 +581,6 @@ def main():
             )
         except Exception as e:
             print(f"[bench] FAILED postlen1k setup: {e!r}", file=sys.stderr)
-    if os.environ.get("BENCH_MESH", "1") != "0" and not over_budget("mesh"):
-        details.update(
-            soft_phase("mesh", bench_mesh, blob, offsets, values, voffs, Q=Q)
-        )
     if snap1k is not None and not over_budget("api_postlen1k"):
         details.update(
             soft_phase(
@@ -597,7 +588,13 @@ def main():
                 Q=1024, iters=2, L=2048, name="api_postlen1k", snap=snap1k,
             )
         )
-    del snap1k, b2  # free ~GB of device + host memory
+    # free the postlen1k corpus (~GB device + host at the 200k-term
+    # variant) BEFORE the mesh pass builds its per-device tables
+    del snap1k, b2
+    if os.environ.get("BENCH_MESH", "1") != "0" and not over_budget("mesh"):
+        details.update(
+            soft_phase("mesh", bench_mesh, blob, offsets, values, voffs, Q=Q)
+        )
     if not over_budget("api"):
         details.update(
             soft_phase("api", bench_api, blob, offsets, values, voffs)

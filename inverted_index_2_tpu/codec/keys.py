@@ -75,6 +75,23 @@ def pack_one(term: bytes, width: int) -> np.ndarray:
     return pack_terms([term], width)[0]
 
 
+def prefix_bounds(prefixes: list[bytes], width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Key-range bounds for prefix search: (lo (n, W+1), hi (n, W+1)).
+
+    lo = the prefix packed as a key (sorts before every term sharing it);
+    hi = the 0xff-saturated prefix with length word 0xFFFFFFFF (sorts
+    strictly after every such term). A term t has prefix p iff
+    lo_p <= key(t) < hi_p in packed-key order (bytes.Compare-exact,
+    see pack_blob). Shared by QueryEngine.prefix_search and bench."""
+    lo = pack_terms(prefixes, width=width)
+    hi = np.zeros_like(lo)
+    for i, p in enumerate(prefixes):
+        padded = (p + b"\xff" * (width * 4 - len(p)))[: width * 4]
+        hi[i] = pack_one(padded, width)
+        hi[i, -1] = 0xFFFFFFFF
+    return lo, hi
+
+
 def widen(keys: np.ndarray, width: int) -> np.ndarray:
     """Re-pad an (n, W+1) key matrix to a larger word width (order-preserving)."""
     n, wp1 = keys.shape

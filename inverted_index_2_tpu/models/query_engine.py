@@ -894,6 +894,17 @@ class QueryEngine:
             if need[i] <= self.L:
                 results[i] = out[i, : oc[i]].copy()
         # exact re-serve at the smallest ladder level that fits, small batches
+        self._reserve_ladder(results, long_idx, need, qk, kv, run)
+        return results
+
+    def _reserve_ladder(self, results, long_idx, need, qk, kv, run):
+        """Exact ladder re-serves shared by the padded and fused boolean
+        paths: batches of clipped queries (largest need first — each batch
+        re-serves at ITS level, not the global max) re-run through `run`
+        at the smallest ladder level that fits, and the padded result
+        matrix is trimmed to the populated prefix before download (it can
+        be tens of MB; results are narrow)."""
+        K, Wp1 = qk.shape[1], qk.shape[2]
         while long_idx:
             lv = self._level_for(int(max(need[i] for i in long_idx)))
             qb = max(1, _RESERVE_BUDGET // (K * lv))
@@ -904,14 +915,10 @@ class QueryEngine:
             bq[: len(batch)] = qk[batch]
             bkv[: len(batch)] = kv[batch]
             o2, c2, _ = run(lv, bq, bkv)
-            # big-L re-serves DO trim before download (the padded matrix can
-            # be tens of MB; results are narrow): one small fetch for counts,
-            # one for the populated prefix
             c2 = np.asarray(c2)
             o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
             for j, i in enumerate(batch):
                 results[i] = o2[j, : c2[j]].copy()
-        return results
 
     # size classes for the concat path: total-block budgets per query.
     # Geometric x4 keeps compiled programs few; each class pays only its own
@@ -919,18 +926,24 @@ class QueryEngine:
     _SB_CLASSES = (8, 32, 128, 512, 2048, 8192, 32768)
 
     def _use_fused(self) -> bool:
-        """Fused Pallas AND is available: 128-aligned arena + TPU backend
-        (TPI_FUSED_AND=0 disables; =interp routes through the kernel
-        interpreter off-TPU, for tests)."""
+        """Fused Pallas AND is available: 128-aligned arena + TPU backend +
+        block-aligned L (TPI_FUSED_AND=0 disables; =interp routes through
+        the kernel interpreter off-TPU, for tests)."""
         mode = os.environ.get("TPI_FUSED_AND", "1")
-        if mode == "0" or not self.snap.arena_aligned:
+        if mode == "0" or not self.snap.arena_aligned or self.L % 128 != 0:
             return False
         return mode == "interp" or jax.default_backend() == "tpu"
 
+    # serve-time K is padded to this bucket so the warmup-compiled fused
+    # program shape is hit by real traffic (and K=1 batches avoid the
+    # kernel's zero-sized probe scratch); wider queries use their real K
+    _FUSED_K_BUCKET = 8
+
     def _boolean_fused(self, queries, qk, kv, removed):
         """AND via the fused arena kernel + ladder re-serve on the BASE
-        (smallest-list) count. Base lists beyond the arena slack bound
-        (SLACK_ROWS*128 values) fall back to the exact concat path."""
+        (smallest-list) count. Base lists whose ladder LEVEL would exceed
+        the arena slack bound (SLACK_ROWS*128 values) fall back to the
+        exact concat path."""
         from ..ops.pallas_decode import SLACK_ROWS
 
         s = self.snap
@@ -938,6 +951,12 @@ class QueryEngine:
             os.environ.get("TPI_FUSED_AND") == "interp"
             and jax.default_backend() != "tpu"
         )
+        if qk.shape[1] < self._FUSED_K_BUCKET:
+            pad = np.zeros(
+                (qk.shape[0], self._FUSED_K_BUCKET - qk.shape[1], qk.shape[2]),
+                dtype=qk.dtype,
+            )
+            qk = np.concatenate([qk, pad], axis=1)
 
         def run(lv, qk_sub, kv_sub):
             return _JIT_BOOLEAN_FUSED(
@@ -961,27 +980,16 @@ class QueryEngine:
         for i in range(len(queries)):
             if need[i] <= self.L:
                 results[i] = out[i, : oc[i]].copy()
-            elif need[i] <= max_lv:
+            elif self._level_for(int(need[i])) <= max_lv:
+                # the LEVEL (not just the need) must fit the slack: the
+                # kernel DMAs lv/128 consecutive base rows per query
                 long_idx.append(i)
             else:
                 overflow.append(i)
         long_idx.sort(key=lambda i: -need[i])
         K = qk.shape[1]
         Wp1 = qk.shape[2]
-        while long_idx:
-            lv = self._level_for(int(max(need[i] for i in long_idx)))
-            qb = max(1, _RESERVE_BUDGET // (K * lv))
-            batch, long_idx = long_idx[:qb], long_idx[qb:]
-            B = _round_up(len(batch), 8)
-            bq = np.zeros((B, K, Wp1), dtype=np.uint32)
-            bkv = np.zeros(B, dtype=np.int32)
-            bq[: len(batch)] = qk[batch]
-            bkv[: len(batch)] = kv[batch]
-            o2, c2, _ = run(lv, bq, bkv)
-            c2 = np.asarray(c2)
-            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
-            for j, i in enumerate(batch):
-                results[i] = o2[j, : c2[j]].copy()
+        self._reserve_ladder(results, long_idx, need, qk, kv, run)
         if overflow:
             sub = [queries[i] for i in overflow]
             B = _round_up(len(overflow), 8)
@@ -1186,13 +1194,7 @@ class QueryEngine:
     def _prefix_on(self, s: IndexSnapshot, prefixes) -> Dict[bytes, np.ndarray]:
         if s.n_terms == 0 or not prefixes:
             return {}
-        Wp1 = s.width + 1
-        lo_k = keys_mod.pack_terms(list(prefixes), width=s.width)
-        hi_k = np.zeros((len(prefixes), Wp1), dtype=np.uint32)
-        for i, p in enumerate(prefixes):
-            padded = p + b"\xff" * (s.width * 4 - len(p))
-            hi_k[i] = keys_mod.pack_one(padded[: s.width * 4], s.width)
-            hi_k[i, -1] = 0xFFFFFFFF  # length word: greater than any real term
+        lo_k, hi_k = keys_mod.prefix_bounds(list(prefixes), s.width)
         lo, hi = self._prefix(s.keys, jnp.asarray(lo_k), jnp.asarray(hi_k))
         lo, hi = np.asarray(lo), np.asarray(hi)
         spans = [

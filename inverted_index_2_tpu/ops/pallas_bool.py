@@ -25,7 +25,13 @@ the kernel with a (Q, L) jnp.sort of the SENTINEL-masked base (16x smaller
 than the (Q, K*L) sort it replaces); genuine 0xFFFFFFFF values stay correct
 because the kernel emits exact counts.
 
-Falls back to the jnp path off-TPU; `interpret=True` is used by tests on CPU.
+STATUS: design-ladder artifact, bit-identical to setops.intersect_many and
+4.3x faster than it standalone on-chip — but NOT the production path: its
+win evaporates end to end because the XLA decode feeding it costs as much
+as the sort it removes (PERFORMANCE.md). Production AND is the FUSED
+kernel (ops/pallas_fused.py), which decodes in-kernel. This kernel has no
+off-TPU fallback: off-TPU callers must pass interpret=True (as the tests
+do); setops.intersect_many is the XLA twin to use instead.
 """
 from __future__ import annotations
 

@@ -222,10 +222,16 @@ def fused_and_pallas(
 
     Returns (vals (Q, L) compacted ascending, oc (Q,) i32).
     """
+    from .pallas_decode import SLACK_ROWS
+
     Q, K = rows.shape
     assert Q % TQ == 0, f"Q={Q} must be a multiple of {TQ}"
+    assert K >= 2, "K=1 batches have no probe lists; callers pad K"
     assert L % CHUNK == 0
     C = L // CHUNK
+    # the base window DMAs C consecutive arena rows per query; terms near
+    # the arena end read into the trailing slack, which must cover them
+    assert C <= SLACK_ROWS, f"L={L} exceeds the arena slack bound"
     stride = int(blocks.shape[1])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

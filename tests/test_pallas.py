@@ -226,3 +226,38 @@ def test_engine_fused_overflow_falls_back_to_concat(rng, monkeypatch):
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
     assert len(got[0]) > 0  # overflow path produced the real intersection
+
+
+def test_engine_fused_single_term_batch(rng, monkeypatch):
+    """A batch of ONLY single-term AND queries (K=1) must not crash the
+    fused path (the kernel needs >= 2 slots; the engine pads K)."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 2_000, size=int(s), dtype=np.uint32))
+        for s in [40, 80, 120, 30]
+    ]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=8)
+    assert eng._use_fused()
+    got = eng.boolean([[terms[0]], [terms[2]], [b"missing"]], "and")
+    assert np.array_equal(got[0], lists[0])
+    assert np.array_equal(got[1], lists[2])
+    assert len(got[2]) == 0
+
+
+def test_engine_fused_unaligned_L_falls_back(rng, monkeypatch):
+    """L not a multiple of 128 must not route into the fused kernel."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [np.unique(rng.integers(0, 500, size=60, dtype=np.uint32))
+             for _ in range(3)]
+    snap = _snap(lists, rng)
+    eng = QueryEngine(snap, L=1000, q_bucket=8)
+    assert not eng._use_fused()
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    got = eng.boolean([[terms[0], terms[1]]], "and")
+    assert np.array_equal(got[0], np.intersect1d(lists[0], lists[1]))
