@@ -261,3 +261,27 @@ def test_engine_fused_unaligned_L_falls_back(rng, monkeypatch):
     terms = [f"t{i:05d}".encode() for i in range(len(lists))]
     got = eng.boolean([[terms[0], terms[1]]], "and")
     assert np.array_equal(got[0], np.intersect1d(lists[0], lists[1]))
+
+
+def test_engine_fused_filter_removed(rng, monkeypatch):
+    """Fused AND with filter_removed=True matches the concat path."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 1_500, size=int(s), dtype=np.uint32))
+        for s in [200, 220, 60]
+    ]
+    removed = np.unique(lists[0][::4]).astype(np.uint32)
+    snap = _snap(lists, rng)
+    snap.removed = jnp.asarray(removed)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=8)
+    assert eng._use_fused()
+    queries = [[terms[0], terms[1]], [terms[2], terms[0]]]
+    got = eng.boolean(queries, "and", filter_removed=True)
+    monkeypatch.setenv("TPI_FUSED_AND", "0")
+    want = eng.boolean(queries, "and", filter_removed=True)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+    assert not np.intersect1d(got[0], removed).size
