@@ -285,3 +285,45 @@ def test_engine_fused_filter_removed(rng, monkeypatch):
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
     assert not np.intersect1d(got[0], removed).size
+
+
+def test_fused_and_adversarial_shapes(rng):
+    """Edge shapes: identical lists (result = the whole list), counts at
+    exactly L and L+1 (re-serve boundary), genuine 0xFFFFFFFF members."""
+    import jax.numpy as jnp
+
+    from inverted_index_2_tpu.models.query_engine import boolean_fused_step
+
+    L = 256
+    full = np.sort(rng.choice(10_000, size=L, replace=False)).astype(np.uint32)
+    over = np.sort(rng.choice(10_000, size=L + 1, replace=False)).astype(np.uint32)
+    with_ff = np.unique(
+        np.concatenate([full[:50], np.array([0xFFFFFFFF], np.uint32)])
+    )
+    lists = [full, full.copy(), over, with_ff, with_ff.copy()]
+    snap = _snap(lists, rng)
+    hk = np.asarray(snap.keys)
+    Q, K = 8, 4
+    qk = np.zeros((Q, K, hk.shape[1]), dtype=np.uint32)
+    kv = np.zeros(Q, dtype=np.int32)
+    cases = [
+        ([0, 1], full),                  # identical -> full L-sized result
+        ([3, 4], with_ff),               # genuine 0xFFFFFFFF member kept
+        ([0, 0], full),                  # same term twice
+        ([2, 2], None),                  # smallest = L+1 -> need > L
+    ]
+    for i, (ts, _) in enumerate(cases):
+        kv[i] = len(ts)
+        qk[i, : len(ts)] = hk[ts]
+    out, oc, need = boolean_fused_step(
+        snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+        jnp.asarray(qk), jnp.asarray(kv), L,
+        slots=snap.hash_slots, max_probes=snap.max_probes, interpret=True,
+    )
+    out, oc, need = map(np.asarray, (out, oc, need))
+    for i, (ts, expect) in enumerate(cases):
+        if expect is None:
+            assert need[i] > L  # engine re-serves at the next ladder level
+            continue
+        assert oc[i] == len(expect), (i, oc[i], len(expect))
+        assert np.array_equal(out[i, : oc[i]], expect), i
