@@ -395,7 +395,13 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
             return chk, jnp.sum((need > L).astype(jnp.int32))
         return jax.lax.scan(body, jnp.uint32(0), (staged, kvs))
 
-    out = {"postlen1k_n_terms": n, "postlen1k_build_s": round(build_s, 3)}
+    out = {
+        "postlen1k_n_terms": n,
+        "postlen1k_build_s": round(build_s, 3),
+        # honesty metric: the 128-aligned arena trades HBM for the fused
+        # kernel's DMA path (auto-alignment declines when > 2x compact)
+        "postlen1k_snapshot_mb": round(snap.device_bytes() / 1e6, 1),
+    }
     K = 8
     # 2-8 terms per query (config 3 span), uniformly
     kvs = rng.integers(2, K + 1, size=(iters, Q)).astype(np.int32)

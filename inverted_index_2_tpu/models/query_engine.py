@@ -673,6 +673,7 @@ class QueryEngine:
             "delta_terms": 0 if d is None else d.n_terms,
             "delta_device_bytes": 0 if d is None else d.device_bytes(),
             "ladder": self._levels(),
+            "fused_and": self._use_fused(),
         }
 
     @classmethod
