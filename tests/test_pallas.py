@@ -327,3 +327,13 @@ def test_fused_and_adversarial_shapes(rng):
             continue
         assert oc[i] == len(expect), (i, oc[i], len(expect))
         assert np.array_equal(out[i, : oc[i]], expect), i
+
+
+def test_pallas_sort_rows_matches_numpy(rng):
+    """ops/pallas_sort bitonic network vs np.sort (interpret mode)."""
+    from inverted_index_2_tpu.ops.pallas_sort import sort_rows_pallas
+
+    for Q, M in [(8, 256), (16, 1024)]:
+        x = rng.integers(0, 2**32, size=(Q, M), dtype=np.uint32)
+        got = np.asarray(sort_rows_pallas(jnp.asarray(x), interpret=True))
+        assert np.array_equal(got, np.sort(x, axis=1)), (Q, M)
