@@ -32,6 +32,32 @@ import time
 import numpy as np
 
 
+_SPREADS = {}  # metric -> [min, median, max] over within-process reps
+
+
+def _reps(fn, reps: int = 3):
+    """Run `fn` (which must block until device-complete) `reps` times and
+    return the list of wall durations. Within-process repetition is the
+    only valid basis for spread on this host (cross-process numbers vary
+    wildly — CLAUDE.md); headline metrics report the MEDIAN and stash
+    [min, median, max] in details.spreads."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        ts.append(time.monotonic() - t0)
+    return ts
+
+
+def _qps_stat(name: str, work: float, ts) -> int:
+    qps = sorted(work / t for t in ts)
+    med = qps[len(qps) // 2]
+    _SPREADS[name] = [round(qps[0]), round(med), round(qps[-1])]
+    if qps[0] < 0.75 * med:
+        print(f"[bench] SPREAD>25% {name}: {_SPREADS[name]}", file=__import__('sys').stderr)
+    return round(med)
+
+
 def gen_corpus(n_terms: int, mean_len: int, seed: int = 0):
     """Synthetic sorted dictionary + posting lists (host arrays)."""
     rng = np.random.default_rng(seed)
@@ -99,13 +125,13 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
             return carry ^ chk, jnp.sum(c)
         return jax.lax.scan(body, jnp.uint32(0), staged)
 
-    chk, csum = scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)
-    jax.block_until_ready(chk)  # warmup/compile
-    t0 = time.monotonic()
-    chk, csum = scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)
-    jax.block_until_ready(chk)
-    dt = time.monotonic() - t0
-    lookup_qps = Q * iters / dt
+    def lookup_rep():
+        jax.block_until_ready(
+            scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)[0]
+        )
+
+    lookup_rep()  # warmup/compile
+    lookup_qps = _qps_stat("lookup_qps", Q * iters, _reps(lookup_rep))
 
     # single-dispatch latency (includes tunnel RPC)
     lookup1 = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
@@ -134,14 +160,16 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         out, _ = jax.lax.scan(body, jnp.uint32(0), staged)
         return out
 
-    chk2 = scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes)
-    jax.block_until_ready(chk2)
-    t0 = time.monotonic()
-    chk2 = scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes)
-    jax.block_until_ready(chk2)
-    dt = time.monotonic() - t0
-    and_qps = Q * and_iters / dt
+    def and_rep():
+        jax.block_until_ready(
+            scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes)
+        )
+
+    and_rep()
+    and_ts = _reps(and_rep)
+    and_qps = _qps_stat("and_qps", Q * and_iters, and_ts)
     mean_cnt = float(np.minimum(np.diff(voffs), L).mean())
+    dt = sorted(and_ts)[len(and_ts) // 2]
     and_gbps = (Q * and_iters * K * mean_cnt * 4) / dt / 1e9
 
     # boolean AND at K=8 and OR at K=4 (config 3 spans 2-8 terms, both ops)
@@ -177,24 +205,26 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
             return carry ^ jnp.int32(jnp.sum(hi - lo)), None
         return jax.lax.scan(body, jnp.int32(0), (plo, phi))[0]
 
-    c0 = scan_prefix(snap.keys, plo, phi)
-    jax.block_until_ready(c0)
-    t0 = time.monotonic()
-    c0 = scan_prefix(snap.keys, plo, phi)
-    jax.block_until_ready(c0)
-    extra["prefix_range_qps"] = round(Q * pit / (time.monotonic() - t0))
+    def prefix_rep():
+        jax.block_until_ready(scan_prefix(snap.keys, plo, phi))
+
+    prefix_rep()
+    extra["prefix_range_qps"] = _qps_stat(
+        "prefix_range_qps", Q * pit, _reps(prefix_rep)
+    )
 
     for K2, op, name in ((8, "and", "and8_qps"), (4, "or", "or_qps")):
         it2 = max(2, and_iters // 2)
         bi = rng.integers(0, n, size=(it2, Q, K2))
         st2 = jnp.asarray(host_keys[bi])
         kv2 = jnp.full((Q,), K2, dtype=jnp.int32)
-        c0 = scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op)
-        jax.block_until_ready(c0)
-        t0 = time.monotonic()
-        c0 = scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op)
-        jax.block_until_ready(c0)
-        extra[name] = round(Q * it2 / (time.monotonic() - t0))
+        def rep(st2=st2, kv2=kv2, op=op):
+            jax.block_until_ready(
+                scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op)
+            )
+
+        rep()
+        extra[name] = _qps_stat(name, Q * it2, _reps(rep))
 
     return {
         "snapshot_build_s": round(build_s, 3),
@@ -285,11 +315,26 @@ def bench_ingest(n_terms=1_000_000, batch=250_000, runs=3):
             ii3.put(terms, i + 1)
         dt3 = min(dt3, time.monotonic() - t0)
         shutil.rmtree(d3, ignore_errors=True)
+    # batched multi-doc grain: put_many writes one segment per touched
+    # shard per 100-doc batch instead of per doc (the per-file cost is what
+    # bounds ingest_doc_puts_per_s)
+    dt4 = float("inf")
+    for _ in range(runs):
+        d4 = _bench_dir("bench_idx4_")
+        ii4 = InvertedIndex(d4)
+        t0 = time.monotonic()
+        for c0 in range(0, len(docs), 100):
+            ii4.put_many(
+                [(docs[i], i + 1) for i in range(c0, min(c0 + 100, len(docs)))]
+            )
+        dt4 = min(dt4, time.monotonic() - t0)
+        shutil.rmtree(d4, ignore_errors=True)
     return {
         "ingest_terms_per_s": round(n_terms / dt),
         "ingest_s": round(dt, 3),
         "ingest_routed_terms_per_s": round(len(raw2) / dt2),
         "ingest_doc_puts_per_s": round(len(docs) / dt3),
+        "ingest_put_many_docs_per_s": round(len(docs) / dt4),
     }
 
 
@@ -417,17 +462,17 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     if snap.arena_aligned:
         ops.insert(0, ("fused_and", "and_qps_postlen1k", "postlen1k_reserve_frac"))
     for op, name, frac_name in ops:
-        chk, nres = scan_bool(
-            *tables, snap.hash_slots, staged, kvs_d, L, snap.max_probes, op
-        )
+        def rep(op=op):
+            return scan_bool(
+                *tables, snap.hash_slots, staged, kvs_d, L, snap.max_probes, op
+            )
+
+        chk, nres = rep()
         jax.block_until_ready(chk)
-        t0 = time.monotonic()
-        chk, nres = scan_bool(
-            *tables, snap.hash_slots, staged, kvs_d, L, snap.max_probes, op
+        out[name] = _qps_stat(
+            name, Q * iters,
+            _reps(lambda: jax.block_until_ready(rep()[0])),
         )
-        jax.block_until_ready(chk)
-        dt = time.monotonic() - t0
-        out[name] = round(Q * iters / dt)
         if frac_name:
             out[frac_name] = round(
                 float(np.asarray(nres).sum()) / (Q * iters), 4
@@ -479,11 +524,19 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
         batches.append(qs)
     for qs in batches:  # warm pass: compile every size-class program hit
         eng.boolean(qs, op="and")
-    t0 = time.monotonic()
-    for qs in batches:
-        eng.boolean(qs, op="and")
-    dt = time.monotonic() - t0
-    return {f"{name}_and_qps": round(Q * iters / dt)}
+    out = {}
+    out[f"{name}_and_qps"] = _qps_stat(
+        f"{name}_and_qps", Q * iters,
+        _reps(lambda: [eng.boolean(qs, op="and") for qs in batches]),
+    )
+    # pipelined stream serving: dispatch batch i+1 before downloading batch
+    # i — the steady-state rate a serving deployment sustains
+    eng.boolean_staged(batches, "and")
+    out[f"{name}_staged_and_qps"] = _qps_stat(
+        f"{name}_staged_and_qps", Q * iters,
+        _reps(lambda: eng.boolean_staged(batches, "and")),
+    )
+    return out
 
 
 def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
@@ -612,6 +665,7 @@ def main():
             soft_phase("api", bench_api, blob, offsets, values, voffs)
         )
 
+    details["spreads"] = _SPREADS  # [min, median, max] per metric, 3 reps
     out = {
         "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,
         "value": details["lookup_qps"],

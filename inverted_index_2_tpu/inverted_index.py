@@ -185,6 +185,71 @@ class InvertedIndex:
             sub_off = soffs[lo : hi + 1] - soffs[lo]
             shard.put_sorted(sblob[int(soffs[lo]) : int(soffs[hi])], sub_off, value)
 
+    def put_many(self, docs) -> None:
+        """Batched ingest of many documents in one call: docs = iterable of
+        (terms, value) pairs. Writes ONE new segment per TOUCHED SHARD for
+        the whole batch — read results are identical to calling put() per
+        document (the union semantics of /root/reference/file/types.go:14-22
+        make (term, value) pairs grouping-insensitive), while the
+        per-segment file-creation + publish cost amortizes across the batch
+        (the reference's Put grain is one segment per doc per shard,
+        shard.go:33-67 — its dominant cost at the per-document grain).
+
+        Terms repeated across documents carry multiple values, so the batch
+        segment is NORMAL mode (per-term posting lists)."""
+        from .codec import keys as keys_mod
+        from .utils.ragged import ragged_gather
+
+        terms_flat: List[bytes] = []
+        vals_list: List[int] = []
+        for terms, value in docs:
+            for t in terms:
+                terms_flat.append(t)
+                vals_list.append(value)
+        if not terms_flat:
+            return
+        blob = np.frombuffer(b"".join(terms_flat), dtype=np.uint8)
+        lens = np.array([len(t) for t in terms_flat], dtype=np.int64)
+        offsets = np.zeros(len(terms_flat) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        vals = np.array(vals_list, dtype=np.uint32)
+
+        keys = keys_mod.pack_blob(blob, offsets)
+        two = ((keys[:, 0] >> 16) & 0xFFFF).astype(np.uint32)
+        shard_ids = np.where(lens >= 2, two >> 6, 0).astype(np.uint32)
+        # one lexsort orders occurrences by (shard, term bytes, value);
+        # shard groups and per-term sorted-unique value runs fall out
+        cols = tuple(keys[:, c] for c in range(keys.shape[1] - 1, -1, -1))
+        order = np.lexsort((vals,) + cols + (shard_ids,))
+        ks = keys[order]
+        sh = shard_ids[order]
+        sv = vals[order]
+        if len(order) > 1:
+            keep = np.concatenate(
+                [[True],
+                 np.any(ks[1:] != ks[:-1], axis=1)
+                 | (sh[1:] != sh[:-1]) | (sv[1:] != sv[:-1])]
+            )
+            order, ks, sh, sv = order[keep], ks[keep], sh[keep], sv[keep]
+        m = len(order)
+        new_term = np.concatenate(
+            [[True], np.any(ks[1:] != ks[:-1], axis=1) | (sh[1:] != sh[:-1])]
+        )
+        bounds = np.concatenate(
+            [[0], np.nonzero(sh[1:] != sh[:-1])[0] + 1, [m]]
+        )
+        for g in range(len(bounds) - 1):
+            lo, hi = int(bounds[g]), int(bounds[g + 1])
+            heads = np.nonzero(new_term[lo:hi])[0] + lo   # pair-rows starting a term
+            tl = lens[order[heads]]
+            tblob, _ = ragged_gather(blob, offsets[:-1][order[heads]], tl)
+            toffs = np.zeros(len(heads) + 1, dtype=np.int64)
+            np.cumsum(tl, out=toffs[1:])
+            voffs = np.concatenate([heads, [hi]]).astype(np.int64) - lo
+            key = f"{int(sh[lo]):04d}"
+            shard = self._find_shard(key) or self._new_shard(key)
+            shard.put_sorted_many(tblob, toffs, sv[lo:hi], voffs)
+
     # ---- delete ------------------------------------------------------------
 
     def put_removed(self, values) -> None:

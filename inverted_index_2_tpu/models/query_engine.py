@@ -440,10 +440,36 @@ def boolean_step_dual(
     return out, oc, need
 
 
+def _compact_small(flat, P: int):
+    """First P ascending kept values of each row -> (Q, P).
+
+    Rows hold an ascending unique value set with gaps masked to 0xFFFFFFFF
+    (the fused kernel's compact=False output). P iterative masked mins are
+    pure elementwise+reduce passes (P reads of (Q, L)) — far cheaper than
+    the (Q, L) compaction sort for the tiny result sets an AND of
+    independent lists produces, and small enough to download WITH the
+    counts in one fetch (lax.top_k lowers to a full sort on TPU — measured
+    dead end, PERFORMANCE.md). A genuine 0xFFFFFFFF member is bit-identical
+    to the mask and lands in the last counted slot, same as the sort path."""
+    SENT = jnp.uint32(0xFFFFFFFF)
+    cols = []
+    last = None
+    for _ in range(P):
+        m = (
+            jnp.min(flat, axis=1)
+            if last is None
+            else jnp.min(jnp.where(flat > last[:, None], flat, SENT), axis=1)
+        )
+        cols.append(m)
+        last = m
+    return jnp.stack(cols, axis=1)
+
+
 def boolean_fused_step(
     keys, blocks, term_block_start, counts,
     qkeys, k_valid, L: int, removed=None,
     slots=None, max_probes: int = 0, interpret: bool = False,
+    small_p: int = 0,
 ):
     """Batched AND through the FUSED Pallas kernel (ops/pallas_fused.py):
     resolve terms, swap each query's smallest list into the base slot, then
@@ -470,8 +496,20 @@ def boolean_fused_step(
     rows = jnp.where(live, term_block_start[idx], 0).astype(jnp.int32)
     rows2, cnt2, need = reorder_smallest_base(rows, cnt, k_valid)
     out, oc = fused_and_pallas(
-        blocks, rows2, cnt2, k_valid, L, interpret=interpret
+        blocks, rows2, cnt2, k_valid, L,
+        compact=small_p == 0, interpret=interpret,
     )
+    if small_p:
+        # single-fetch serving shape: compact the first small_p results and
+        # ship them WITH the counts; oc_pre (pre-filter raw count) lets the
+        # caller detect the rare rows whose result exceeds small_p and
+        # re-run just those through the sort path
+        small = _compact_small(out, small_p)
+        oc_pre = oc
+        oc = jnp.minimum(oc, small_p)
+        if removed is not None and removed.shape[0] > 0:
+            small, oc = setops.filter_removed(small, oc, removed)
+        return small, oc, need, oc_pre
     if removed is not None and removed.shape[0] > 0:
         out, oc = setops.filter_removed(out, oc, removed)
     return out, oc, need
@@ -497,7 +535,8 @@ _JIT_BOOLEAN_DUAL = jax.jit(
     boolean_step_dual, static_argnames=("L", "op", "max_probes1", "max_probes2")
 )
 _JIT_BOOLEAN_FUSED = jax.jit(
-    boolean_fused_step, static_argnames=("L", "max_probes", "interpret")
+    boolean_fused_step,
+    static_argnames=("L", "max_probes", "interpret", "small_p"),
 )
 _JIT_PREFIX = jax.jit(prefix_range_step)
 _JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
@@ -640,23 +679,37 @@ class QueryEngine:
         if "and" in ops and self._use_fused():
             # the fused Pallas program's cold compile over a remote-compile
             # tunnel has measured MINUTES at its worst — precompile the
-            # base-L program and the query-bucket shape before traffic
-            bqk_full = jnp.zeros(
-                (self.q_bucket, k_max, s.width + 1), dtype=jnp.uint32
-            )
-            kv_full = jnp.zeros((self.q_bucket,), dtype=jnp.int32)
+            # base-L program at the EXACT serve-time shape: K padded to
+            # _FUSED_K_BUCKET (what _boolean_fused dispatches for the
+            # common k<=8 traffic) and Q to the 8-aligned bucket
+            kf = max(k_max, self._FUSED_K_BUCKET)
+            Qf = _round_up(self.q_bucket, 8)
+            bqk_full = jnp.zeros((Qf, kf, s.width + 1), dtype=jnp.uint32)
+            kv_full = jnp.zeros((Qf,), dtype=jnp.int32)
             interp = (
                 os.environ.get("TPI_FUSED_AND") == "interp"
                 and jax.default_backend() != "tpu"
             )
-            jax.block_until_ready(
-                _JIT_BOOLEAN_FUSED(
-                    s.keys, s.blocks, s.term_block_start, s.counts,
-                    bqk_full, kv_full, self.L,
-                    None, s.hash_slots, s.max_probes, interp,
-                )[1]
-            )
-            n += 1
+            # warm BOTH tombstone variants when tombstones exist: the
+            # filter_removed=True program is structurally different and
+            # would otherwise pay its cold compile at serve time
+            rem_variants = [None]
+            if self._removed is not None and self._removed.shape[0] > 0:
+                rem_variants.append(self._removed)
+            for rem in rem_variants:
+                # small_p is the serve-time MAIN-pass shape (_boolean_fused
+                # dispatches small_p=_FUSED_SMALL_P; the small_p=0 sort
+                # variant serves only the rare wide/re-serve follow-ups and
+                # compiles lazily)
+                jax.block_until_ready(
+                    _JIT_BOOLEAN_FUSED(
+                        s.keys, s.blocks, s.term_block_start, s.counts,
+                        bqk_full, kv_full, self.L,
+                        rem, s.hash_slots, s.max_probes, interp,
+                        self._FUSED_SMALL_P,
+                    )[1]
+                )
+                n += 1
         return n
 
     def stats(self) -> Dict[str, int]:
@@ -824,6 +877,32 @@ class QueryEngine:
 
     # -- boolean queries ---------------------------------------------------------
 
+    def _pack_boolean(self, queries):
+        """Pack a query batch -> (qk (Q, K, W+1) uint32, kv (Q,) int32),
+        Q padded to the engine's q_bucket. ONE pack over the flattened
+        terms (a per-query pack_terms loop was Python-bound on this 1-vCPU
+        host at 10k-query batches); packed at the max width across tiers
+        and narrowed per tier at dispatch."""
+        s = self.snap
+        K = max(len(q) for q in queries)
+        Q = _round_up(len(queries), self.q_bucket)
+        W = s.width if self.delta is None else max(s.width, self.delta.width)
+        qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
+        kv = np.array(
+            [len(q) for q in queries] + [0] * (Q - len(queries)),
+            dtype=np.int32,
+        )
+        flat_terms = [t for q in queries for t in q]
+        packed = keys_mod.pack_terms(flat_terms, width=W)
+        rows = np.repeat(np.arange(len(queries)), kv[: len(queries)])
+        cols = (
+            np.concatenate([np.arange(k) for k in kv[: len(queries)]])
+            if flat_terms
+            else np.zeros(0, np.int64)
+        )
+        qk[rows, cols] = packed
+        return qk, kv
+
     def boolean(self, queries: Sequence[Sequence[bytes]], op: str, filter_removed: bool = False):
         """Batch of AND/OR queries; each query is 1..K terms.
 
@@ -835,20 +914,7 @@ class QueryEngine:
         if not queries:
             return []
         s = self.snap
-        K = max(len(q) for q in queries)
-        Q = _round_up(len(queries), self.q_bucket)
-        # pack at the max width across tiers; narrowed per tier inside run()
-        W = s.width if self.delta is None else max(s.width, self.delta.width)
-        Wp1 = W + 1
-        # ONE pack over the flattened terms (a per-query pack_terms loop was
-        # Python-bound on this 1-vCPU host at 10k-query batches)
-        qk = np.zeros((Q, K, Wp1), dtype=np.uint32)
-        kv = np.array([len(q) for q in queries] + [0] * (Q - len(queries)), dtype=np.int32)
-        flat_terms = [t for q in queries for t in q]
-        packed = keys_mod.pack_terms(flat_terms, width=W)
-        rows = np.repeat(np.arange(len(queries)), kv[: len(queries)])
-        cols = np.concatenate([np.arange(k) for k in kv[: len(queries)]]) if flat_terms else np.zeros(0, np.int64)
-        qk[rows, cols] = packed
+        qk, kv = self._pack_boolean(queries)
         if s.n_terms == 0 and self.delta is None:
             return [np.zeros(0, np.uint32) for _ in queries]
         removed = self._removed if filter_removed else None
@@ -940,67 +1006,190 @@ class QueryEngine:
     # kernel's zero-sized probe scratch); wider queries use their real K
     _FUSED_K_BUCKET = 8
 
-    def _boolean_fused(self, queries, qk, kv, removed):
-        """AND via the fused arena kernel + ladder re-serve on the BASE
-        (smallest-list) count. Base lists whose ladder LEVEL would exceed
-        the arena slack bound (SLACK_ROWS*128 values) fall back to the
-        exact concat path."""
-        from ..ops.pallas_decode import SLACK_ROWS
+    # single-fetch result prefix: the fused main pass ships the first
+    # _FUSED_SMALL_P results of every query WITH the counts in one round
+    # trip (AND results are tiny — intersections of independent lists);
+    # the rare wider rows re-run through the sort path
+    _FUSED_SMALL_P = 32
 
+    def _fused_run(self, lv, qk_sub, kv_sub, removed, small_p: int = 0):
         s = self.snap
         interp = (
             os.environ.get("TPI_FUSED_AND") == "interp"
             and jax.default_backend() != "tpu"
         )
+        return _JIT_BOOLEAN_FUSED(
+            s.keys, s.blocks, s.term_block_start, s.counts,
+            jnp.asarray(_narrow_keys(qk_sub, s.width)),
+            jnp.asarray(kv_sub), lv,
+            removed, s.hash_slots, s.max_probes, interp, small_p,
+        )
+
+    def _fused_pad(self, qk, kv):
+        """Pad K to the warmup bucket and Q to the kernel's TQ=8 tile (the
+        XLA paths accept any q_bucket; the fused path must too)."""
         if qk.shape[1] < self._FUSED_K_BUCKET:
             pad = np.zeros(
                 (qk.shape[0], self._FUSED_K_BUCKET - qk.shape[1], qk.shape[2]),
                 dtype=qk.dtype,
             )
             qk = np.concatenate([qk, pad], axis=1)
-
-        def run(lv, qk_sub, kv_sub):
-            return _JIT_BOOLEAN_FUSED(
-                s.keys, s.blocks, s.term_block_start, s.counts,
-                jnp.asarray(_narrow_keys(qk_sub, s.width)),
-                jnp.asarray(kv_sub), lv,
-                removed, s.hash_slots, s.max_probes, interp,
+        Q8 = _round_up(qk.shape[0], 8)
+        if Q8 != qk.shape[0]:
+            qk = np.concatenate(
+                [qk, np.zeros((Q8 - qk.shape[0], *qk.shape[1:]), dtype=qk.dtype)]
             )
+            kv = np.concatenate([kv, np.zeros(Q8 - len(kv), dtype=kv.dtype)])
+        return qk, kv
 
-        out_dev, oc, need = run(self.L, qk, kv)
-        # AND results are tiny (intersections of independent lists):
-        # fetch counts first, then ONLY the populated prefix of the result
-        # matrix — the untrimmed (Q, L) fetch costs ~2MB per bucket over
-        # the tunnel and dominated the API path
-        oc, need = jax.device_get((oc, need))
-        m = max(1, int(oc.max(initial=0)))
-        out = np.asarray(out_dev[:, :m])
-        results: List[Optional[np.ndarray]] = [None] * len(queries)
+    def _classify_fused(self, fetched, positions, qk, kv, setter,
+                        wide, longs, overs):
+        """Assign direct results from a small-P fetch; defer the three rare
+        follow-up classes (small-P overflow -> sort path; base count over L
+        -> ladder re-serve; ladder LEVEL over the arena slack -> concat)."""
+        from ..ops.pallas_decode import SLACK_ROWS
+
+        P = self._FUSED_SMALL_P
+        small, oc, need, oc_pre = fetched
         max_lv = SLACK_ROWS * 128
-        long_idx, overflow = [], []
-        for i in range(len(queries)):
-            if need[i] <= self.L:
-                results[i] = out[i, : oc[i]].copy()
-            elif self._level_for(int(need[i])) <= max_lv:
+        for j, pos in enumerate(positions):
+            if need[j] <= self.L and oc_pre[j] <= P:
+                setter(pos, small[j, : oc[j]].copy())
+            elif need[j] <= self.L:
+                wide.append((pos, qk[j], int(kv[j])))
+            elif self._level_for(int(need[j])) <= max_lv:
                 # the LEVEL (not just the need) must fit the slack: the
                 # kernel DMAs lv/128 consecutive base rows per query
-                long_idx.append(i)
+                longs.append((pos, qk[j], int(kv[j]), int(need[j])))
             else:
-                overflow.append(i)
-        long_idx.sort(key=lambda i: -need[i])
-        K = qk.shape[1]
-        Wp1 = qk.shape[2]
-        self._reserve_ladder(results, long_idx, need, qk, kv, run)
-        if overflow:
-            sub = [queries[i] for i in overflow]
-            B = _round_up(len(overflow), 8)
-            bq = np.zeros((B, K, Wp1), dtype=np.uint32)
+                overs.append((pos, qk[j], int(kv[j])))
+
+    @staticmethod
+    def _stack_rows(rows, B):
+        """Stack per-query (K_b, W+1) key rows (possibly different K across
+        batches) into a (B, Kmax, W+1) matrix."""
+        Kmax = max(r.shape[0] for r in rows)
+        Wp1 = rows[0].shape[1]
+        bq = np.zeros((B, Kmax, Wp1), dtype=np.uint32)
+        for j, r in enumerate(rows):
+            bq[j, : r.shape[0]] = r
+        return bq
+
+    def _fused_followups(self, setter, wide, longs, overs, removed):
+        """Process the deferred classes ONCE (shared by boolean() and the
+        staged stream — cross-batch grouping keeps the round-trip count
+        independent of how many batches deferred into them)."""
+        if wide:
+            B = _round_up(len(wide), 8)
+            bq = self._stack_rows([t[1] for t in wide], B)
             bkv = np.zeros(B, dtype=np.int32)
-            bq[: len(overflow)] = qk[overflow]
-            bkv[: len(overflow)] = kv[overflow]
-            sub_res = self._boolean_concat(sub, bq, bkv, "and", removed)
-            for i, r in zip(overflow, sub_res):
-                results[i] = r
+            bkv[: len(wide)] = [t[2] for t in wide]
+            o2, c2, _ = self._fused_run(self.L, bq, bkv, removed)
+            c2 = np.asarray(c2)
+            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
+            for j, t in enumerate(wide):
+                setter(t[0], o2[j, : c2[j]].copy())
+        if longs:
+            n = len(longs)
+            bq = self._stack_rows([t[1] for t in longs], n)
+            bkv = np.asarray([t[2] for t in longs], dtype=np.int32)
+            bneed = np.asarray([t[3] for t in longs], dtype=np.int64)
+            tmp: List[Optional[np.ndarray]] = [None] * n
+            order = sorted(range(n), key=lambda j: -bneed[j])
+            self._reserve_ladder(
+                tmp, order, bneed, bq, bkv,
+                lambda lv, q, k2: self._fused_run(lv, q, k2, removed),
+            )
+            for t, v in zip(longs, tmp):
+                setter(t[0], v)
+        if overs:
+            B = _round_up(len(overs), 8)
+            bq = self._stack_rows([t[1] for t in overs], B)
+            bkv = np.zeros(B, dtype=np.int32)
+            bkv[: len(overs)] = [t[2] for t in overs]
+            sub_res = self._boolean_concat(
+                [None] * len(overs), bq, bkv, "and", removed
+            )
+            for t, v in zip(overs, sub_res):
+                setter(t[0], v)
+
+    def _boolean_fused(self, queries, qk, kv, removed):
+        """AND via the fused arena kernel: ONE dispatch + ONE fetch for the
+        common case (small-P compacted results ship with the counts);
+        ladder re-serve keyed on the BASE (smallest-list) count."""
+        qk, kv = self._fused_pad(qk, kv)
+        devs = self._fused_run(
+            self.L, qk, kv, removed, small_p=self._FUSED_SMALL_P
+        )
+        results: List[Optional[np.ndarray]] = [None] * len(queries)
+        wide, longs, overs = [], [], []
+
+        def setter(i, v):
+            results[i] = v
+
+        self._classify_fused(
+            jax.device_get(devs), range(len(queries)), qk, kv, setter,
+            wide, longs, overs,
+        )
+        self._fused_followups(setter, wide, longs, overs, removed)
+        return results
+
+    def boolean_staged(
+        self, batches, op: str = "and", filter_removed: bool = False,
+        depth: int = 2,
+    ):
+        """Pipelined stream serving: pack + dispatch batch i+`depth` BEFORE
+        downloading batch i's results, so host packing and the fetch round
+        trip overlap device compute instead of serializing with it —
+        steady-state throughput approaches max(device, host) rather than
+        their sum. Rare follow-ups (small-P overflow, ladder re-serves,
+        concat overflow) are deferred and processed once across the whole
+        stream. Per-batch semantics are identical to boolean().
+
+        batches: iterable of query batches (each a sequence of term lists).
+        Returns one result list per batch."""
+        from collections import deque
+
+        batches = list(batches)
+        if (
+            op != "and"
+            or self.delta is not None
+            or not self._use_fused()
+            or self.snap.n_terms == 0
+        ):
+            return [self.boolean(b, op, filter_removed) for b in batches]
+        removed = self._removed if filter_removed else None
+        results: List[List[Optional[np.ndarray]]] = [
+            [None] * len(b) for b in batches
+        ]
+        wide, longs, overs = [], [], []
+
+        def setter(pos, v):
+            results[pos[0]][pos[1]] = v
+
+        def harvest(item):
+            bi, nq, qk, kv, devs = item
+            self._classify_fused(
+                jax.device_get(devs),
+                [(bi, i) for i in range(nq)],
+                qk, kv, setter, wide, longs, overs,
+            )
+
+        pend = deque()
+        for bi, queries in enumerate(batches):
+            if not queries:
+                continue
+            qk, kv = self._pack_boolean(queries)
+            qk, kv = self._fused_pad(qk, kv)
+            devs = self._fused_run(
+                self.L, qk, kv, removed, small_p=self._FUSED_SMALL_P
+            )
+            pend.append((bi, len(queries), qk, kv, devs))
+            if len(pend) > depth:
+                harvest(pend.popleft())
+        while pend:
+            harvest(pend.popleft())
+        self._fused_followups(setter, wide, longs, overs, removed)
         return results
 
     def _boolean_concat(self, queries, qk, kv, op: str, removed):

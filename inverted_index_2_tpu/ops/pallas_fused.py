@@ -54,8 +54,14 @@ BG0 = 4       # base chunks per compare group (bounds compare volume by the
 PP = 4        # probe chunks folded into one compare op (op-issue bound)
 
 
-def _kernel_factory(K: int, C: int, stride: int):
+def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
     BG = min(BG0, C)  # base group cannot exceed the pad
+    # base_buf/hit_buf rows pad to a BG multiple so the LAST base window
+    # [bs, bs+BG) stays in bounds when C % BG != 0 (ladder levels like
+    # C=17); rows >= C hold garbage whose hits land in hit rows >= C,
+    # which are never read back
+    CP = -(-C // BG) * BG
+    NBG_MAX = CP // BG
     def _kernel(rows_ref, counts_ref, kvalid_ref, arena, p4_ref, p2_ref,
                 out_ref, cnt_ref, base_win, probe_win, probe_pre, pv_buf,
                 base_buf, hit_buf, sems, psems):
@@ -79,6 +85,17 @@ def _kernel_factory(K: int, C: int, stride: int):
             jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 1) * CHUNK
             + jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 2)
         )
+        # flat element index over one PP-chunk probe group (bounds masking)
+        gid = (
+            jax.lax.broadcasted_iota(jnp.int32, (PP, CHUNK), 0) * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (PP, CHUNK), 1)
+        )
+        # anchor-word positions in a base window: word 1 of each block row
+        # (codec/packing.py block layout [header, anchor, planes...]) —
+        # full-(C, stride) masks keep layouts Mosaic-friendly (width-1 lane
+        # slices risk the (C,)->(C,1) relayout crash, see ops/pallas_bool.py)
+        lane_cs = jax.lax.broadcasted_iota(jnp.int32, (C, stride), 1)
+        row_cs = jax.lax.broadcasted_iota(jnp.int32, (C, stride), 0)
 
         # ALL TQ base windows DMA'd in flight, then ONE batched decode:
         # a per-query decode of (C, 128) is 2-vreg ops at full issue cost
@@ -98,17 +115,27 @@ def _kernel_factory(K: int, C: int, stride: int):
         bases, _ = decode_blocks_pow2(
             base_win[:], use_mxu=True, perms=perms
         )                                                   # (TQ, C, 128)
-        base_buf[:] = bases
+        base_buf[:, pl.ds(0, C), :] = bases
 
         for r in range(TQ):
             q = q0 + r
             n0 = counts_ref[q * K]
             kv = kvalid_ref[q]
-            # live base groups: compare volume scales with the smallest
-            # list's real length (mean ~3 chunks at config-3), not C=16
-            nbg = (n0 + BG * CHUNK - 1) // (BG * CHUNK)
-            base = base_buf[r]                              # (C, 128)
+            base = base_buf[r, pl.ds(0, C), :]              # (C, 128)
             keep0 = (pos < n0).astype(jnp.int32)
+            # STAIRCASE PRUNING state: the flipped (sign-flip bitcast —
+            # Mosaic has no unsigned compares/reductions) base window words
+            # plus a mask selecting the LIVE anchor words. A probe group's
+            # overlapping base span is then two masked-count reductions
+            # (vector searchsorted): base chunks are value-ascending, so
+            # "chunks with anchor <= x" is a prefix whose length is the
+            # count. Compare volume collapses from the full base x probe
+            # cross to the merge staircase of the two sorted lists.
+            wf = jax.lax.bitcast_convert_type(
+                base_win[r] ^ np.uint32(0x80000000), jnp.int32
+            )                                               # (C, stride)
+            nb0c = jnp.minimum((n0 + CHUNK - 1) // CHUNK, C)
+            is_anchor = (lane_cs == 1) & (row_cs < nb0c)    # (C, stride)
 
             # hide probe-DMA latency AND decode-op overhead: every pair's
             # FIRST group goes in flight before the pair loop, then ONE
@@ -137,29 +164,58 @@ def _kernel_factory(K: int, C: int, stride: int):
             )                                               # (K-1, GP, 128)
             pv_buf[:] = pv_all
 
-            def jbody(j, keep, r=r, q=q, nbg=nbg):
+            def jbody(j, keep, r=r, q=q, wf=wf, is_anchor=is_anchor):
                 nj = counts_ref[q * K + j]
                 rj = rows_ref[q * K + j]
                 ngrp = (nj + GP * CHUNK - 1) // (GP * CHUNK)
-                hit_buf[:] = jnp.zeros((C, CHUNK), dtype=jnp.int32)
+                hit_buf[:] = jnp.zeros((CP, CHUNK), dtype=jnp.int32)
 
-                def probe_block(pv, g, carry, r=r, nj=nj, nbg=nbg):
-                    def bgbody(bg, c2, r=r, pv=pv, g=g, nj=nj):
-                        bs = bg * BG
-                        base_g = base_buf[r, pl.ds(bs, BG), :]  # (BG, 128)
-                        for p in range(0, GP, PP):
-                            # PP chunks per compare op (the inner loop is
-                            # op-issue bound, not compute bound); skip
-                            # op-groups entirely past the list's real
-                            # length (the mean config-3 list fills half
-                            # the static GP group)
-                            @pl.when((g * GP + p) * CHUNK < nj)
-                            def _(p=p, bs=bs, base_g=base_g, pv=pv, g=g,
-                                  nj=nj):
-                                ch = pv[p:p + PP]           # (PP, 128)
-                                cvalid = (
-                                    pid + (g * GP + p) * CHUNK
-                                ) < nj                      # (1, PP, 128, 1)
+                def probe_block(pv, g, carry, r=r, nj=nj, wf=wf,
+                                is_anchor=is_anchor):
+                    pvf = jax.lax.bitcast_convert_type(
+                        pv ^ np.uint32(0x80000000), jnp.int32
+                    )                                       # (GP, 128)
+                    for p in range(0, GP, PP):
+                        # PP chunks per compare op (op-issue bound); skip
+                        # op-groups past the list's real length, and for
+                        # live groups compare ONLY against the base window
+                        # span [s0, e) their value range can intersect
+                        @pl.when((g * GP + p) * CHUNK < nj)
+                        def _(p=p, pv=pv, pvf=pvf, g=g, nj=nj, r=r, wf=wf,
+                              is_anchor=is_anchor):
+                            grp = pvf[p:p + PP]             # (PP, 128) i32
+                            gvalid = (gid + (g * GP + p) * CHUNK) < nj
+                            lo_f = jnp.min(jnp.where(
+                                gvalid, grp, jnp.int32(0x7FFFFFFF)))
+                            hi_f = jnp.max(jnp.where(
+                                gvalid, grp, jnp.int32(-0x80000000)))
+                            # base chunks are value-ascending: chunks with
+                            # anchor <= lo form a prefix; the last of them
+                            # is the first that can contain lo. Chunks past
+                            # e (anchor > hi) start above the group's max.
+                            if prune:
+                                s_cnt = jnp.sum(
+                                    ((wf <= lo_f) & is_anchor).astype(jnp.int32))
+                                e_cnt = jnp.sum(
+                                    ((wf <= hi_f) & is_anchor).astype(jnp.int32))
+                                s0 = jnp.maximum(s_cnt - 1, 0) // BG * BG
+                                ng = jnp.minimum(
+                                    jnp.maximum((e_cnt - s0 + BG - 1) // BG, 0),
+                                    NBG_MAX,
+                                )
+                            else:  # A/B baseline: full cross, no staircase
+                                s0 = jnp.int32(0)
+                                ng = jnp.minimum(
+                                    (nb0c + BG - 1) // BG, NBG_MAX)
+                            ch = pv[p:p + PP]               # (PP, 128)
+                            cvalid = (
+                                pid + (g * GP + p) * CHUNK
+                            ) < nj                          # (1, PP, 128, 1)
+
+                            def bgbody(t, c2, r=r, ch=ch, cvalid=cvalid,
+                                       s0=s0):
+                                bs = s0 + t * BG
+                                base_g = base_buf[r, pl.ds(bs, BG), :]
                                 eq = (
                                     base_g[:, None, None, :]
                                     == ch[None, :, :, None]
@@ -169,13 +225,14 @@ def _kernel_factory(K: int, C: int, stride: int):
                                 ] | jnp.any(
                                     eq & cvalid, axis=(1, 2)
                                 ).astype(jnp.int32)
-                        return c2
+                                return c2
 
-                    return jax.lax.fori_loop(0, nbg, bgbody, carry)
+                            jax.lax.fori_loop(0, ng, bgbody, jnp.int32(0))
+                    return carry
 
                 probe_block(pv_buf[jnp.maximum(j - 1, 0)], 0, jnp.int32(0))
 
-                def gbody(g, carry, rj=rj, nj=nj, nbg=nbg):
+                def gbody(g, carry, rj=rj, nj=nj):
                     pdma = pltpu.make_async_copy(
                         arena.at[pl.ds(rj + g * GP, GP)], probe_win,
                         sems.at[TQ],
@@ -188,7 +245,7 @@ def _kernel_factory(K: int, C: int, stride: int):
                     return probe_block(pv, g, carry)
 
                 jax.lax.fori_loop(1, ngrp, gbody, jnp.int32(0))
-                return keep & hit_buf[:]
+                return keep & hit_buf[pl.ds(0, C), :]
 
             keep = jax.lax.fori_loop(1, kv, jbody, keep0) > 0
             out_ref[r] = jnp.where(keep, base, _SENT)
@@ -199,7 +256,9 @@ def _kernel_factory(K: int, C: int, stride: int):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("L", "compact", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("L", "compact", "interpret", "prune")
+)
 def fused_and_pallas(
     blocks: jnp.ndarray,
     rows: jnp.ndarray,
@@ -208,6 +267,7 @@ def fused_and_pallas(
     L: int,
     compact: bool = True,
     interpret: bool = False,
+    prune: bool = False,
 ):
     """AND over arena-resident posting lists, decode fused in-kernel.
 
@@ -219,6 +279,14 @@ def fused_and_pallas(
     k_valid: (Q,) i32 number of terms per query (>= 1).
     L: static base pad (multiple of 128). Probe lists are walked to their
        FULL length regardless of L; only counts[:, 0] > L needs a re-serve.
+    prune: staircase anchor pruning (A/B variant; results bit-identical).
+       MEASURED SLOWER at the config-3 shape on this chip (56k vs 70k QPS,
+       same-process A/B): the per-op-group masked min/max + anchor-count
+       reductions and their scalar->loop-bound dependency stalls cost more
+       than the skipped compares save — the base list is the per-query
+       MINIMUM, so its live window count is already ~1 and the full cross
+       is close to the staircase. Off by default; revisit only with
+       scalar-load-based guards (see PERFORMANCE.md negative results).
 
     Returns (vals (Q, L) compacted ascending, oc (Q,) i32).
     """
@@ -259,14 +327,16 @@ def fused_and_pallas(
             pltpu.VMEM((GP, stride), jnp.uint32),         # probe_win
             pltpu.VMEM((K - 1, GP, stride), jnp.uint32),  # probe_pre
             pltpu.VMEM((K - 1, GP, CHUNK), jnp.uint32),   # pv_buf (decoded)
-            pltpu.VMEM((TQ, C, CHUNK), jnp.uint32),       # base_buf
-            pltpu.VMEM((C, CHUNK), jnp.int32),            # hit_buf
+            pltpu.VMEM((TQ, -(-C // min(BG0, C)) * min(BG0, C), CHUNK),
+                       jnp.uint32),                       # base_buf (BG-padded)
+            pltpu.VMEM((-(-C // min(BG0, C)) * min(BG0, C), CHUNK),
+                       jnp.int32),                        # hit_buf (BG-padded)
             pltpu.SemaphoreType.DMA((TQ + 1,)),
             pltpu.SemaphoreType.DMA((K - 1,)),            # prefetch sems
         ],
     )
     masked, cnt = pl.pallas_call(
-        _kernel_factory(K, C, stride),
+        _kernel_factory(K, C, stride, prune),
         out_shape=[
             jax.ShapeDtypeStruct((Q, C, CHUNK), jnp.uint32),
             jax.ShapeDtypeStruct((Q, CHUNK), jnp.int32),

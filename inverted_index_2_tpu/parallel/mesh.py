@@ -93,20 +93,46 @@ def shard_ranges(n_devices: int, fanout: int = 1024) -> List[range]:
     return [range(d * per, min((d + 1) * per, fanout)) for d in range(n_devices)]
 
 
-def balanced_ranges(index, n_devices: int, fanout: int = 1024) -> List[range]:
-    """Contiguous shard-key ranges cut at ~equal TERM counts.
+def _shard_block_rows(sh) -> int:
+    """Upper-bound arena BLOCK rows a shard contributes: Σ ceil(len/128)
+    per term per segment (union across segments can only shrink it).
+    Direct segments hold one value per term = one block row each."""
+    total = 0
+    for seg in sh.segments.snapshot():
+        v = seg.view
+        if v is None:
+            continue
+        if v.mode == 1:  # MODE_DIRECT
+            total += v.n_terms
+        elif v.n_terms:
+            cnts = v.words[v.outs.astype(np.int64)].astype(np.int64)
+            total += int(np.sum((cnts + 127) // 128))
+    return total
+
+
+def balanced_ranges(
+    index, n_devices: int, fanout: int = 1024, by: str = "blocks"
+) -> List[range]:
+    """Contiguous shard-key ranges cut at ~equal BLOCK volume (by="terms"
+    cuts on term counts instead).
 
     Contiguity preserves the global-order invariant (device order = term
     order); cutting by data volume instead of key count fixes the skew of
     real corpora, whose term prefixes concentrate in a narrow band of the
-    10-bit space (e.g. lowercase ASCII spans only ~100 of 1024 keys)."""
+    10-bit space (e.g. lowercase ASCII spans only ~100 of 1024 keys).
+    BLOCK volume is the right cut metric because partitions pad to the
+    largest device's (Bmax, stride) arena: one device with long posting
+    lists inflates EVERY device's HBM, even at equal term counts."""
     per_key = np.zeros(fanout, dtype=np.int64)
     for sh in index._snapshot():
         try:
             k = int(sh.get_key())
         except ValueError:
             continue
-        per_key[k] = sum(s.terms for s in sh.segments.snapshot())
+        if by == "blocks":
+            per_key[k] = _shard_block_rows(sh)
+        else:
+            per_key[k] = sum(s.terms for s in sh.segments.snapshot())
     total = int(per_key.sum())
     if total == 0:
         return shard_ranges(n_devices, fanout)
@@ -308,6 +334,79 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
         return jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys, k_valid)
 
     snap._jit_cache[_ck] = call
+    return call
+
+
+# compiled dual-tier programs, keyed independently of the delta snapshot
+# object (deltas churn on every refresh; the program depends only on mesh,
+# shapes and statics — jax.jit then retraces per array shape as usual)
+_DUAL_JIT_CACHE: Dict[Tuple, Callable] = {}
+
+
+def make_sharded_boolean_dual(
+    snap: ShardedSnapshot, dsnap: ShardedSnapshot, L: int, op: str
+):
+    """Fan-out boolean over a MAIN + DELTA sharded snapshot pair: each tier
+    resolves and psums its per-term postings independently (a term may live
+    on DIFFERENT devices in the two tiers — each psum has a single owner),
+    the pair unions per (query, slot), then the set op runs replicated —
+    the mesh twin of models.query_engine.boolean_step_dual.
+
+    Returns call(qk1, qk2, k_valid) -> (out (Q, 2L), oc, need) where qk1/qk2
+    are the SAME queries packed at each tier's width."""
+    from ..ops import setops
+
+    key = (snap.mesh, L, op, snap.max_probes, dsnap.max_probes)
+    probes1, probes2 = snap.max_probes, dsnap.max_probes
+    jitted = _DUAL_JIT_CACHE.get(key)
+    if jitted is None:
+        def step(k1, b1, t1, c1, s1, k2, b2, t2, c2, s2, qk1, qk2, k_valid):
+            Q, K, W1 = qk1.shape
+            f1, v1, n1, r1 = _local_lookup(
+                k1, b1, t1, c1, s1, qk1.reshape(Q * K, W1), L, probes1)
+            v1 = jax.lax.psum(v1, SHARD_AXIS)
+            n1 = jax.lax.psum(n1, SHARD_AXIS)
+            r1 = jax.lax.psum(r1, SHARD_AXIS)
+            f2, v2, n2, r2 = _local_lookup(
+                k2, b2, t2, c2, s2, qk2.reshape(Q * K, qk2.shape[-1]), L,
+                probes2)
+            v2 = jax.lax.psum(v2, SHARD_AXIS)
+            n2 = jax.lax.psum(n2, SHARD_AXIS)
+            r2 = jax.lax.psum(r2, SHARD_AXIS)
+            pair = jnp.stack([v1, v2], axis=1)                  # (QK, 2, L)
+            pcnt = jnp.stack([n1, n2], axis=1)
+            u, uc = setops.union_many(
+                pair, pcnt, jnp.full((Q * K,), 2, jnp.int32))
+            lists = u.reshape(Q, K, 2 * L)
+            ncnt = uc.reshape(Q, K)
+            kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+            need = jnp.max(
+                jnp.where(kmask, (r1 + r2).reshape(Q, K), 0), axis=1
+            ).astype(jnp.int32)
+            if op == "and":
+                out, oc = setops.intersect_many(lists, ncnt, k_valid)
+            else:
+                out, oc = setops.union_many(lists, ncnt, k_valid)
+            return out, oc, need
+
+        mapped = shard_map(
+            step,
+            mesh=snap.mesh,
+            in_specs=(P(SHARD_AXIS),) * 10 + (P(), P(), P()),
+            out_specs=(P(), P(), P()),
+        )
+        jitted = jax.jit(mapped)
+        _DUAL_JIT_CACHE[key] = jitted
+
+    def call(qk1, qk2, k_valid):
+        return jitted(
+            snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+            snap.hash_slots,
+            dsnap.keys, dsnap.blocks, dsnap.term_block_start, dsnap.counts,
+            dsnap.hash_slots,
+            qk1, qk2, k_valid,
+        )
+
     return call
 
 
@@ -595,18 +694,32 @@ def _read_range_keys(snap: ShardedSnapshot, min_term, max_term):
 
 
 def partition_stats(snap: ShardedSnapshot) -> dict:
-    """Skew report: per-device real term counts vs the padded Nmax.
+    """Skew report: per-device real term AND block-row counts vs the
+    padded (Nmax, Bmax).
 
-    Partitions pad to the LARGEST device's term count (and block count), so
-    an uneven shard-key split wastes HBM and lanes proportional to
-    Nmax/mean(n) — use this to pick shard fanout / device counts."""
+    Partitions pad to the LARGEST device's term count and block count, so
+    an uneven split wastes HBM proportional to max/mean — blocks are the
+    HBM-dominant table (arena rows are stride words each), which is why
+    balanced_ranges cuts on block volume by default."""
     keys = np.asarray(snap.keys[:, :, -1])
     n_real = (keys != _PAD_WORD).sum(axis=1)
     nmax = int(snap.keys.shape[1])
+    # real arena rows per device = the last real term's block end
+    tbs = np.asarray(snap.term_block_start)
+    b_real = np.array(
+        [int(tbs[d, int(n_real[d])]) for d in range(snap.n_devices)],
+        dtype=np.int64,
+    )
+    bmax = int(snap.blocks.shape[1])  # (D, Bmax, stride)
     return {
         "n_terms_per_device": n_real.tolist(),
         "padded_to": nmax,
         "padding_overhead": round(float(nmax * snap.n_devices / max(1, n_real.sum())), 3),
+        "blocks_per_device": b_real.tolist(),
+        "blocks_padded_to": bmax,
+        "block_padding_overhead": round(
+            float(bmax * snap.n_devices / max(1, b_real.sum())), 3
+        ),
     }
 
 

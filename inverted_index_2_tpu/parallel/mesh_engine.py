@@ -1,0 +1,345 @@
+"""MeshQueryEngine — single-chip QueryEngine serving parity over the mesh.
+
+Wraps the raw `make_sharded_*` factories (parallel/mesh.py) in the same
+serve/refresh lifecycle the single-chip engine provides
+(models/query_engine.py):
+
+ * vectorized TOMBSTONE filtering per query batch (the reference's
+   removed_list applied as a bitmask filter, /root/reference/
+   removed_list.go:44-54 + shard.go:181-190 semantics) — `removed` is
+   replicated and the filter runs on the psum-merged (replicated) results,
+   so mesh answers are bit-identical to the single-chip engine's;
+ * INCREMENTAL refresh: a fingerprint no-op check, an O(delta) delta tier
+   for purely-additive changes (new segments visible to the next query —
+   the reference's Read-visibility contract, inverted_index.go:300-340),
+   and automatic promotion to a full rebuild past DELTA_FRACTION;
+ * automatic exact LADDER re-serve of queries whose posting lists exceed
+   the fast-path L (programs per ladder level, compiled lazily and cached);
+ * warmup() precompiling the serving programs before traffic.
+
+The delta tier is stacked onto device 0 (with empty partitions elsewhere):
+deltas are bounded at DELTA_FRACTION of main by construction, so the
+imbalance is transient and vanishes at the next promotion/full rebuild.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..codec import keys as keys_mod
+from ..models import query_engine as qe
+from . import mesh as pm
+
+
+class MeshQueryEngine:
+    """Batched mesh serving over a ShardedSnapshot pair (main + delta)."""
+
+    DELTA_FRACTION = 0.25
+
+    def __init__(self, index, mesh=None, L: int = 1024, q_bucket: int = 256):
+        self.mesh = mesh if mesh is not None else pm.default_mesh()
+        self.L = L
+        self.q_bucket = q_bucket
+        self._full_build(index)
+
+    # -- build / refresh ---------------------------------------------------
+
+    def _full_build(self, index) -> None:
+        self.snap = pm.build_sharded_snapshot(index, self.mesh)
+        self.delta: Optional[pm.ShardedSnapshot] = None
+        self._removed = jnp.asarray(qe._collect_removed(index))
+        fp = qe._index_fingerprint(index, False)
+        self._fingerprint = fp
+        self._main_fp = fp
+        self._base_map = {k: frozenset(segs) for k, segs, _rl in fp[1]}
+        keys_last = np.asarray(self.snap.keys[:, :, -1])
+        self._main_n_terms = int((keys_last != pm._PAD_WORD).sum())
+
+    def refresh(self, index) -> bool:
+        """Re-freeze from the live index; no-op (False) when unchanged.
+        Purely-additive changes upload only the new segments as a delta
+        tier (O(delta)); compactions or oversized deltas trigger a full
+        rebuild — the same policy as QueryEngine.refresh."""
+        fp = qe._index_fingerprint(index, False)
+        if fp == self._fingerprint:
+            return False
+        if self._try_delta_refresh(index, fp):
+            self._fingerprint = fp
+            return True
+        self._full_build(index)
+        return True
+
+    def _try_delta_refresh(self, index, fp) -> bool:
+        main_shards = {k: segs for k, segs, _rl in self._main_fp[1]}
+        for key, segs, _rl in fp[1]:
+            if not set(main_shards.get(key, ())).issubset(segs):
+                return False  # a main segment was merged away: full rebuild
+        delta1 = qe.snapshot_new_segments(index, self._base_map)
+        if delta1 is None:
+            delta = self.delta  # tombstone-only change: refresh removed below
+        else:
+            if delta1.n_terms > self.DELTA_FRACTION * max(1, self._main_n_terms):
+                return False  # promote: full rebuild folds the delta in
+            D = self.mesh.shape[pm.SHARD_AXIS]
+            delta = pm.stack_partitions(
+                [delta1] + [qe._empty_snapshot(delta1.width)] * (D - 1),
+                self.mesh,
+            )
+        self.delta = delta
+        self._removed = jnp.asarray(qe._collect_removed(index))
+        return True
+
+    # -- helpers -----------------------------------------------------------
+
+    def _max_count(self) -> int:
+        m = self.snap.max_count
+        if self.delta is not None:
+            m += self.delta.max_count  # a term's union can reach the sum
+        return m
+
+    def _levels(self) -> List[int]:
+        return qe._ladder(self.L, self._max_count())
+
+    def _level_for(self, need: int) -> int:
+        for lv in self._levels():
+            if lv >= need:
+                return lv
+        return qe._round_up(need, 128)
+
+    def _filter(self, out, oc):
+        from ..ops import setops
+
+        if self._removed.shape[0] == 0:
+            return out, oc
+        return qe._JIT_FILTER(out, oc, self._removed)
+
+    def _widths(self):
+        W = self.snap.width
+        if self.delta is not None:
+            W = max(W, self.delta.width)
+        return W
+
+    def warmup(self, k_max: int = 8, ops: Sequence[str] = ("and", "or")) -> int:
+        """Precompile the serving programs (lookup, boolean per op, prefix
+        ranges, dual variants when a delta is live) at one query bucket."""
+        n = 0
+        W = self._widths()
+        qk = jnp.zeros((self.q_bucket, self.snap.width + 1), dtype=jnp.uint32)
+        lookup = pm.make_sharded_lookup(self.snap, self.L)
+        jax.block_until_ready(lookup(
+            self.snap.keys, self.snap.blocks, self.snap.term_block_start,
+            self.snap.counts, qk,
+        )[2])
+        n += 1
+        bqk = np.zeros((self.q_bucket, k_max, W + 1), dtype=np.uint32)
+        kv = jnp.zeros((self.q_bucket,), dtype=jnp.int32)
+        for op in ops:
+            o, oc, _ = self._boolean_dispatch(self.L, bqk, kv, op)
+            jax.block_until_ready(oc)
+            if self._removed.shape[0] > 0:
+                jax.block_until_ready(self._filter(o, oc)[1])
+            n += 1
+        jax.block_until_ready(
+            pm.make_sharded_prefix_ranges(self.snap)(
+                jnp.zeros((1, self.snap.width + 1), jnp.uint32),
+                jnp.full((1, self.snap.width + 1), pm._PAD_WORD, jnp.uint32),
+            )[0]
+        )
+        n += 1
+        return n
+
+    def stats(self) -> Dict:
+        d = self.delta
+        return {
+            "devices": self.snap.n_devices,
+            "n_terms": self._main_n_terms,
+            "delta_terms": 0 if d is None else int(
+                (np.asarray(d.keys[:, :, -1]) != pm._PAD_WORD).sum()
+            ),
+            "removed": int(self._removed.shape[0]),
+            "ladder": self._levels(),
+            "partition": pm.partition_stats(self.snap),
+        }
+
+    # -- exact lookup ------------------------------------------------------
+
+    def lookup(
+        self, terms: Sequence[bytes], filter_removed: bool = False
+    ) -> List[Optional[np.ndarray]]:
+        """Exact postings per term (None for misses), unioned across the
+        main+delta tiers, ladder re-served past L — the mesh twin of
+        QueryEngine.lookup."""
+        if not terms:
+            return []
+        main = self._exact_rows(self.snap, terms, filter_removed)
+        if self.delta is None:
+            return main
+        dl = self._exact_rows(self.delta, terms, filter_removed)
+        out: List[Optional[np.ndarray]] = []
+        for a, b in zip(main, dl):
+            if a is None:
+                out.append(b)
+            elif b is None:
+                out.append(a)
+            else:
+                out.append(np.union1d(a, b))
+        return out
+
+    def _exact_rows(self, s: pm.ShardedSnapshot, terms, filter_removed: bool):
+        Q = qe._round_up(len(terms), self.q_bucket)
+        qk = keys_mod.pack_terms(list(terms), width=s.width)
+        pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
+        qk_p = jnp.asarray(np.concatenate([qk, pad], axis=0))
+        lookup = pm.make_sharded_lookup(s, self.L)
+        found, vals, n, raw = lookup(
+            s.keys, s.blocks, s.term_block_start, s.counts, qk_p
+        )
+        if filter_removed:
+            vals, n = self._filter(vals, n)
+        found, vals, n, raw = jax.device_get((found, vals, n, raw))
+        out: List[Optional[np.ndarray]] = [None] * len(terms)
+        long_idx = []
+        for i in range(len(terms)):
+            if not found[i]:
+                continue
+            if raw[i] > self.L:
+                long_idx.append(i)
+            else:
+                out[i] = vals[i, : n[i]].copy()
+        long_idx.sort(key=lambda i: -raw[i])
+        while long_idx:
+            lv = self._level_for(int(max(raw[i] for i in long_idx)))
+            qb = max(1, qe._RESERVE_BUDGET // lv)
+            batch, long_idx = long_idx[:qb], long_idx[qb:]
+            B = qe._round_up(len(batch), 8)
+            bq = np.repeat(qk[batch[-1]: batch[-1] + 1], B, axis=0)
+            bq[: len(batch)] = qk[batch]
+            lk2 = pm.make_sharded_lookup(s, lv)
+            f2, v2, n2, _ = lk2(
+                s.keys, s.blocks, s.term_block_start, s.counts, jnp.asarray(bq)
+            )
+            if filter_removed:
+                v2, n2 = self._filter(v2, n2)
+            n2 = np.asarray(n2)
+            v2 = np.asarray(v2[:, : max(1, int(n2.max(initial=0)))])
+            for j, i in enumerate(batch):
+                out[i] = v2[j, : n2[j]].copy()
+        return out
+
+    # -- boolean -----------------------------------------------------------
+
+    def _boolean_dispatch(self, lv: int, qk: np.ndarray, kv, op: str):
+        """One device pass at pad lv over main (+delta when live)."""
+        s = self.snap
+        if self.delta is None:
+            call = pm.make_sharded_boolean(s, lv, op)
+            return call(
+                s.keys, s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(qe._narrow_keys(qk, s.width)), kv,
+            )
+        d = self.delta
+        call = pm.make_sharded_boolean_dual(s, d, lv, op)
+        return call(
+            jnp.asarray(qe._narrow_keys(qk, s.width)),
+            jnp.asarray(qe._narrow_keys(qk, d.width)),
+            kv,
+        )
+
+    def boolean(
+        self, queries: Sequence[Sequence[bytes]], op: str,
+        filter_removed: bool = False,
+    ) -> List[Optional[np.ndarray]]:
+        """Batch of AND/OR queries over the mesh; result-identical to the
+        single-chip QueryEngine (padded formulation), tombstones included."""
+        if not queries:
+            return []
+        K = max(len(q) for q in queries)
+        Q = qe._round_up(len(queries), self.q_bucket)
+        W = self._widths()
+        qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
+        kv = np.array(
+            [len(q) for q in queries] + [0] * (Q - len(queries)), dtype=np.int32
+        )
+        flat_terms = [t for q in queries for t in q]
+        packed = keys_mod.pack_terms(flat_terms, width=W)
+        rows = np.repeat(np.arange(len(queries)), kv[: len(queries)])
+        cols = (
+            np.concatenate([np.arange(k) for k in kv[: len(queries)]])
+            if flat_terms else np.zeros(0, np.int64)
+        )
+        qk[rows, cols] = packed
+        kv_d = jnp.asarray(kv)
+
+        out, oc, need = self._boolean_dispatch(self.L, qk, kv_d, op)
+        if filter_removed:
+            out, oc = self._filter(out, oc)
+        oc, need = jax.device_get((oc, need))
+        out = np.asarray(out[:, : max(1, int(oc.max(initial=0)))])
+        results: List[Optional[np.ndarray]] = [None] * len(queries)
+        long_idx = sorted(
+            (i for i in range(len(queries)) if need[i] > self.L),
+            key=lambda i: -need[i],
+        )
+        for i in range(len(queries)):
+            if need[i] <= self.L:
+                results[i] = out[i, : oc[i]].copy()
+        while long_idx:
+            lv = self._level_for(int(max(need[i] for i in long_idx)))
+            qb = max(1, qe._RESERVE_BUDGET // (K * lv))
+            batch, long_idx = long_idx[:qb], long_idx[qb:]
+            B = qe._round_up(len(batch), 8)
+            bq = np.zeros((B, K, W + 1), dtype=np.uint32)
+            bkv = np.zeros(B, dtype=np.int32)
+            bq[: len(batch)] = qk[batch]
+            bkv[: len(batch)] = kv[batch]
+            o2, c2, _ = self._boolean_dispatch(lv, bq, jnp.asarray(bkv), op)
+            if filter_removed:
+                o2, c2 = self._filter(o2, c2)
+            c2 = np.asarray(c2)
+            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
+            for j, i in enumerate(batch):
+                results[i] = o2[j, : c2[j]].copy()
+        return results
+
+    # -- prefix search / range read ---------------------------------------
+
+    def prefix_search(self, prefixes: Sequence[bytes]) -> Dict[bytes, np.ndarray]:
+        """Mesh PrefixSearch across both tiers (values sorted unique;
+        unmatched prefixes absent). Like the single-chip engine and the
+        reference, prefix results are NOT tombstone-filtered (reads don't
+        filter; only merge purges)."""
+        out = pm.sharded_prefix_search(self.snap, prefixes, L=self.L)
+        if self.delta is not None:
+            for p, v in pm.sharded_prefix_search(
+                self.delta, prefixes, L=self.L
+            ).items():
+                out[p] = np.union1d(out[p], v) if p in out else v
+        return out
+
+    def read_range(self, min_term: Optional[bytes] = None,
+                   max_term: Optional[bytes] = None):
+        """Globally sorted (term, values) stream over the mesh snapshot
+        pair, [min,max] inclusive; two tiers merge-join by term with value
+        union on ties (types.go:14-22 semantics)."""
+        main = pm.sharded_read_range(self.snap, min_term, max_term, L=self.L)
+        if self.delta is None:
+            yield from main
+            return
+        dl = pm.sharded_read_range(self.delta, min_term, max_term, L=self.L)
+        a = next(main, None)
+        b = next(dl, None)
+        while a is not None or b is not None:
+            if b is None or (a is not None and a[0] < b[0]):
+                yield a
+                a = next(main, None)
+            elif a is None or b[0] < a[0]:
+                yield b
+                b = next(dl, None)
+            else:
+                yield a[0], np.union1d(a[1], b[1])
+                a = next(main, None)
+                b = next(dl, None)

@@ -136,6 +136,27 @@ def write_direct_segment(
     return key
 
 
+def write_direct_segment_outs(
+    basedir: str,
+    blob,
+    offsets: np.ndarray,
+    values: np.ndarray,
+    key: str | None = None,
+) -> str:
+    """Direct-mode segment with PER-TERM values (one value per term, values
+    differing across terms — the put_many batch shape). Same single-file
+    format as write_direct_segment, with a real outs array instead of
+    FLAG_OUTS_CONST; the reader already serves both."""
+    key = key or _unique_key(basedir)
+    tmp = formats.dict_path(basedir, key) + formats.TMP_SUFFIX
+    _write_dict(
+        tmp, formats.MODE_DIRECT, np.asarray(offsets),
+        np.asarray(values, dtype=np.uint64), blob,
+    )
+    os.rename(tmp, formats.dict_path(basedir, key))
+    return key
+
+
 def write_normal_segment(
     basedir: str,
     blob: bytes,

@@ -178,6 +178,42 @@ class Shard:
         )
         self.segments.add(Segment(key, view.n_terms, view.min_term, view.max_term, view))
 
+    def put_sorted_many(self, blob, offsets: np.ndarray, values: np.ndarray,
+                        voffs: np.ndarray) -> None:
+        """Batched multi-document ingest: terms SORTED UNIQUE with per-term
+        sorted unique value lists (values[voffs[i]:voffs[i+1]] = term i's).
+        Writes ONE normal-mode segment for the whole batch — read-equivalent
+        to one direct segment per document (union semantics,
+        /root/reference/file/types.go:14-22), amortizing the per-segment
+        file + publish cost (see InvertedIndex.put_many)."""
+        if len(offsets) <= 1:
+            return
+        values = np.asarray(values, dtype=np.uint32)
+        voffs = np.asarray(voffs, dtype=np.int64)
+        if bool(np.all(np.diff(voffs) == 1)):
+            # every term carries exactly one value (the common batch shape):
+            # a SINGLE-FILE direct segment with per-term outs — file-system
+            # syscalls are what bound the per-doc grain on this host
+            key = seg_writer.write_direct_segment_outs(
+                self.basedir, blob, offsets, values
+            )
+            view = SegmentView.from_arrays(
+                self.basedir, key, formats.MODE_DIRECT, offsets,
+                values.astype(np.uint64), blob,
+            )
+        else:
+            from .codec import packing as _packing
+
+            words, w_outs = _packing.encode_bulk(values, voffs)
+            key = seg_writer.write_normal_segment_words(
+                self.basedir, blob, offsets, words, w_outs
+            )
+            view = SegmentView.from_arrays(
+                self.basedir, key, formats.MODE_NORMAL, offsets,
+                w_outs.astype(np.uint64), blob, words,
+            )
+        self.segments.add(Segment(key, view.n_terms, view.min_term, view.max_term, view))
+
     # ---- read ------------------------------------------------------------
 
     def read(

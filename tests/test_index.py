@@ -197,3 +197,42 @@ def test_read_bulk_matches_streaming(tmp_path):
             for i in range(len(offs) - 1)
         ]
         assert rows == want, rng_args
+
+
+def test_put_many_equivalence(tmp_path):
+    """put_many writes ONE segment per touched shard per call and is
+    read-identical to per-document put()."""
+    import numpy as np
+
+    from inverted_index_2_tpu import InvertedIndex
+
+    rng = np.random.default_rng(21)
+    docs = []
+    for v in range(1, 41):
+        terms = [bytes(rng.integers(97, 123, size=6, dtype=np.uint8)) for _ in range(8)]
+        if v % 3 == 0:
+            terms.append(b"shared-term")  # repeated term across docs
+        docs.append((terms, v))
+
+    a = InvertedIndex(str(tmp_path / "a"))
+    for terms, v in docs:
+        a.put(terms, v)
+    b = InvertedIndex(str(tmp_path / "b"))
+    b.put_many(docs)
+
+    dump_a = {tv.term: tv.values.tolist() for tv in a.read(None, None)}
+    dump_b = {tv.term: tv.values.tolist() for tv in b.read(None, None)}
+    assert dump_a == dump_b
+    assert sorted(v for vs in dump_b.values() for v in vs)  # non-empty
+    # exactly one segment per touched shard for the whole batch
+    for sh in b._snapshot():
+        assert len(sh.segments) == 1, sh.get_key()
+    # short (<2 byte) terms route to shard 0000; values union across docs
+    c = InvertedIndex(str(tmp_path / "c"))
+    c.put_many([([b"a", b"xy"], 5), ([b"a"], 9)])
+    dump_c = {tv.term: tv.values.tolist() for tv in c.read(None, None)}
+    assert dump_c[b"a"] == [5, 9]
+    assert dump_c[b"xy"] == [5]
+    # reopen-equivalence (normal-mode batch segments recover from disk)
+    c2 = InvertedIndex(str(tmp_path / "c"))
+    assert {tv.term: tv.values.tolist() for tv in c2.read(None, None)} == dump_c

@@ -236,3 +236,48 @@ def test_balanced_ranges(tmp_path, mesh8):
     # correctness intact: global sorted order + lookups
     got = [t for t, _ in pm.sharded_read_range(snap, None, None, L=128)]
     assert got == sorted(got) and len(got) == 256
+
+
+def test_balanced_ranges_by_blocks_fix_skew(tmp_path, mesh8):
+    """Skewed corpus: a narrow key band carries LONG posting lists (many
+    block rows), the rest short ones. Cutting ranges on BLOCK volume keeps
+    the padded arena overhead ~1.x where term-count cuts leave it badly
+    inflated (VERDICT r2 item 5)."""
+    ii = InvertedIndex(str(tmp_path))
+    rng = np.random.default_rng(3)
+    # heavy band: terms under prefix "aa" with ~600 postings each (5 blocks)
+    heavy = [b"aa" + f"h{i:03d}".encode() for i in range(40)]
+    for doc in range(1, 600):
+        ii.put(heavy, doc)
+    while ii.merge(2, 100, 2):  # fold into per-term long lists
+        pass
+    # light band: many single-posting terms spread over other prefixes
+    for i in range(1600):
+        a, b = 98 + (i % 24), 97 + (i // 24) % 26
+        ii.put([bytes([a, b]) + f"l{i:04d}".encode()], 10_000 + i)
+
+    rs_terms = pm.balanced_ranges(ii, 8, by="terms")
+    rs_blocks = pm.balanced_ranges(ii, 8, by="blocks")
+
+    def build_with(ranges, monkeypatch_mod=pm):
+        orig = monkeypatch_mod.balanced_ranges
+        monkeypatch_mod.balanced_ranges = (
+            lambda idx, n, fanout=1024, by="blocks": ranges
+        )
+        try:
+            return pm.build_sharded_snapshot(ii, mesh8)
+        finally:
+            monkeypatch_mod.balanced_ranges = orig
+
+    st_blocks = pm.partition_stats(build_with(rs_blocks))
+    st_terms = pm.partition_stats(build_with(rs_terms))
+    assert st_blocks["block_padding_overhead"] <= 2.0, st_blocks
+    # term-balanced cuts concentrate the heavy band on one device: its Bmax
+    # pads every device and the block overhead blows up
+    assert (
+        st_blocks["block_padding_overhead"]
+        < st_terms["block_padding_overhead"] * 0.67
+    ), (st_blocks, st_terms)
+    # serving still correct on the block-balanced split
+    got = pm.sharded_prefix_search(build_with(rs_blocks), [b"aa"], L=1024)
+    assert len(got[b"aa"]) == 599

@@ -1,0 +1,123 @@
+"""MeshQueryEngine vs single-chip QueryEngine: bit-identity on the same
+index (tombstones included), incremental refresh, ladder re-serves — the
+mesh serving-parity contract (VERDICT r2 item 4)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from inverted_index_2_tpu import InvertedIndex
+from inverted_index_2_tpu.models.query_engine import QueryEngine
+from inverted_index_2_tpu.parallel import MeshQueryEngine
+from inverted_index_2_tpu.parallel import mesh as pm
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pm.default_mesh(8)
+
+
+def _build_index(tmp, rng, n_docs=60, removed=(3, 7, 11, 20)):
+    ii = InvertedIndex(str(tmp))
+    vocab = [bytes([a, b]) + f"t{i}".encode() for i, (a, b) in enumerate(
+        (int(x), int(y)) for x, y in rng.integers(32, 127, size=(90, 2))
+    )]
+    for doc in range(1, n_docs):
+        k = int(rng.integers(1, 6))
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)]
+        ii.put(terms, doc)
+    ii.put_removed(np.asarray(removed, dtype=np.uint32))
+    return ii, vocab
+
+
+def _assert_rows_equal(a, b, ctx):
+    assert len(a) == len(b), ctx
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            assert x is None and y is None, (ctx, i)
+        else:
+            assert np.array_equal(x, y), (ctx, i)
+
+
+def test_mesh_engine_bit_identity(tmp_path, mesh8):
+    rng = np.random.default_rng(11)
+    ii, vocab = _build_index(tmp_path, rng)
+    chip = QueryEngine.from_index(ii, L=128, q_bucket=16)
+    mesh_eng = MeshQueryEngine(ii, mesh=mesh8, L=128, q_bucket=16)
+    assert mesh_eng.warmup(k_max=3) > 0
+
+    terms = vocab[:25] + [b"@@missing"]
+    for filt in (False, True):
+        _assert_rows_equal(
+            mesh_eng.lookup(terms, filter_removed=filt),
+            chip.lookup(terms, filter_removed=filt),
+            ("lookup", filt),
+        )
+    queries = [
+        [vocab[0], vocab[1]],
+        [vocab[2], vocab[3], vocab[4]],
+        [vocab[5], b"@@missing"],
+        [vocab[6]],
+    ]
+    for op in ("and", "or"):
+        for filt in (False, True):
+            _assert_rows_equal(
+                mesh_eng.boolean(queries, op, filter_removed=filt),
+                chip.boolean(queries, op, filter_removed=filt),
+                (op, filt),
+            )
+    # prefix search parity (not tombstone-filtered, like the reference)
+    prefixes = [v[:2] for v in vocab[:10]] + [b"\x00\x00nope"]
+    got = mesh_eng.prefix_search(prefixes)
+    want = chip.prefix_search(prefixes)
+    assert set(got) == set(want)
+    for p in want:
+        assert np.array_equal(got[p], want[p]), p
+    # range read parity
+    got_rows = [(t, v.tolist()) for t, v in mesh_eng.read_range(None, None)]
+    want_rows = [(t, v.tolist()) for t, v in chip.read_range(None, None)]
+    assert got_rows == want_rows
+
+
+def test_mesh_engine_refresh_delta_and_promote(tmp_path, mesh8):
+    rng = np.random.default_rng(13)
+    ii, vocab = _build_index(tmp_path, rng, n_docs=40, removed=(2,))
+    eng = MeshQueryEngine(ii, mesh=mesh8, L=128, q_bucket=16)
+    assert eng.refresh(ii) is False  # fingerprint no-op
+
+    # additive change -> delta tier, results track the live index
+    ii.put([vocab[0], b"zz-new-term"], 999)
+    assert eng.refresh(ii) is True
+    assert eng.delta is not None
+    chip = QueryEngine.from_index(ii, L=128, q_bucket=16)
+    _assert_rows_equal(
+        eng.lookup([vocab[0], b"zz-new-term"]),
+        chip.lookup([vocab[0], b"zz-new-term"]),
+        "delta-lookup",
+    )
+    for op in ("and", "or"):
+        _assert_rows_equal(
+            eng.boolean([[vocab[0], b"zz-new-term"]], op, filter_removed=True),
+            chip.boolean([[vocab[0], b"zz-new-term"]], op, filter_removed=True),
+            ("delta", op),
+        )
+    # tombstone-only change refreshes the removed array without a rebuild
+    ii.put_removed(np.asarray([999], dtype=np.uint32))
+    assert eng.refresh(ii) is True
+    assert 999 in np.asarray(eng._removed).tolist()
+    got = eng.boolean([[vocab[0], b"zz-new-term"]], "and", filter_removed=True)
+    assert 999 not in got[0].tolist()
+
+    # compaction (segments vanish) -> full rebuild, delta folds in
+    while ii.merge(2, 100, 2):
+        pass
+    assert eng.refresh(ii) is True
+    assert eng.delta is None
+    chip2 = QueryEngine.from_index(ii, L=128, q_bucket=16)
+    _assert_rows_equal(
+        eng.lookup([vocab[0], b"zz-new-term"]),
+        chip2.lookup([vocab[0], b"zz-new-term"]),
+        "post-merge",
+    )

@@ -337,3 +337,72 @@ def test_pallas_sort_rows_matches_numpy(rng):
         x = rng.integers(0, 2**32, size=(Q, M), dtype=np.uint32)
         got = np.asarray(sort_rows_pallas(jnp.asarray(x), interpret=True))
         assert np.array_equal(got, np.sort(x, axis=1)), (Q, M)
+
+
+def test_engine_fused_q_bucket_not_multiple_of_8(rng, monkeypatch):
+    """Regression (ADVICE r2): a q_bucket not divisible by the kernel's TQ=8
+    tile must pad up instead of raising — the XLA paths accept any bucket."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 2_000, size=int(s), dtype=np.uint32))
+        for s in [50, 80, 120, 60]
+    ]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=12)
+    assert eng._use_fused()
+    got = eng.boolean([[terms[0], terms[1]], [terms[2], terms[3]]], "and")
+    for q, g in zip([[0, 1], [2, 3]], got):
+        want = np.intersect1d(lists[q[0]], lists[q[1]])
+        assert np.array_equal(g, want)
+
+
+def test_engine_fused_small_p_overflow(rng, monkeypatch):
+    """AND results wider than the small-P single-fetch prefix re-run through
+    the sort path (identical lists => result = whole list > _FUSED_SMALL_P)."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    big = np.unique(rng.integers(0, 4_000, size=200, dtype=np.uint32))
+    lists = [big, big.copy(), np.unique(rng.integers(0, 2_000, size=30, dtype=np.uint32))]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=8)
+    assert eng._use_fused()
+    assert len(big) > eng._FUSED_SMALL_P
+    got = eng.boolean([[terms[0], terms[1]], [terms[0], terms[2]]], "and")
+    assert np.array_equal(got[0], big)
+    assert np.array_equal(got[1], np.intersect1d(big, lists[2]))
+
+
+def test_engine_boolean_staged_matches_plain(rng, monkeypatch):
+    """boolean_staged (pipelined stream) is result-identical to boolean()
+    per batch, including tombstone filtering and ladder re-serves."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 3_000, size=int(s), dtype=np.uint32))
+        for s in [400, 420, 30, 350, 120, 60, 500, 90]
+    ]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=8)
+    assert eng._use_fused()
+    rngq = np.random.default_rng(7)
+    batches = []
+    for _ in range(2):
+        qs = []
+        for _ in range(6):  # uniform batch shape: ONE compiled program
+            k = int(rngq.integers(2, 5))
+            qs.append([terms[i] for i in rngq.choice(len(lists), size=k, replace=False)])
+        batches.append(qs)
+    batches[0].append([terms[0], terms[6]])  # both > L: ladder re-serve
+    batches[1].append([terms[2], b"zz-missing"])
+    staged = eng.boolean_staged(batches, "and", filter_removed=True)
+    for bi, qs in enumerate(batches):
+        plain = eng.boolean(qs, "and", filter_removed=True)
+        for qi in range(len(qs)):
+            assert np.array_equal(staged[bi][qi], plain[qi]), (bi, qi)
