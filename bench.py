@@ -429,8 +429,12 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
         def body(carry, xs):
             qk, kv = xs
             if op == "fused_and":
-                o, oc, need = boolean_fused_step(
-                    keys, blocks, tbs, counts, qk, kv, L, None, slots, mp
+                # production serving config: small-P compacted prefix
+                # (QueryEngine._FUSED_SMALL_P) instead of the (Q, L)
+                # compaction sort
+                o, oc, need, _pre = boolean_fused_step(
+                    keys, blocks, tbs, counts, qk, kv, L, None, slots, mp,
+                    small_p=32,
                 )
             else:
                 o, oc, need = boolean_step(
@@ -529,12 +533,21 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
         f"{name}_and_qps", Q * iters,
         _reps(lambda: [eng.boolean(qs, op="and") for qs in batches]),
     )
-    # pipelined stream serving: dispatch batch i+1 before downloading batch
-    # i — the steady-state rate a serving deployment sustains
-    eng.boolean_staged(batches, "and")
+    # pipelined stream serving with COLUMNAR results (values+offsets per
+    # batch, zero per-query host work): dispatch batch i+1 before
+    # downloading batch i — the steady-state rate a serving deployment
+    # sustains. Larger batches amortize the per-dispatch tunnel RPC.
+    sq = max(Q, 4096)
+    stream = []
+    flat = [q for b in batches for q in b]
+    while len(flat) < 3 * sq:
+        flat = flat + flat
+    for c0 in range(0, 3 * sq, sq):
+        stream.append(flat[c0 : c0 + sq])
+    eng.boolean_staged(stream, "and", columnar=True)
     out[f"{name}_staged_and_qps"] = _qps_stat(
-        f"{name}_staged_and_qps", Q * iters,
-        _reps(lambda: eng.boolean_staged(batches, "and")),
+        f"{name}_staged_and_qps", 3 * sq,
+        _reps(lambda: eng.boolean_staged(stream, "and", columnar=True)),
     )
     return out
 

@@ -285,6 +285,31 @@ def snapshot_new_segments(
     return build_snapshot_arrays(blob, offsets, values, voffs, None, width)
 
 
+class _SnapshotTier:
+    """merge_views-compatible adapter over a DEVICE snapshot: term bytes
+    reconstructed from the key matrix, postings device-decoded in
+    ladder-grouped batches. Lets two snapshot tiers (main + delta) merge
+    into one WITHOUT re-reading any segment file — the promotion path."""
+
+    def __init__(self, snap: IndexSnapshot, engine: "QueryEngine"):
+        kb, ko = keys_mod.unpack_keys(np.asarray(snap.keys))
+        self.blob = kb
+        self.offsets = np.asarray(ko, dtype=np.int64)
+        self.n_terms = snap.n_terms
+        self.max_term_len = (
+            int(np.diff(self.offsets).max()) if snap.n_terms else 0
+        )
+        self._vals, self._voffs = engine._decode_indices(
+            np.arange(snap.n_terms), snap
+        )
+
+    def keys(self, W: int) -> np.ndarray:
+        return keys_mod.pack_blob(self.blob, self.offsets, W)
+
+    def decode_all(self):
+        return self._vals, np.diff(self._voffs), self._voffs
+
+
 def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = None) -> IndexSnapshot:
     """Freeze an InvertedIndex into a device snapshot.
 
@@ -564,6 +589,20 @@ def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
 
+def _rows_to_columnar(rows):
+    """List-of-arrays -> (values, voffs[n+1]) columnar pair."""
+    counts = np.array(
+        [0 if r is None else len(r) for r in rows], dtype=np.int64
+    )
+    voffs = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(counts, out=voffs[1:])
+    vals = (
+        np.concatenate([r for r in rows if r is not None and len(r)])
+        if voffs[-1] else np.zeros(0, np.uint32)
+    ).astype(np.uint32)
+    return vals, voffs
+
+
 def _narrow_keys(qk: np.ndarray, to_width: int) -> np.ndarray:
     """Drop trailing key words down to `to_width` (keeping the length word).
 
@@ -790,10 +829,33 @@ class QueryEngine:
         else:
             main_terms = max(1, self.snap.n_terms)
             if delta.n_terms > self.DELTA_FRACTION * main_terms:
-                return False  # promote: full rebuild folds the delta in
+                # promote: fold the delta into main by merging the two
+                # SNAPSHOT tiers directly (no segment re-read)
+                return self._promote_delta(index, fp, apply_removed, delta)
         self.delta = delta
         if not apply_removed:
             self._removed = jnp.asarray(_collect_removed(index))
+        return True
+
+    def _promote_delta(self, index, fp, apply_removed: bool, delta) -> bool:
+        """Fold an oversized delta into the main tier by merging the two
+        snapshots' OWN arrays (decode on device, one two-way key merge,
+        re-encode) — O(main + delta tables) instead of the from-disk
+        rebuild's O(re-read + re-merge every segment). Bit-identical to
+        snapshot_index(index, apply_removed) under this path's
+        preconditions (every main segment still live; tombstones unchanged
+        when apply_removed — both checked by _try_delta_refresh)."""
+        tiers = [_SnapshotTier(self.snap, self), _SnapshotTier(delta, self)]
+        merged = merge_views(tiers, None)
+        if merged is None:  # pragma: no cover - both tiers empty
+            return False
+        blob, offsets, values, voffs = merged
+        rem = None if apply_removed else _collect_removed(index)
+        self.snap = build_snapshot_arrays(blob, offsets, values, voffs, rem)
+        self.delta = None
+        self._removed = self.snap.removed
+        self._fingerprint = fp
+        self._main_fp = fp
         return True
 
     # -- exact lookup --------------------------------------------------------
@@ -1136,18 +1198,22 @@ class QueryEngine:
 
     def boolean_staged(
         self, batches, op: str = "and", filter_removed: bool = False,
-        depth: int = 2,
+        depth: int = 2, columnar: bool = False,
     ):
         """Pipelined stream serving: pack + dispatch batch i+`depth` BEFORE
         downloading batch i's results, so host packing and the fetch round
         trip overlap device compute instead of serializing with it —
         steady-state throughput approaches max(device, host) rather than
         their sum. Rare follow-ups (small-P overflow, ladder re-serves,
-        concat overflow) are deferred and processed once across the whole
-        stream. Per-batch semantics are identical to boolean().
+        concat overflow) are classified with vectorized masks, deferred,
+        and processed once across the whole stream. Per-batch semantics
+        are identical to boolean().
 
         batches: iterable of query batches (each a sequence of term lists).
-        Returns one result list per batch."""
+        columnar=False: one result list (np array per query) per batch.
+        columnar=True: one (values, voffs[n+1]) pair per batch — zero
+        per-query host work (bulk consumers; values[voffs[i]:voffs[i+1]]
+        is query i's sorted result)."""
         from collections import deque
 
         batches = list(batches)
@@ -1157,40 +1223,89 @@ class QueryEngine:
             or not self._use_fused()
             or self.snap.n_terms == 0
         ):
-            return [self.boolean(b, op, filter_removed) for b in batches]
+            per = [self.boolean(b, op, filter_removed) for b in batches]
+            if not columnar:
+                return per
+            return [_rows_to_columnar(rows) for rows in per]
         removed = self._removed if filter_removed else None
-        results: List[List[Optional[np.ndarray]]] = [
-            [None] * len(b) for b in batches
-        ]
-        wide, longs, overs = [], [], []
+        P = self._FUSED_SMALL_P
+        from ..ops.pallas_decode import SLACK_ROWS
 
-        def setter(pos, v):
-            results[pos[0]][pos[1]] = v
+        max_lv = SLACK_ROWS * 128
+        fetched: List = [None] * len(batches)
+        wide, longs, overs = [], [], []
 
         def harvest(item):
             bi, nq, qk, kv, devs = item
-            self._classify_fused(
-                jax.device_get(devs),
-                [(bi, i) for i in range(nq)],
-                qk, kv, setter, wide, longs, overs,
-            )
+            f = jax.device_get(devs)
+            fetched[bi] = (nq, f)
+            small, oc, need, oc_pre = f
+            # vectorized classification: only the RARE follow-up rows loop
+            follow = np.nonzero(
+                (need[:nq] > self.L) | (oc_pre[:nq] > P)
+            )[0]
+            for i in follow:
+                if need[i] <= self.L:
+                    wide.append(((bi, int(i)), qk[i], int(kv[i])))
+                elif self._level_for(int(need[i])) <= max_lv:
+                    longs.append(((bi, int(i)), qk[i], int(kv[i]), int(need[i])))
+                else:
+                    overs.append(((bi, int(i)), qk[i], int(kv[i])))
 
         pend = deque()
         for bi, queries in enumerate(batches):
             if not queries:
+                fetched[bi] = (0, None)
                 continue
             qk, kv = self._pack_boolean(queries)
             qk, kv = self._fused_pad(qk, kv)
-            devs = self._fused_run(
-                self.L, qk, kv, removed, small_p=self._FUSED_SMALL_P
-            )
+            devs = self._fused_run(self.L, qk, kv, removed, small_p=P)
             pend.append((bi, len(queries), qk, kv, devs))
             if len(pend) > depth:
                 harvest(pend.popleft())
         while pend:
             harvest(pend.popleft())
+
+        overrides: Dict[int, Dict[int, np.ndarray]] = {}
+
+        def setter(pos, v):
+            overrides.setdefault(pos[0], {})[pos[1]] = v
+
         self._fused_followups(setter, wide, longs, overs, removed)
-        return results
+
+        out = []
+        for bi in range(len(batches)):
+            nq, f = fetched[bi]
+            ovr = overrides.get(bi, {})
+            if nq == 0:
+                out.append((np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                           if columnar else [])
+                continue
+            small, oc, need, oc_pre = f
+            normal = (need[:nq] <= self.L) & (oc_pre[:nq] <= P)
+            if columnar:
+                counts = np.where(normal, oc[:nq], 0).astype(np.int64)
+                for i, arr in ovr.items():
+                    counts[i] = len(arr)
+                voffs = np.zeros(nq + 1, dtype=np.int64)
+                np.cumsum(counts, out=voffs[1:])
+                vals = np.empty(int(voffs[-1]), dtype=np.uint32)
+                m2 = (np.arange(P)[None, :]
+                      < np.where(normal, oc[:nq], 0)[:, None])
+                dst = (voffs[:-1, None] + np.arange(P)[None, :])[m2]
+                vals[dst] = small[:nq][m2]
+                for i, arr in ovr.items():
+                    vals[voffs[i]: voffs[i + 1]] = arr
+                out.append((vals, voffs))
+            else:
+                rows: List[Optional[np.ndarray]] = [None] * nq
+                for i in range(nq):
+                    if normal[i]:
+                        rows[i] = small[i, : oc[i]].copy()
+                for i, arr in ovr.items():
+                    rows[i] = arr
+                out.append(rows)
+        return out
 
     def _boolean_concat(self, queries, qk, kv, op: str, removed):
         """Exact AND/OR sized by each query's REAL total postings:

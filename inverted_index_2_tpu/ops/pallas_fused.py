@@ -85,17 +85,15 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
             jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 1) * CHUNK
             + jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 2)
         )
-        # flat element index over one PP-chunk probe group (bounds masking)
-        gid = (
-            jax.lax.broadcasted_iota(jnp.int32, (PP, CHUNK), 0) * CHUNK
-            + jax.lax.broadcasted_iota(jnp.int32, (PP, CHUNK), 1)
-        )
-        # anchor-word positions in a base window: word 1 of each block row
-        # (codec/packing.py block layout [header, anchor, planes...]) —
-        # full-(C, stride) masks keep layouts Mosaic-friendly (width-1 lane
-        # slices risk the (C,)->(C,1) relayout crash, see ops/pallas_bool.py)
-        lane_cs = jax.lax.broadcasted_iota(jnp.int32, (C, stride), 1)
-        row_cs = jax.lax.broadcasted_iota(jnp.int32, (C, stride), 0)
+        def flip_v(x):
+            """VECTOR sign-flip bitcast into the signed-order domain
+            (order-preserving u32 -> i32 bijection). Mosaic's tpu.bitcast
+            requires VECTOR operands — scalars must be extracted AFTER the
+            flip (scalar extracts from vector values are supported; scalar
+            bitcasts are rejected by the verifier)."""
+            return jax.lax.bitcast_convert_type(
+                x ^ np.uint32(0x80000000), jnp.int32
+            )
 
         # ALL TQ base windows DMA'd in flight, then ONE batched decode:
         # a per-query decode of (C, 128) is 2-vreg ops at full issue cost
@@ -123,19 +121,32 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
             kv = kvalid_ref[q]
             base = base_buf[r, pl.ds(0, C), :]              # (C, 128)
             keep0 = (pos < n0).astype(jnp.int32)
-            # STAIRCASE PRUNING state: the flipped (sign-flip bitcast —
-            # Mosaic has no unsigned compares/reductions) base window words
-            # plus a mask selecting the LIVE anchor words. A probe group's
-            # overlapping base span is then two masked-count reductions
-            # (vector searchsorted): base chunks are value-ascending, so
-            # "chunks with anchor <= x" is a prefix whose length is the
-            # count. Compare volume collapses from the full base x probe
-            # cross to the merge staircase of the two sorted lists.
-            wf = jax.lax.bitcast_convert_type(
-                base_win[r] ^ np.uint32(0x80000000), jnp.int32
-            )                                               # (C, stride)
             nb0c = jnp.minimum((n0 + CHUNK - 1) // CHUNK, C)
-            is_anchor = (lane_cs == 1) & (row_cs < nb0c)    # (C, stride)
+            if prune:
+                # SCALAR staircase-pruning state: the base list's true max
+                # (ONE masked reduction per query, amortized over all its
+                # pairs/groups) and the anchor of every BG-aligned base
+                # window (block layout [header, anchor, planes...]) —
+                # extracted as scalars from vector-flipped words. Guards
+                # are then pure scalar compares; the vector-reduction
+                # variant of this measured SLOWER than no pruning at all.
+                basef = flip_v(base)
+                base_hi_f = jnp.max(jnp.where(
+                    keep0 > 0, basef, jnp.int32(-0x80000000)))
+                wff = flip_v(base_win[r])                   # (C, stride)
+                aw = [wff[w * BG, 1] for w in range(NBG_MAX)]
+                aw_nxt = []
+                for w in range(NBG_MAX):
+                    nxt = (w + 1) * BG
+                    if nxt < C:
+                        aw_nxt.append(jnp.where(
+                            nxt < nb0c, wff[nxt, 1],
+                            jnp.int32(0x7FFFFFFF)))
+                    else:
+                        aw_nxt.append(jnp.int32(0x7FFFFFFF))
+            else:
+                base_hi_f = jnp.int32(0x7FFFFFFF)
+                aw = aw_nxt = None
 
             # hide probe-DMA latency AND decode-op overhead: every pair's
             # FIRST group goes in flight before the pair loop, then ONE
@@ -164,81 +175,118 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
             )                                               # (K-1, GP, 128)
             pv_buf[:] = pv_all
 
-            def jbody(j, keep, r=r, q=q, wf=wf, is_anchor=is_anchor):
+            def compare_op(bs, ch, cvalid, r=r):
+                """One (BG, PP, 128, 128) membership compare of probe
+                op-group `ch` against base window [bs, bs+BG), OR'd into
+                the hit accumulator (bs static, BG-aligned, <= CP-BG)."""
+                base_g = base_buf[r, pl.ds(bs, BG), :]
+                eq = (
+                    base_g[:, None, None, :] == ch[None, :, :, None]
+                )                                           # (BG, PP, 128, 128)
+                hit_buf[pl.ds(bs, BG), :] = hit_buf[
+                    pl.ds(bs, BG), :
+                ] | jnp.any(eq & cvalid, axis=(1, 2)).astype(jnp.int32)
+
+            def jbody(j, keep, r=r, q=q, nb0c=nb0c, base_hi_f=base_hi_f,
+                      aw=aw, aw_nxt=aw_nxt):
                 nj = counts_ref[q * K + j]
                 rj = rows_ref[q * K + j]
                 ngrp = (nj + GP * CHUNK - 1) // (GP * CHUNK)
                 hit_buf[:] = jnp.zeros((CP, CHUNK), dtype=jnp.int32)
 
-                def probe_block(pv, g, carry, r=r, nj=nj, wf=wf,
-                                is_anchor=is_anchor):
-                    pvf = jax.lax.bitcast_convert_type(
-                        pv ^ np.uint32(0x80000000), jnp.int32
-                    )                                       # (GP, 128)
+                def probe_block(pv, g, carry, nj=nj, nb0c=nb0c,
+                                base_hi_f=base_hi_f, aw=aw, aw_nxt=aw_nxt):
+                    pvf = flip_v(pv) if prune else None     # (GP, 128)
                     for p in range(0, GP, PP):
                         # PP chunks per compare op (op-issue bound); skip
-                        # op-groups past the list's real length, and for
-                        # live groups compare ONLY against the base window
-                        # span [s0, e) their value range can intersect
+                        # op-groups past the list's real length
                         @pl.when((g * GP + p) * CHUNK < nj)
-                        def _(p=p, pv=pv, pvf=pvf, g=g, nj=nj, r=r, wf=wf,
-                              is_anchor=is_anchor):
-                            grp = pvf[p:p + PP]             # (PP, 128) i32
-                            gvalid = (gid + (g * GP + p) * CHUNK) < nj
-                            lo_f = jnp.min(jnp.where(
-                                gvalid, grp, jnp.int32(0x7FFFFFFF)))
-                            hi_f = jnp.max(jnp.where(
-                                gvalid, grp, jnp.int32(-0x80000000)))
-                            # base chunks are value-ascending: chunks with
-                            # anchor <= lo form a prefix; the last of them
-                            # is the first that can contain lo. Chunks past
-                            # e (anchor > hi) start above the group's max.
-                            if prune:
-                                s_cnt = jnp.sum(
-                                    ((wf <= lo_f) & is_anchor).astype(jnp.int32))
-                                e_cnt = jnp.sum(
-                                    ((wf <= hi_f) & is_anchor).astype(jnp.int32))
-                                s0 = jnp.maximum(s_cnt - 1, 0) // BG * BG
-                                ng = jnp.minimum(
-                                    jnp.maximum((e_cnt - s0 + BG - 1) // BG, 0),
-                                    NBG_MAX,
-                                )
-                            else:  # A/B baseline: full cross, no staircase
-                                s0 = jnp.int32(0)
-                                ng = jnp.minimum(
-                                    (nb0c + BG - 1) // BG, NBG_MAX)
+                        def _(p=p, pv=pv, pvf=pvf, g=g, nj=nj, nb0c=nb0c):
                             ch = pv[p:p + PP]               # (PP, 128)
                             cvalid = (
                                 pid + (g * GP + p) * CHUNK
                             ) < nj                          # (1, PP, 128, 1)
+                            if not prune:
+                                # full cross: every live base window
+                                def bgbody(t, c2, ch=ch, cvalid=cvalid):
+                                    compare_op_dyn(t * BG, ch, cvalid)
+                                    return c2
 
-                            def bgbody(t, c2, r=r, ch=ch, cvalid=cvalid,
-                                       s0=s0):
-                                bs = s0 + t * BG
-                                base_g = base_buf[r, pl.ds(bs, BG), :]
-                                eq = (
-                                    base_g[:, None, None, :]
-                                    == ch[None, :, :, None]
-                                )                           # (BG, PP, 128, 128)
-                                hit_buf[pl.ds(bs, BG), :] = hit_buf[
-                                    pl.ds(bs, BG), :
-                                ] | jnp.any(
-                                    eq & cvalid, axis=(1, 2)
-                                ).astype(jnp.int32)
-                                return c2
+                                jax.lax.fori_loop(
+                                    0,
+                                    jnp.minimum((nb0c + BG - 1) // BG, NBG_MAX),
+                                    bgbody, jnp.int32(0),
+                                )
+                                return
+                            # SCALAR STAIRCASE GUARDS: the op-group's value
+                            # range is [first value, next group's first
+                            # value) — both single scalar extracts from the
+                            # vector-flipped decode (probe lists are
+                            # sorted; the first element of a LIVE group is
+                            # always valid). A base window [w*BG, (w+1)*BG)
+                            # overlaps iff its anchor span intersects —
+                            # pure scalar compares, no vector reductions,
+                            # no scalar->loop-bound stalls.
+                            lo_f = pvf[p, 0]
+                            if p + PP < GP:
+                                hi_f = jnp.where(
+                                    (g * GP + p + PP) * CHUNK < nj,
+                                    pvf[p + PP, 0],
+                                    jnp.int32(0x7FFFFFFF),
+                                )
+                            else:
+                                hi_f = jnp.int32(0x7FFFFFFF)
 
-                            jax.lax.fori_loop(0, ng, bgbody, jnp.int32(0))
+                            @pl.when(lo_f <= base_hi_f)
+                            def _(p=p, ch=ch, cvalid=cvalid, lo_f=lo_f,
+                                  hi_f=hi_f, nb0c=nb0c):
+                                for w in range(NBG_MAX):
+                                    @pl.when(
+                                        ((w * BG) < nb0c)
+                                        & (aw_nxt[w] > lo_f)
+                                        & (aw[w] <= hi_f)
+                                    )
+                                    def _(w=w, ch=ch, cvalid=cvalid):
+                                        compare_op(w * BG, ch, cvalid)
                     return carry
+
+                def compare_op_dyn(bs, ch, cvalid, r=r):
+                    """fori-driven variant (dynamic bs) for the unpruned
+                    baseline path."""
+                    base_g = base_buf[r, pl.ds(bs, BG), :]
+                    eq = (
+                        base_g[:, None, None, :] == ch[None, :, :, None]
+                    )
+                    hit_buf[pl.ds(bs, BG), :] = hit_buf[
+                        pl.ds(bs, BG), :
+                    ] | jnp.any(eq & cvalid, axis=(1, 2)).astype(jnp.int32)
 
                 probe_block(pv_buf[jnp.maximum(j - 1, 0)], 0, jnp.int32(0))
 
-                def gbody(g, carry, rj=rj, nj=nj):
+                def gbody(g, carry, rj=rj, nj=nj, base_hi_f=base_hi_f):
                     pdma = pltpu.make_async_copy(
                         arena.at[pl.ds(rj + g * GP, GP)], probe_win,
                         sems.at[TQ],
                     )
                     pdma.start()
                     pdma.wait()
+
+                    if prune:
+                        # whole-group skip: probe lists are sorted, so a
+                        # group starting past the base's max contributes
+                        # nothing — skip its DECODE and compares entirely
+                        # (the long-probe tail walk collapses to the base's
+                        # value range). The anchor scalar comes from a
+                        # vector flip of the window's first row.
+                        pw0f = flip_v(probe_win[0:1, :])    # (1, stride)
+
+                        @pl.when(pw0f[0, 1] <= base_hi_f)
+                        def _(g=g):
+                            pv, _ = decode_blocks_pow2(
+                                probe_win[:], use_mxu=True, perms=perms
+                            )                               # (GP, 128)
+                            probe_block(pv, g, jnp.int32(0))
+                        return carry
                     pv, _ = decode_blocks_pow2(
                         probe_win[:], use_mxu=True, perms=perms
                     )                                       # (GP, 128)
@@ -279,14 +327,16 @@ def fused_and_pallas(
     k_valid: (Q,) i32 number of terms per query (>= 1).
     L: static base pad (multiple of 128). Probe lists are walked to their
        FULL length regardless of L; only counts[:, 0] > L needs a re-serve.
-    prune: staircase anchor pruning (A/B variant; results bit-identical).
-       MEASURED SLOWER at the config-3 shape on this chip (56k vs 70k QPS,
-       same-process A/B): the per-op-group masked min/max + anchor-count
-       reductions and their scalar->loop-bound dependency stalls cost more
-       than the skipped compares save — the base list is the per-query
-       MINIMUM, so its live window count is already ~1 and the full cross
-       is close to the staircase. Off by default; revisit only with
-       scalar-load-based guards (see PERFORMANCE.md negative results).
+    prune: staircase anchor pruning via SCALAR guards (bit-identical
+       results). Each probe op-group's value range comes from two scalar
+       extracts (its first value and the next group's first value); each
+       BG base window's range from static scalar loads of the DMA'd anchor
+       words — compare ops and whole-group decodes are then skipped by
+       pure scalar pl.when guards. An earlier variant computing the same
+       bounds with masked VECTOR reductions measured SLOWER than no
+       pruning at all (56k vs 70k QPS — reduction cost + scalar->loop
+       dependency stalls); scalar loads are verified on this Mosaic (see
+       project memory / PERFORMANCE.md).
 
     Returns (vals (Q, L) compacted ascending, oc (Q,) i32).
     """

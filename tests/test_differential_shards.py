@@ -144,3 +144,139 @@ def test_mixed_regime_random_workload(tmp_path, seed):
     got = eng.lookup(sorted(data.keys()))
     for t, g in zip(sorted(data.keys()), got):
         assert g is not None and set(g.tolist()) == data[t], t
+
+
+def _oracle_put_many(oracle, docs):
+    """put_many's observable grouping: ONE segment per touched shard for
+    the whole batch (values may differ per term)."""
+    groups = {}
+    for terms, value in docs:
+        for t in set(terms):
+            groups.setdefault(shard_of(t), {}).setdefault(t, set()).add(value)
+    for sid, seg in groups.items():
+        oracle._shard(sid)["segs"].append((oracle._tick(), seg))
+
+
+HOSTILE_VOCAB = [
+    b"\x00", b"\x00\x00", b"\x00aaa", b"a\x00b", b"a\x00", b"\x00\xff",
+    b"\xff", b"\xff\xff", b"\xff\xff\xffzz", b"\xfe\xff\xff\xff",
+    b"a", b"z", b"\x7f",                      # 1-byte terms
+    b"abcd", b"abcdefgh", b"abcdefghijkl",    # word-boundary lengths
+    b"abc", b"abcde", b"abcdefghi",           # straddling word boundaries
+    b"ban", b"band", b"banjo", b"bandana",    # shared prefixes
+    b"ba", b"b",
+    b"q" * 33, b"q" * 32, b"q" * 31,          # long terms at boundaries
+]
+
+
+@pytest.mark.parametrize("seed", [3, 0xC0FFEE, 20260817])
+def test_hostile_terms_differential(tmp_path, seed):
+    """Adversarial differential pass at the index API (VERDICT r2 item 9):
+    hostile terms (embedded NULs, 0xFF runs, 1-byte terms, word-boundary
+    lengths, shared prefixes) driven through put/put_many/put_removed/
+    merge/prefix_search/read_bulk AND the QueryEngine (fused AND in interp
+    mode) against the dict-of-sets oracle."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    ii = InvertedIndex(str(tmp_path))
+    oracle = ShardOracle()
+    vocab = HOSTILE_VOCAB
+    value = 0
+    for round_ in range(6):
+        for _ in range(int(rng.integers(1, 5))):
+            value += 1
+            k = int(rng.integers(1, 7))
+            terms = [vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)]
+            ii.put(terms, value)
+            oracle.put(terms, value)
+        # batched multi-doc ingest every other round
+        if round_ % 2 == 1:
+            docs = []
+            for _ in range(3):
+                value += 1
+                k = int(rng.integers(1, 5))
+                docs.append(([vocab[i] for i in rng.choice(len(vocab), size=k, replace=False)], value))
+            ii.put_many(docs)
+            _oracle_put_many(oracle, docs)
+        assert dump(ii) == oracle.dump(), f"round {round_} post-put"
+
+        if rng.random() < 0.7 and value:
+            doomed = (rng.choice(value, size=min(4, value), replace=False) + 1).tolist()
+            ii.put_removed(doomed)
+            oracle.put_removed(doomed)
+
+        req = int(rng.integers(2, 5))
+        while True:
+            want = oracle.merge(req)
+            got = ii.merge(req, 100, 3)
+            assert got == want, f"round {round_} merge count (req={req})"
+            if got == 0:
+                break
+        assert dump(ii) == oracle.dump(), f"round {round_} post-merge"
+
+    data = oracle.dump()
+    # prefix_search differential, hostile prefixes included
+    prefixes = [b"\x00", b"\xff", b"ban", b"band", b"b", b"a", b"q" * 31,
+                b"abcd", b"zzz-none"]
+    got_pf = ii.prefix_search(prefixes)
+    for p in prefixes:
+        want = set().union(*[vs for t, vs in data.items() if t.startswith(p)]) \
+            if any(t.startswith(p) for t in data) else None
+        if want is None:
+            assert p not in got_pf, p
+        else:
+            assert set(got_pf[p].tolist()) == want, p
+
+    # read_bulk differential over hostile bounds
+    for lo, hi in [(None, None), (b"\x00", b"\xff"), (b"a", b"band"),
+                   (b"ban", b"q" * 33), (b"\xff", None)]:
+        rb = ii.read_bulk(lo, hi)
+        want_terms = sorted(
+            t for t in data
+            if (lo is None or t >= lo) and (hi is None or t <= hi)
+        )
+        if rb is None:
+            assert not want_terms, (lo, hi)
+        else:
+            blob, offs, vals, voffs = rb
+            terms_got = [bytes(blob[offs[i]:offs[i + 1]]) for i in range(len(offs) - 1)]
+            assert terms_got == want_terms, (lo, hi)
+            for i, t in enumerate(terms_got):
+                assert set(vals[voffs[i]:voffs[i + 1]].tolist()) == data[t], t
+
+    # QueryEngine: lookup + boolean through the FUSED path (interp mode)
+    os.environ["TPI_FUSED_AND"] = "interp"
+    os.environ["TPI_PALLAS_AND"] = "1"
+    try:
+        from inverted_index_2_tpu.models.query_engine import snapshot_index
+        snap = __import__("inverted_index_2_tpu.models.query_engine", fromlist=["build_snapshot_arrays"])
+        s = snapshot_index(ii)
+        # force an aligned arena so the fused kernel is eligible off-TPU
+        if not s.arena_aligned:
+            rb = ii.read_bulk(None, None)
+            if rb is not None:
+                from inverted_index_2_tpu.models.query_engine import build_snapshot_arrays
+                s = build_snapshot_arrays(*rb, stride_align=128)
+                s.removed = __import__("jax.numpy", fromlist=["asarray"]).asarray(
+                    np.sort(np.concatenate([sh.removed_list.values() for sh in ii._snapshot()]))
+                )
+        eng = QueryEngine(s, L=256, q_bucket=8)
+        terms_all = sorted(data.keys())
+        got = eng.lookup(terms_all)
+        for t, g in zip(terms_all, got):
+            assert g is not None and set(g.tolist()) == data[t], t
+        if eng._use_fused() and len(terms_all) >= 3:
+            qs = []
+            for _ in range(9):
+                k = int(rng.integers(2, 4))
+                qs.append([terms_all[i] for i in rng.choice(len(terms_all), size=k, replace=False)])
+            for op in ("and", "or"):
+                res = eng.boolean(qs, op)
+                for q, g in zip(qs, res):
+                    sets = [data[t] for t in q]
+                    want = set.intersection(*sets) if op == "and" else set.union(*sets)
+                    assert set(g.tolist()) == want, (op, q)
+    finally:
+        os.environ.pop("TPI_FUSED_AND", None)
+        os.environ.pop("TPI_PALLAS_AND", None)

@@ -338,6 +338,67 @@ def test_incremental_refresh_promotes_on_big_delta(tmp_path):
     assert eng.lookup([b"newt005"])[0].tolist() == [105]
 
 
+def test_promotion_merges_snapshots_bit_identical(tmp_path):
+    """Delta promotion folds the two SNAPSHOT tiers directly (no segment
+    re-read) and must be bit-identical to a from-disk rebuild — tables AND
+    serving results (VERDICT r2 item 6)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ii = InvertedIndex(str(tmp_path))
+    vocab = [f"w{i:04d}".encode() for i in range(40)]
+    for doc in range(1, 200):
+        ts = [vocab[j] for j in rng.choice(len(vocab), size=3, replace=False)]
+        ii.put(ts, doc)
+    ii.put_removed([7, 13])
+    eng = QueryEngine.from_index(ii, L=128)
+    main_before = eng.snap
+    # shared terms gain values AND brand-new longer terms appear, sized to
+    # exceed DELTA_FRACTION -> the refresh takes the promotion path
+    for doc in range(500, 520):
+        ii.put([vocab[0], vocab[1], f"zz-long-new-term{doc}".encode()], doc)
+    assert eng.refresh(ii) is True
+    assert eng.delta is None and eng.snap is not main_before
+
+    full = QueryEngine.from_index(ii, L=128)
+    a, b = eng.snap, full.snap
+    assert np.array_equal(np.asarray(a.keys), np.asarray(b.keys))
+    assert np.array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert np.array_equal(np.asarray(a.blocks), np.asarray(b.blocks))
+    assert np.array_equal(np.asarray(a.removed), np.asarray(b.removed))
+    terms = vocab[:8] + [b"zz-long-new-term505"]
+    for filt in (False, True):
+        ra = eng.lookup(terms, filter_removed=filt)
+        rb = full.lookup(terms, filter_removed=filt)
+        for x, y in zip(ra, rb):
+            assert (x is None and y is None) or np.array_equal(x, y)
+    qa = eng.boolean([[vocab[0], vocab[1]]], "and", filter_removed=True)
+    qb = full.boolean([[vocab[0], vocab[1]]], "and", filter_removed=True)
+    assert np.array_equal(qa[0], qb[0])
+
+
+def test_promotion_apply_removed_bit_identical(tmp_path):
+    """Promotion under apply_removed (purged main + purged delta, unchanged
+    tombstones) matches a purged from-disk rebuild."""
+    import numpy as np
+
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 30):
+        ii.put([b"common", f"t{v:03d}".encode()], v)
+    ii.put_removed([3, 4])
+    eng = QueryEngine.from_index(ii, L=128, apply_removed=True)
+    for v in range(100, 120):  # oversized delta -> promotion
+        ii.put([b"common", f"n{v}".encode()], v)
+    assert eng.refresh(ii, apply_removed=True) is True
+    assert eng.delta is None
+    full = QueryEngine.from_index(ii, L=128, apply_removed=True)
+    assert np.array_equal(np.asarray(eng.snap.keys), np.asarray(full.snap.keys))
+    assert np.array_equal(np.asarray(eng.snap.counts), np.asarray(full.snap.counts))
+    got = eng.lookup([b"common"])[0].tolist()
+    assert got == full.lookup([b"common"])[0].tolist()
+    assert 3 not in got and 4 not in got
+
+
 def test_incremental_refresh_tombstones(tmp_path):
     """filter_removed sees tombstones added after a delta refresh (the
     engine-level removed array refreshes even when tables do not)."""
