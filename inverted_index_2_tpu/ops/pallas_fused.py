@@ -45,45 +45,60 @@ from .decode import _P2, _P4, decode_blocks_pow2
 
 _SENT = np.uint32(0xFFFFFFFF)
 
+import os as _os
+
 TQ = 8        # queries per program
 CHUNK = 128   # values per block
-GP = 16       # probe blocks fetched per DMA group (covers the mean config-3
-              # list in one group; overruns land in the arena slack rows)
+GP = int(_os.environ.get("TPI_FUSED_GP", "16"))
+              # probe blocks fetched per DMA group (covers the mean config-3
+              # list in one group; overruns land in the arena slack rows).
+              # Env-tunable for on-chip A/Bs.
 BG0 = 4       # base chunks per compare group (bounds compare volume by the
               # BASE list's real length, not the static pad C)
 PP = 4        # probe chunks folded into one compare op (op-issue bound)
 
 
-def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
-    BG = min(BG0, C)  # base group cannot exceed the pad
+def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
+                    tq: int = None, gp: int = None, pp: int = None,
+                    bg0: int = None):
+    tq = tq or TQ
+    gp = gp or GP
+    pp = pp or PP
+    bg0 = bg0 or BG0
+    BG = min(bg0, C)  # base group cannot exceed the pad
     # base_buf/hit_buf rows pad to a BG multiple so the LAST base window
     # [bs, bs+BG) stays in bounds when C % BG != 0 (ladder levels like
     # C=17); rows >= C hold garbage whose hits land in hit rows >= C,
     # which are never read back
     CP = -(-C // BG) * BG
     NBG_MAX = CP // BG
+    # the scalar-guard formulation statically unrolls NBG_MAX base windows
+    # per probe op-group; cap the predicated-region count at large ladder
+    # levels (fully-unrolled nests near ~900 regions stall this remote
+    # compiler) — big-C programs fall back to the fori formulation
+    prune = prune and NBG_MAX <= 8
     def _kernel(rows_ref, counts_ref, kvalid_ref, arena, p4_ref, p2_ref,
                 out_ref, cnt_ref, base_win, probe_win, probe_pre, pv_buf,
                 base_buf, hit_buf, sems, psems):
-        """Grid: (Q//TQ,). rows_ref/counts_ref (Q*K,) i32 + kvalid_ref (Q,)
+        """Grid: (Q//tq,). rows_ref/counts_ref (Q*K,) i32 + kvalid_ref (Q,)
         i32 scalar-prefetched (slot 0 = smallest list per query). arena:
-        (B+slack, stride) u32 in HBM. out_ref: (TQ, C, 128) masked base;
-        cnt_ref: (TQ, 128) keep counts. base_win (C, stride) / probe_win
-        (GP, stride) DMA landing buffers; base_buf (C, 128) decoded base
+        (B+slack, stride) u32 in HBM. out_ref: (tq, C, 128) masked base;
+        cnt_ref: (tq, 128) keep counts. base_win (C, stride) / probe_win
+        (gp, stride) DMA landing buffers; base_buf (C, 128) decoded base
         (a VMEM ref so base GROUPS can be sliced at dynamic offsets);
         hit_buf (C, 128) i32 per-pair hit accumulator (dynamic-offset
         read-modify-write); sems: (2,) DMA."""
-        q0 = pl.program_id(0) * TQ
+        q0 = pl.program_id(0) * tq
         perms = (p4_ref[:], p2_ref[:])
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 0) * CHUNK
             + jax.lax.broadcasted_iota(jnp.int32, (C, CHUNK), 1)
         )
-        # probe element index within a PP-chunk op-group: chunk id on axis
+        # probe element index within a pp-chunk op-group: chunk id on axis
         # 1, lane on axis 2 (sublane-direction reductions stay cheap)
         pid = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 1) * CHUNK
-            + jax.lax.broadcasted_iota(jnp.int32, (1, PP, CHUNK, 1), 2)
+            jax.lax.broadcasted_iota(jnp.int32, (1, pp, CHUNK, 1), 1) * CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (1, pp, CHUNK, 1), 2)
         )
         def flip_v(x):
             """VECTOR sign-flip bitcast into the signed-order domain
@@ -95,7 +110,7 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
                 x ^ np.uint32(0x80000000), jnp.int32
             )
 
-        # ALL TQ base windows DMA'd in flight, then ONE batched decode:
+        # ALL tq base windows DMA'd in flight, then ONE batched decode:
         # a per-query decode of (C, 128) is 2-vreg ops at full issue cost
         # (measured ~17us/query of pure overhead); batching across the
         # tile amortizes it 8x
@@ -106,16 +121,16 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
                 sems.at[r],
             )
 
-        for r in range(TQ):
+        for r in range(tq):
             base_dma(r).start()
-        for r in range(TQ):
+        for r in range(tq):
             base_dma(r).wait()
         bases, _ = decode_blocks_pow2(
             base_win[:], use_mxu=True, perms=perms
-        )                                                   # (TQ, C, 128)
+        )                                                   # (tq, C, 128)
         base_buf[:, pl.ds(0, C), :] = bases
 
-        for r in range(TQ):
+        for r in range(tq):
             q = q0 + r
             n0 = counts_ref[q * K]
             kv = kvalid_ref[q]
@@ -151,11 +166,11 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
             # hide probe-DMA latency AND decode-op overhead: every pair's
             # FIRST group goes in flight before the pair loop, then ONE
             # batched decode covers all of them (the mean config-3 list
-            # fits one GP group, so most pairs never issue a serial
+            # fits one gp group, so most pairs never issue a serial
             # follow-up DMA and never decode again)
             def pre_dma(j1):
                 return pltpu.make_async_copy(
-                    arena.at[pl.ds(rows_ref[q * K + j1], GP)],
+                    arena.at[pl.ds(rows_ref[q * K + j1], gp)],
                     probe_pre.at[j1 - 1],
                     psems.at[j1 - 1],
                 )
@@ -172,17 +187,17 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
 
             pv_all, _ = decode_blocks_pow2(
                 probe_pre[:], use_mxu=True, perms=perms
-            )                                               # (K-1, GP, 128)
+            )                                               # (K-1, gp, 128)
             pv_buf[:] = pv_all
 
             def compare_op(bs, ch, cvalid, r=r):
-                """One (BG, PP, 128, 128) membership compare of probe
+                """One (BG, pp, 128, 128) membership compare of probe
                 op-group `ch` against base window [bs, bs+BG), OR'd into
                 the hit accumulator (bs static, BG-aligned, <= CP-BG)."""
                 base_g = base_buf[r, pl.ds(bs, BG), :]
                 eq = (
                     base_g[:, None, None, :] == ch[None, :, :, None]
-                )                                           # (BG, PP, 128, 128)
+                )                                           # (BG, pp, 128, 128)
                 hit_buf[pl.ds(bs, BG), :] = hit_buf[
                     pl.ds(bs, BG), :
                 ] | jnp.any(eq & cvalid, axis=(1, 2)).astype(jnp.int32)
@@ -191,21 +206,21 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
                       aw=aw, aw_nxt=aw_nxt):
                 nj = counts_ref[q * K + j]
                 rj = rows_ref[q * K + j]
-                ngrp = (nj + GP * CHUNK - 1) // (GP * CHUNK)
+                ngrp = (nj + gp * CHUNK - 1) // (gp * CHUNK)
                 hit_buf[:] = jnp.zeros((CP, CHUNK), dtype=jnp.int32)
 
                 def probe_block(pv, g, carry, nj=nj, nb0c=nb0c,
                                 base_hi_f=base_hi_f, aw=aw, aw_nxt=aw_nxt):
-                    pvf = flip_v(pv) if prune else None     # (GP, 128)
-                    for p in range(0, GP, PP):
-                        # PP chunks per compare op (op-issue bound); skip
+                    pvf = flip_v(pv) if prune else None     # (gp, 128)
+                    for p in range(0, gp, pp):
+                        # pp chunks per compare op (op-issue bound); skip
                         # op-groups past the list's real length
-                        @pl.when((g * GP + p) * CHUNK < nj)
+                        @pl.when((g * gp + p) * CHUNK < nj)
                         def _(p=p, pv=pv, pvf=pvf, g=g, nj=nj, nb0c=nb0c):
-                            ch = pv[p:p + PP]               # (PP, 128)
+                            ch = pv[p:p + pp]               # (pp, 128)
                             cvalid = (
-                                pid + (g * GP + p) * CHUNK
-                            ) < nj                          # (1, PP, 128, 1)
+                                pid + (g * gp + p) * CHUNK
+                            ) < nj                          # (1, pp, 128, 1)
                             if not prune:
                                 # full cross: every live base window
                                 def bgbody(t, c2, ch=ch, cvalid=cvalid):
@@ -228,10 +243,10 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
                             # pure scalar compares, no vector reductions,
                             # no scalar->loop-bound stalls.
                             lo_f = pvf[p, 0]
-                            if p + PP < GP:
+                            if p + pp < gp:
                                 hi_f = jnp.where(
-                                    (g * GP + p + PP) * CHUNK < nj,
-                                    pvf[p + PP, 0],
+                                    (g * gp + p + pp) * CHUNK < nj,
+                                    pvf[p + pp, 0],
                                     jnp.int32(0x7FFFFFFF),
                                 )
                             else:
@@ -265,8 +280,8 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
 
                 def gbody(g, carry, rj=rj, nj=nj, base_hi_f=base_hi_f):
                     pdma = pltpu.make_async_copy(
-                        arena.at[pl.ds(rj + g * GP, GP)], probe_win,
-                        sems.at[TQ],
+                        arena.at[pl.ds(rj + g * gp, gp)], probe_win,
+                        sems.at[tq],
                     )
                     pdma.start()
                     pdma.wait()
@@ -284,12 +299,12 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
                         def _(g=g):
                             pv, _ = decode_blocks_pow2(
                                 probe_win[:], use_mxu=True, perms=perms
-                            )                               # (GP, 128)
+                            )                               # (gp, 128)
                             probe_block(pv, g, jnp.int32(0))
                         return carry
                     pv, _ = decode_blocks_pow2(
                         probe_win[:], use_mxu=True, perms=perms
-                    )                                       # (GP, 128)
+                    )                                       # (gp, 128)
                     return probe_block(pv, g, carry)
 
                 jax.lax.fori_loop(1, ngrp, gbody, jnp.int32(0))
@@ -305,7 +320,7 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "compact", "interpret", "prune")
+    jax.jit, static_argnames=("L", "compact", "interpret", "prune", "geom")
 )
 def fused_and_pallas(
     blocks: jnp.ndarray,
@@ -315,7 +330,8 @@ def fused_and_pallas(
     L: int,
     compact: bool = True,
     interpret: bool = False,
-    prune: bool = False,
+    prune: bool = True,
+    geom=None,
 ):
     """AND over arena-resident posting lists, decode fused in-kernel.
 
@@ -342,8 +358,9 @@ def fused_and_pallas(
     """
     from .pallas_decode import SLACK_ROWS
 
+    tq, gp, pp, bg0 = geom or (TQ, GP, PP, BG0)
     Q, K = rows.shape
-    assert Q % TQ == 0, f"Q={Q} must be a multiple of {TQ}"
+    assert Q % tq == 0, f"Q={Q} must be a multiple of {tq}"
     assert K >= 2, "K=1 batches have no probe lists; callers pad K"
     assert L % CHUNK == 0
     C = L // CHUNK
@@ -354,7 +371,7 @@ def fused_and_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(Q // TQ,),
+        grid=(Q // tq,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # arena stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # P4 permutation
@@ -362,31 +379,31 @@ def fused_and_pallas(
         ],
         out_specs=[
             pl.BlockSpec(
-                (TQ, C, CHUNK),
+                (tq, C, CHUNK),
                 lambda i, r_ref, c_ref, k_ref: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (TQ, CHUNK),
+                (tq, CHUNK),
                 lambda i, r_ref, c_ref, k_ref: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TQ, C, stride), jnp.uint32),      # base_win
-            pltpu.VMEM((GP, stride), jnp.uint32),         # probe_win
-            pltpu.VMEM((K - 1, GP, stride), jnp.uint32),  # probe_pre
-            pltpu.VMEM((K - 1, GP, CHUNK), jnp.uint32),   # pv_buf (decoded)
-            pltpu.VMEM((TQ, -(-C // min(BG0, C)) * min(BG0, C), CHUNK),
+            pltpu.VMEM((tq, C, stride), jnp.uint32),      # base_win
+            pltpu.VMEM((gp, stride), jnp.uint32),         # probe_win
+            pltpu.VMEM((K - 1, gp, stride), jnp.uint32),  # probe_pre
+            pltpu.VMEM((K - 1, gp, CHUNK), jnp.uint32),   # pv_buf (decoded)
+            pltpu.VMEM((tq, -(-C // min(bg0, C)) * min(bg0, C), CHUNK),
                        jnp.uint32),                       # base_buf (BG-padded)
-            pltpu.VMEM((-(-C // min(BG0, C)) * min(BG0, C), CHUNK),
+            pltpu.VMEM((-(-C // min(bg0, C)) * min(bg0, C), CHUNK),
                        jnp.int32),                        # hit_buf (BG-padded)
-            pltpu.SemaphoreType.DMA((TQ + 1,)),
+            pltpu.SemaphoreType.DMA((tq + 1,)),
             pltpu.SemaphoreType.DMA((K - 1,)),            # prefetch sems
         ],
     )
     masked, cnt = pl.pallas_call(
-        _kernel_factory(K, C, stride, prune),
+        _kernel_factory(K, C, stride, prune, tq, gp, pp, bg0),
         out_shape=[
             jax.ShapeDtypeStruct((Q, C, CHUNK), jnp.uint32),
             jax.ShapeDtypeStruct((Q, CHUNK), jnp.int32),
