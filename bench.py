@@ -462,7 +462,7 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     # sort-based padded path is kept as the _sort variant and as the
     # production path off-TPU / on compact arenas
     ops = [("and", "and_qps_postlen1k_sort", "postlen1k_reserve_frac_sort"),
-           ("or", "or_qps_postlen1k", None)]
+           ("or", "or_qps_postlen1k_padded", None)]
     if snap.arena_aligned:
         ops.insert(0, ("fused_and", "and_qps_postlen1k", "postlen1k_reserve_frac"))
     for op, name, frac_name in ops:
@@ -484,6 +484,58 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     if not snap.arena_aligned:
         out["and_qps_postlen1k"] = out["and_qps_postlen1k_sort"]
         out["postlen1k_reserve_frac"] = out["postlen1k_reserve_frac_sort"]
+
+    # PRODUCTION OR path: concat-decode sized by each query's REAL total
+    # postings (boolean() routes op="or" through ops/concat_bool.py —
+    # the padded or_qps_postlen1k_padded above sorts K*L slots per query
+    # regardless of real volume and UNDERSTATES the served rate)
+    from inverted_index_2_tpu.ops import concat_bool as _cb
+
+    @ft.partial(jax.jit, static_argnames=("SB",))
+    def scan_or_concat(blocks, tbs, counts, bi, bf, bkv, SB):
+        def body(carry, xs):
+            i2, f2, k2 = xs
+            o, oc = _cb.boolean_concat_step(blocks, tbs, counts, i2, f2, k2, SB, "or")
+            return carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0]), None
+        return jax.lax.scan(body, jnp.uint32(0), (bi, bf, bkv))[0]
+
+    hc64 = snap.host_counts.astype(np.int64)
+    flat_idx = bidx.reshape(-1, K).astype(np.int32)
+    kv_flat = kvs.reshape(-1)
+    kmask_f = np.arange(K)[None, :] < kv_flat[:, None]
+    sbq = np.minimum(
+        -(-np.where(kmask_f, hc64[flat_idx], 0).astype(np.int64) // 128), 1 << 30
+    ).sum(axis=1)
+    found_f = np.ones_like(flat_idx, dtype=bool)
+    order_q = np.argsort(sbq, kind="stable")
+    classes, pos = [(16, None), (32, None), (64, None), (128, None),
+                    (256, None), (512, None)], 0
+    work = []
+    B = 256
+    for ci, (SB, _) in enumerate(classes):
+        hi_i = int(np.searchsorted(sbq[order_q], SB, side="right"))
+        members = order_q[pos:hi_i]
+        pos = hi_i
+        nt = len(members) // B
+        if nt == 0:
+            continue
+        m = members[: nt * B].reshape(nt, B)
+        work.append((SB, nt * B,
+                     jnp.asarray(flat_idx[m]), jnp.asarray(found_f[m]),
+                     jnp.asarray(kv_flat[m])))
+    covered = sum(w[1] for w in work)
+    if covered >= (iters * Q) // 2:
+        def or_rep():
+            for SB, _nq, bi2, bf2, bkv2 in work:
+                jax.block_until_ready(scan_or_concat(
+                    snap.blocks, snap.term_block_start, snap.counts,
+                    bi2, bf2, bkv2, SB))
+        or_rep()
+        out["or_qps_postlen1k"] = _qps_stat(
+            "or_qps_postlen1k", covered, _reps(or_rep))
+        out["or_postlen1k_covered_frac"] = round(covered / (iters * Q), 3)
+    else:  # degenerate class mix: fall back to the padded number
+        out["or_qps_postlen1k"] = out["or_qps_postlen1k_padded"]
     # honest intersect bandwidth: REAL posting bytes an AND batch must
     # consider (sum of every queried term's true list length), per second —
     # the postlen-10 corpus' intersect_gbps is tiny because its lists are,

@@ -34,6 +34,9 @@ offsets = np.zeros(len(terms) + 1, dtype=np.int64)
 np.cumsum([len(t) for t in terms], out=offsets[1:])
 ii.put_packed(blob, offsets, 4)
 
+# batched multi-document ingest: ONE segment per touched shard per call
+ii.put_many([([b"apple", b"elderberry"], 5), ([b"fig", b"banana"], 6)])
+
 # --- streaming reads ---------------------------------------------------------
 print("range [apple..cherry]:")
 for tv in tpi.to_slice(ii.read(b"apple", b"cherry")):
@@ -53,6 +56,12 @@ eng = QueryEngine.from_index(ii, L=128)
 print("batched lookup:", [None if g is None else g.tolist() for g in eng.lookup([b"banana", b"nope"])])
 print("AND:", [g.tolist() for g in eng.boolean([[b"apple", b"banana"]], op="and")])
 print("OR: ", [g.tolist() for g in eng.boolean([[b"cherry", b"date"]], op="or")])
+
+# pipelined stream serving: batch i+1 dispatches before batch i downloads;
+# columnar=True returns (values, voffs) per batch with zero per-query work
+stream = [[[b"apple", b"banana"]], [[b"banana", b"fig"]]]
+for vals, voffs in eng.boolean_staged(stream, op="and", columnar=True):
+    print("staged batch:", [vals[voffs[i]:voffs[i + 1]].tolist() for i in range(len(voffs) - 1)])
 print("engine prefix:", {k: v.tolist() for k, v in eng.prefix_search([b"ba"]).items()})
 print("engine range read:", [(t, v.tolist()) for t, v in eng.read_range(b"apple", b"banana")])
 

@@ -78,6 +78,21 @@ def main():
     pf = pm.sharded_prefix_search(snap, [vocab[0][:3]], L=128)
     print("mesh prefix:", {k: v[:5].tolist() for k, v in pf.items()})
 
+    # --- MeshQueryEngine: single-chip serving parity on the mesh ----------
+    # (tombstone filters, fingerprint refresh with an O(delta) tier,
+    # automatic ladder re-serves — bit-identical to QueryEngine)
+    from inverted_index_2_tpu.parallel import MeshQueryEngine
+
+    meng = MeshQueryEngine(ii, mesh=mesh, L=128)
+    meng.warmup(k_max=3)
+    print("mesh engine stats:", meng.stats())
+    ii.put_removed([2])
+    ii.put([vocab[1], b"zz-more-news"], 1000)
+    assert meng.refresh(ii)  # additive + tombstone change -> delta tier
+    print("mesh AND (filtered):",
+          meng.boolean([doc1], "and", filter_removed=True)[0].tolist())
+    print("mesh fresh term:", meng.lookup([b"zz-more-news"])[0].tolist())
+
     stream = pm.sharded_read_range(snap, vocab[0], vocab[2], L=128)
     print("mesh range read:", [(t, v.tolist()[:3]) for t, v in stream][:3])
 

@@ -1050,9 +1050,11 @@ class QueryEngine:
                 results[i] = o2[j, : c2[j]].copy()
 
     # size classes for the concat path: total-block budgets per query.
-    # Geometric x4 keeps compiled programs few; each class pays only its own
-    # real volume (SB*128 values sorted per query).
-    _SB_CLASSES = (8, 32, 128, 512, 2048, 8192, 32768)
+    # Geometric x2 through the common range (the sort volume is the class
+    # budget, so a query at 33 blocks in a 128 class sorts 4x its real
+    # data — finer classes measured +~1.4x on config-3 OR), then x4 for
+    # the rare tail to bound compiled-program count.
+    _SB_CLASSES = (8, 16, 32, 64, 128, 256, 512, 2048, 8192, 32768)
 
     def _use_fused(self) -> bool:
         """Fused Pallas AND is available: 128-aligned arena + TPU backend +
