@@ -1050,11 +1050,13 @@ class QueryEngine:
                 results[i] = o2[j, : c2[j]].copy()
 
     # size classes for the concat path: total-block budgets per query.
-    # Geometric x2 through the common range (the sort volume is the class
-    # budget, so a query at 33 blocks in a 128 class sorts 4x its real
-    # data — finer classes measured +~1.4x on config-3 OR), then x4 for
-    # the rare tail to bound compiled-program count.
-    _SB_CLASSES = (8, 16, 32, 64, 128, 256, 512, 2048, 8192, 32768)
+    # Geometric x4 keeps compiled programs few; each class pays only its
+    # own real volume (SB*128 values sorted per query). A finer x2 ladder
+    # was A/B'd on-chip and measured ~15% SLOWER on config-3 OR despite
+    # halving the sort volume for the modal 33-64-block queries — the
+    # per-class dispatch and per-query fixed costs (layout selects,
+    # run-length marking) outweigh the padding waste. Measured, kept x4.
+    _SB_CLASSES = (8, 32, 128, 512, 2048, 8192, 32768)
 
     def _use_fused(self) -> bool:
         """Fused Pallas AND is available: 128-aligned arena + TPU backend +

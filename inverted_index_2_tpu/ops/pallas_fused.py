@@ -49,10 +49,13 @@ import os as _os
 
 TQ = 8        # queries per program
 CHUNK = 128   # values per block
-GP = int(_os.environ.get("TPI_FUSED_GP", "16"))
-              # probe blocks fetched per DMA group (covers the mean config-3
-              # list in one group; overruns land in the arena slack rows).
-              # Env-tunable for on-chip A/Bs.
+GP = int(_os.environ.get("TPI_FUSED_GP", "8"))
+              # probe blocks fetched per DMA group. Swept on-chip at
+              # config-3 (same process, bit-identical checksums):
+              # GP=8 94.4k QPS vs GP=16 85.1k — the batched pre-decode of
+              # (K-1, GP) chunks dominates, and GP=8 halves it while the
+              # mean list still fits one group; GP=4 (77.5k), TQ=16
+              # (87.3k) and PP=8 (84.8k) all lost. Env-tunable for A/Bs.
 BG0 = 4       # base chunks per compare group (bounds compare volume by the
               # BASE list's real length, not the static pad C)
 PP = 4        # probe chunks folded into one compare op (op-issue bound)
