@@ -363,6 +363,9 @@ def fused_and_pallas(
 
     tq, gp, pp, bg0 = geom or (TQ, GP, PP, BG0)
     Q, K = rows.shape
+    # non-multiple-of-8 GP measured as a DEVICE FAULT (DMA windows must be
+    # sublane-tile aligned); fail loud at trace time instead
+    assert gp % 8 == 0 and gp % pp == 0, f"GP={gp} must be 8-aligned, PP-divisible"
     assert Q % tq == 0, f"Q={Q} must be a multiple of {tq}"
     assert K >= 2, "K=1 batches have no probe lists; callers pad K"
     assert L % CHUNK == 0
