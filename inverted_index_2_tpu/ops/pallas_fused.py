@@ -63,7 +63,7 @@ PP = 4        # probe chunks folded into one compare op (op-issue bound)
 
 def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
                     tq: int = None, gp: int = None, pp: int = None,
-                    bg0: int = None):
+                    bg0: int = None, batch_pre: bool = True):
     tq = tq or TQ
     gp = gp or GP
     pp = pp or PP
@@ -126,12 +126,45 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
 
         for r in range(tq):
             base_dma(r).start()
+
+        if batch_pre:
+            # ALL tq x (K-1) first probe groups go in flight behind the
+            # base DMAs, then ONE decode covers the whole tile: the
+            # per-query (K-1, gp)-chunk pre-decode is the dominant op-issue
+            # cost (the GP=16->8 sweep moved it 11%) — batching it across
+            # the tile amortizes that issue overhead tq-fold, and the
+            # probe DMAs overlap the base decode.
+            def pre_dma_b(r, j1):
+                return pltpu.make_async_copy(
+                    arena.at[pl.ds(rows_ref[(q0 + r) * K + j1], gp)],
+                    probe_pre.at[r, j1 - 1],
+                    psems.at[r, j1 - 1],
+                )
+
+            for r in range(tq):
+                for j1 in range(1, K):
+                    @pl.when(j1 < kvalid_ref[q0 + r])
+                    def _(r=r, j1=j1):
+                        pre_dma_b(r, j1).start()
+
         for r in range(tq):
             base_dma(r).wait()
         bases, _ = decode_blocks_pow2(
             base_win[:], use_mxu=True, perms=perms
         )                                                   # (tq, C, 128)
         base_buf[:, pl.ds(0, C), :] = bases
+
+        if batch_pre:
+            for r in range(tq):
+                for j1 in range(1, K):
+                    @pl.when(j1 < kvalid_ref[q0 + r])
+                    def _(r=r, j1=j1):
+                        pre_dma_b(r, j1).wait()
+            pv_all, _ = decode_blocks_pow2(
+                probe_pre[:].reshape(tq * (K - 1), gp, stride),
+                use_mxu=True, perms=perms,
+            )                                               # (tq*(K-1), gp, 128)
+            pv_buf[:] = pv_all.reshape(tq, K - 1, gp, CHUNK)
 
         for r in range(tq):
             q = q0 + r
@@ -171,27 +204,28 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
             # batched decode covers all of them (the mean config-3 list
             # fits one gp group, so most pairs never issue a serial
             # follow-up DMA and never decode again)
-            def pre_dma(j1):
-                return pltpu.make_async_copy(
-                    arena.at[pl.ds(rows_ref[q * K + j1], gp)],
-                    probe_pre.at[j1 - 1],
-                    psems.at[j1 - 1],
-                )
+            if not batch_pre:
+                def pre_dma(j1):
+                    return pltpu.make_async_copy(
+                        arena.at[pl.ds(rows_ref[q * K + j1], gp)],
+                        probe_pre.at[j1 - 1],
+                        psems.at[j1 - 1],
+                    )
 
-            for j1 in range(1, K):
-                @pl.when(j1 < kv)
-                def _(j1=j1):
-                    pre_dma(j1).start()
+                for j1 in range(1, K):
+                    @pl.when(j1 < kv)
+                    def _(j1=j1):
+                        pre_dma(j1).start()
 
-            for j1 in range(1, K):
-                @pl.when(j1 < kv)
-                def _(j1=j1):
-                    pre_dma(j1).wait()
+                for j1 in range(1, K):
+                    @pl.when(j1 < kv)
+                    def _(j1=j1):
+                        pre_dma(j1).wait()
 
-            pv_all, _ = decode_blocks_pow2(
-                probe_pre[:], use_mxu=True, perms=perms
-            )                                               # (K-1, gp, 128)
-            pv_buf[:] = pv_all
+                pv_all, _ = decode_blocks_pow2(
+                    probe_pre[:], use_mxu=True, perms=perms
+                )                                           # (K-1, gp, 128)
+                pv_buf[:] = pv_all
 
             def compare_op(bs, ch, cvalid, r=r):
                 """One (BG, pp, 128, 128) membership compare of probe
@@ -279,7 +313,11 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
                         pl.ds(bs, BG), :
                     ] | jnp.any(eq & cvalid, axis=(1, 2)).astype(jnp.int32)
 
-                probe_block(pv_buf[jnp.maximum(j - 1, 0)], 0, jnp.int32(0))
+                pv_first = (
+                    pv_buf[r, jnp.maximum(j - 1, 0)]
+                    if batch_pre else pv_buf[jnp.maximum(j - 1, 0)]
+                )
+                probe_block(pv_first, 0, jnp.int32(0))
 
                 def gbody(g, carry, rj=rj, nj=nj, base_hi_f=base_hi_f):
                     pdma = pltpu.make_async_copy(
@@ -361,7 +399,12 @@ def fused_and_pallas(
     """
     from .pallas_decode import SLACK_ROWS
 
-    tq, gp, pp, bg0 = geom or (TQ, GP, PP, BG0)
+    # geom: (tq, gp, pp, bg0[, batch_pre]) — batch_pre=True batches all
+    # tq x (K-1) first-probe-group DMAs + their decode across the tile
+    # (A/B'd on-chip; see PERFORMANCE.md round-3 notes)
+    g = geom or (TQ, GP, PP, BG0)
+    tq, gp, pp, bg0 = g[:4]
+    batch_pre = bool(g[4]) if len(g) > 4 else True
     Q, K = rows.shape
     # non-multiple-of-8 GP measured as a DEVICE FAULT (DMA windows must be
     # sublane-tile aligned); fail loud at trace time instead
@@ -398,18 +441,23 @@ def fused_and_pallas(
         scratch_shapes=[
             pltpu.VMEM((tq, C, stride), jnp.uint32),      # base_win
             pltpu.VMEM((gp, stride), jnp.uint32),         # probe_win
-            pltpu.VMEM((K - 1, gp, stride), jnp.uint32),  # probe_pre
-            pltpu.VMEM((K - 1, gp, CHUNK), jnp.uint32),   # pv_buf (decoded)
+            pltpu.VMEM(
+                (tq, K - 1, gp, stride) if batch_pre else (K - 1, gp, stride),
+                jnp.uint32),                              # probe_pre
+            pltpu.VMEM(
+                (tq, K - 1, gp, CHUNK) if batch_pre else (K - 1, gp, CHUNK),
+                jnp.uint32),                              # pv_buf (decoded)
             pltpu.VMEM((tq, -(-C // min(bg0, C)) * min(bg0, C), CHUNK),
                        jnp.uint32),                       # base_buf (BG-padded)
             pltpu.VMEM((-(-C // min(bg0, C)) * min(bg0, C), CHUNK),
                        jnp.int32),                        # hit_buf (BG-padded)
             pltpu.SemaphoreType.DMA((tq + 1,)),
-            pltpu.SemaphoreType.DMA((K - 1,)),            # prefetch sems
+            pltpu.SemaphoreType.DMA(
+                (tq, K - 1) if batch_pre else (K - 1,)),  # prefetch sems
         ],
     )
     masked, cnt = pl.pallas_call(
-        _kernel_factory(K, C, stride, prune, tq, gp, pp, bg0),
+        _kernel_factory(K, C, stride, prune, tq, gp, pp, bg0, batch_pre),
         out_shape=[
             jax.ShapeDtypeStruct((Q, C, CHUNK), jnp.uint32),
             jax.ShapeDtypeStruct((Q, CHUNK), jnp.int32),
