@@ -28,9 +28,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOCK = 128
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# np scalar, NOT jnp: a module-level jnp.uint32 is a concrete device
+# array; traces that close over it hoist it into an EXECUTABLE PARAMETER,
+# and jax 0.9's C++ jit fast path drops such hoisted consts on the second
+# same-signature call under a multi-device CPU platform ("Execution
+# supplied N buffers but compiled program expected N+k"). A numpy scalar
+# embeds as a jaxpr literal instead — no extra parameter, no bug.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def resolve_step(keys, counts, qkeys, slots=None, max_probes: int = 0):
@@ -169,5 +176,7 @@ def boolean_concat_step(
         in_region = jnp.arange(S, dtype=jnp.int32)[None, :] < n_valid[:, None]
         keep = first & in_region
         oc = jnp.sum(keep, axis=1).astype(jnp.int32)
-    out = jnp.sort(jnp.where(keep, svals, SENTINEL), axis=1)
+    from .compaction import compact_rows
+
+    out = compact_rows(svals, keep)
     return out, oc

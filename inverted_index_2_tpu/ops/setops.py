@@ -19,8 +19,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# np scalar, NOT jnp: a module-level jnp.uint32 is a concrete device
+# array; traces that close over it hoist it into an EXECUTABLE PARAMETER,
+# and jax 0.9's C++ jit fast path drops such hoisted consts on the second
+# same-signature call under a multi-device CPU platform ("Execution
+# supplied N buffers but compiled program expected N+k"). A numpy scalar
+# embeds as a jaxpr literal instead — no extra parameter, no bug.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _valid_mask(L: int, counts: jnp.ndarray) -> jnp.ndarray:
@@ -87,11 +94,12 @@ def intersect_many(
         active = (j < k_valid)[:, None]
         hit = member_mask(lists[:, j, :], counts[:, j], base)
         keep &= jnp.where(active, hit, True)
-    packed = jnp.where(keep, base, SENTINEL)
     # count first, then compact (ties with genuine SENTINEL values are safe:
-    # they sort last and the count keeps them)
+    # they land last and the count keeps them)
+    from .compaction import compact_rows
+
     out_counts = jnp.sum(keep, axis=1).astype(jnp.int32)
-    return jnp.sort(packed, axis=1), out_counts
+    return compact_rows(base, keep), out_counts
 
 
 def _intersect_sort(lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarray):
@@ -128,10 +136,10 @@ def _intersect_sort(lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarra
     out_counts = (jnp.sum(keep, axis=1) + ff_all.astype(jnp.int32)).astype(jnp.int32)
     # compact kept run-starts to the front; slot [count-1] for a kept genuine
     # 0xFFFFFFFF is already SENTINEL from padding (bit-identical, same trick
-    # as union_many). Result size <= L, so narrow to L before the final sort.
-    packed = jnp.where(keep, svals, SENTINEL)
-    out = jax.lax.sort(packed, dimension=1, num_keys=1)[:, :L]
-    return out, out_counts
+    # as union_many). Result size <= L, so narrow to L after compaction.
+    from .compaction import compact_rows
+
+    return compact_rows(svals, keep)[:, :L], out_counts
 
 
 def union_many(lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarray):
@@ -156,13 +164,15 @@ def union_many(lists: jnp.ndarray, counts: jnp.ndarray, k_valid: jnp.ndarray):
     )
     uniq = in_region & first
     out_counts = jnp.sum(uniq, axis=1).astype(jnp.int32)
-    # compact unique values to the front with a second sort (duplicates ->
-    # SENTINEL, which lands after all kept values; a kept genuine 0xFFFFFFFF
-    # is interchangeable with padding at the count boundary). A sort here is
-    # ~3x cheaper than the elementwise scatter it replaces (TPU scatters pay
-    # per-element like gathers).
-    out = jnp.sort(jnp.where(uniq, vals, SENTINEL), axis=1)
-    return out, out_counts
+    # compact unique values to the front (duplicates -> SENTINEL, which
+    # lands after all kept values; a kept genuine 0xFFFFFFFF is
+    # interchangeable with padding at the count boundary). compact_rows
+    # is a SORT by default: both the elementwise scatter (~3x worse) and
+    # the cumsum+binary-search gather (165x worse, ops/compaction.py)
+    # measured far behind the compare-exchange network on TPU.
+    from .compaction import compact_rows
+
+    return compact_rows(vals, uniq), out_counts
 
 
 def filter_removed(
@@ -184,9 +194,10 @@ def filter_removed(
     hit = removed[jnp.minimum(pos, R - 1)] == vals
     hit &= pos < R
     keep = valid & ~hit
-    # compact survivors to the front: dropped slots -> SENTINEL, one sort.
-    # Genuine 0xFFFFFFFF survivors are interchangeable with padding at the
-    # count boundary (same bits), so [0, out_count) is exactly the survivors.
-    out_vals = jnp.sort(jnp.where(keep, vals, SENTINEL), axis=1)
+    # compact survivors to the front: dropped slots -> SENTINEL. Genuine
+    # 0xFFFFFFFF survivors are interchangeable with padding at the count
+    # boundary (same bits), so [0, out_count) is exactly the survivors.
+    from .compaction import compact_rows
+
     out_counts = jnp.sum(keep, axis=1).astype(jnp.int32)
-    return out_vals, out_counts
+    return compact_rows(vals, keep), out_counts

@@ -261,3 +261,50 @@ class TestIntersectSort:
         out, oc = np.asarray(out), np.asarray(oc)
         for q in range(Q):
             assert out[q, : oc[q]].tolist() == want[q], q
+
+
+class TestCompaction:
+    """compact_keep (cumsum + binary-search gather) vs the sort oracle."""
+
+    def test_compact_matches_sort(self):
+        from inverted_index_2_tpu.ops import compaction as C
+
+        rng = np.random.default_rng(7)
+        for Q, S_ in [(8, 64), (5, 257), (1, 1), (16, 1024)]:
+            vals = rng.integers(0, 2**32, size=(Q, S_), dtype=np.uint32)
+            vals.sort(axis=1)
+            keep = rng.random((Q, S_)) < rng.uniform(0.0, 1.0, (Q, 1))
+            out, oc = jax.jit(C.compact_keep)(
+                jnp.asarray(vals), jnp.asarray(keep)
+            )
+            out, oc = np.asarray(out), np.asarray(oc)
+            want = np.sort(
+                np.where(keep, vals, np.uint32(0xFFFFFFFF)), axis=1
+            )
+            assert np.array_equal(out, want)
+            assert np.array_equal(oc, keep.sum(axis=1))
+
+    def test_compact_edge_masks(self):
+        from inverted_index_2_tpu.ops import compaction as C
+
+        vals = np.arange(16, dtype=np.uint32)[None, :].repeat(3, axis=0)
+        keep = np.stack([
+            np.ones(16, bool), np.zeros(16, bool),
+            np.arange(16) == 15,
+        ])
+        out, oc = jax.jit(C.compact_keep)(jnp.asarray(vals), jnp.asarray(keep))
+        out, oc = np.asarray(out), np.asarray(oc)
+        assert oc.tolist() == [16, 0, 1]
+        assert out[0].tolist() == list(range(16))
+        assert np.all(out[1] == 0xFFFFFFFF)
+        assert out[2, 0] == 15 and np.all(out[2, 1:] == 0xFFFFFFFF)
+
+    def test_compact_preserves_stable_order_unsorted(self):
+        # stability is the contract — unsorted inputs keep relative order
+        from inverted_index_2_tpu.ops import compaction as C
+
+        vals = np.array([[5, 3, 9, 3, 1, 7]], dtype=np.uint32)
+        keep = np.array([[True, False, True, True, False, True]])
+        out, oc = jax.jit(C.compact_keep)(jnp.asarray(vals), jnp.asarray(keep))
+        assert np.asarray(out)[0, :4].tolist() == [5, 9, 3, 7]
+        assert int(oc[0]) == 4

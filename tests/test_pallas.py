@@ -406,3 +406,41 @@ def test_engine_boolean_staged_matches_plain(rng, monkeypatch):
         plain = eng.boolean(qs, "and", filter_removed=True)
         for qi in range(len(qs)):
             assert np.array_equal(staged[bi][qi], plain[qi]), (bi, qi)
+
+
+def test_fused_and_geom_batch_pre_variants_agree(rng):
+    """geom batch_pre=True (production, tile-batched pre-decode) and
+    batch_pre=False (per-query pre-decode) are bit-identical in
+    interpret mode — the on-chip 101.2k-vs-95.0k A/B relies on the two
+    formulations computing the same thing."""
+    import jax.numpy as jnp
+
+    from inverted_index_2_tpu.ops.pallas_fused import (
+        fused_and_pallas, reorder_smallest_base,
+    )
+
+    lists = [
+        np.unique(rng.integers(0, 5_000, size=int(s), dtype=np.uint32))
+        for s in [3, 50, 130, 260, 512, 640, 127, 128]
+    ]
+    snap = _snap(lists, rng)
+    Q, K, L = 16, 4, 256
+    idx = rng.integers(0, len(lists), size=(Q, K)).astype(np.int32)
+    kv = rng.integers(2, K + 1, size=Q).astype(np.int32)
+    tbs = np.asarray(snap.term_block_start)
+    hc = snap.host_counts
+    kmask = np.arange(K)[None, :] < kv[:, None]
+    rows = np.where(kmask, tbs[idx], 0).astype(np.int32)
+    cnts = np.where(kmask, hc[idx], 0).astype(np.int32)
+    r2, c2, _ = reorder_smallest_base(
+        jnp.asarray(rows), jnp.asarray(cnts), jnp.asarray(kv)
+    )
+    outs = {}
+    for bp in (False, True):
+        out, oc = fused_and_pallas(
+            snap.blocks, r2, c2, jnp.asarray(kv), L,
+            interpret=True, geom=(8, 8, 4, 4, bp),
+        )
+        outs[bp] = (np.asarray(out), np.asarray(oc))
+    assert np.array_equal(outs[False][1], outs[True][1])
+    assert np.array_equal(outs[False][0], outs[True][0])
