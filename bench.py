@@ -35,6 +35,17 @@ import numpy as np
 _SPREADS = {}  # metric -> [min, median, max] over within-process reps
 
 
+def _fence(x):
+    """Force device completion by FETCHING (a scalar checksum, normally).
+    jax.block_until_ready is not a reliable fence on this remote tunnel:
+    measured returning in ~0.04 ms for a program whose device_get takes
+    ~38 ms (same process, warmed) while blocking correctly for adjacent
+    sizes — a data round trip cannot complete before the compute has."""
+    import jax
+
+    return jax.device_get(x)
+
+
 def _reps(fn, reps: int = 3):
     """Run `fn` (which must block until device-complete) `reps` times and
     return the list of wall durations. Within-process repetition is the
@@ -105,7 +116,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
 
     t0 = time.monotonic()
     snap = build_snapshot_arrays(blob, offsets, values, voffs)
-    jax.block_until_ready(snap.keys)
+    _fence(snap.counts[-1:])  # in-order stream: counts done => build done
     build_s = time.monotonic() - t0
     n = snap.n_terms
 
@@ -126,9 +137,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         return jax.lax.scan(body, jnp.uint32(0), staged)
 
     def lookup_rep():
-        jax.block_until_ready(
-            scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)[0]
-        )
+        _fence(scan_lookup(*tables, snap.hash_slots, staged, L, snap.max_probes)[0])
 
     lookup_rep()  # warmup/compile
     lookup_qps = _qps_stat("lookup_qps", Q * iters, _reps(lookup_rep))
@@ -137,12 +146,12 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
     lookup1 = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
     b0 = staged[0]
     f, v, c, _ = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
-    jax.block_until_ready(c)
+    _fence(c)
     t0 = time.monotonic()
     reps = 5
     for _ in range(reps):
         f, v, c, _ = lookup1(*tables, b0, L, snap.hash_slots, max_probes=snap.max_probes)
-        jax.block_until_ready(c)
+        _fence(c)
     dispatch_ms = (time.monotonic() - t0) / reps * 1e3
 
     # ---- boolean AND (K=4), scan over staged batches ----
@@ -161,9 +170,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         return out
 
     def and_rep():
-        jax.block_until_ready(
-            scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes)
-        )
+        _fence(scan_and(*tables, snap.hash_slots, bstaged, kv, L, snap.max_probes))
 
     and_rep()
     and_ts = _reps(and_rep)
@@ -206,7 +213,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         return jax.lax.scan(body, jnp.int32(0), (plo, phi))[0]
 
     def prefix_rep():
-        jax.block_until_ready(scan_prefix(snap.keys, plo, phi))
+        _fence(scan_prefix(snap.keys, plo, phi))
 
     prefix_rep()
     extra["prefix_range_qps"] = _qps_stat(
@@ -219,9 +226,7 @@ def bench_query(blob, offsets, values, voffs, Q, iters, L=128):
         st2 = jnp.asarray(host_keys[bi])
         kv2 = jnp.full((Q,), K2, dtype=jnp.int32)
         def rep(st2=st2, kv2=kv2, op=op):
-            jax.block_until_ready(
-                scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op)
-            )
+            _fence(scan_bool(*tables, snap.hash_slots, st2, kv2, L, snap.max_probes, op))
 
         rep()
         extra[name] = _qps_stat(name, Q * it2, _reps(rep))
@@ -394,7 +399,7 @@ def build_snapshot(corpus):
 
     t0 = time.monotonic()
     snap = build_snapshot_arrays(*corpus)
-    jax.block_until_ready(snap.keys)
+    _fence(snap.counts[-1:])
     return snap, time.monotonic() - t0
 
 
@@ -472,10 +477,10 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
             )
 
         chk, nres = rep()
-        jax.block_until_ready(chk)
+        _fence(chk)
         out[name] = _qps_stat(
             name, Q * iters,
-            _reps(lambda: jax.block_until_ready(rep()[0])),
+            _reps(lambda: _fence(rep()[0])),
         )
         if frac_name:
             out[frac_name] = round(
@@ -526,7 +531,7 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     if covered >= (iters * Q) // 2:
         def or_rep():
             for SB, _nq, bi2, bf2, bkv2 in work:
-                jax.block_until_ready(scan_or_concat(
+                _fence(scan_or_concat(
                     snap.blocks, snap.term_block_start, snap.counts,
                     bi2, bf2, bkv2, SB))
         or_rep()
@@ -562,7 +567,7 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
 
     if snap is None:
         snap = build_snapshot_arrays(blob, offsets, values, voffs)
-        jax.block_until_ready(snap.keys)
+        _fence(snap.counts[-1:])
     eng = QueryEngine(snap, L=L, q_bucket=Q)
     # reconstruct term bytes for query sampling
     from inverted_index_2_tpu.codec.keys import unpack_keys
@@ -624,11 +629,11 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     n = snap1.n_terms
     qk = jnp.asarray(hk[rng.integers(0, n, size=Q)])
     f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
-    jax.block_until_ready(c)
+    _fence(jnp.sum(c))
     t0 = time.monotonic()
     for _ in range(iters):
         f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
-    jax.block_until_ready(c)
+    _fence(jnp.sum(c))
     dt = time.monotonic() - t0
     return {
         "mesh_devices": int(mesh.shape[pm.SHARD_AXIS]),
