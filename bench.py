@@ -515,14 +515,20 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=3, L=2048, seed=11):
     order_q = np.argsort(sbq, kind="stable")
     classes, pos = [(32, None), (128, None), (512, None)], 0
     work = []
-    B = 256
+    stride = max(128, int(snap.blocks.shape[1]))
     for ci, (SB, _) in enumerate(classes):
         hi_i = int(np.searchsorted(sbq[order_q], SB, side="right"))
         members = order_q[pos:hi_i]
         pos = hi_i
-        nt = len(members) // B
-        if nt == 0:
+        # production batch sizing (QueryEngine._boolean_concat): fill the
+        # re-serve device budget — per-dispatch fixed cost (~12 ms measured,
+        # RPC + program overhead) dominates at small B and UNDERSTATES the
+        # served rate (B=256 measured 41.9k vs 1024-wide batches ~70k)
+        B = max(128, min(2048, ((1 << 24) // (SB * stride)) // 8 * 8))
+        B = min(B, (len(members) // 128) * 128)  # small class: one fat step
+        if B == 0:
             continue
+        nt = len(members) // B
         m = members[: nt * B].reshape(nt, B)
         work.append((SB, nt * B,
                      jnp.asarray(flat_idx[m]), jnp.asarray(found_f[m]),

