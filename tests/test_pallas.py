@@ -402,10 +402,17 @@ def test_engine_boolean_staged_matches_plain(rng, monkeypatch):
     batches[0].append([terms[0], terms[6]])  # both > L: ladder re-serve
     batches[1].append([terms[2], b"zz-missing"])
     staged = eng.boolean_staged(batches, "and", filter_removed=True)
+    columnar = eng.boolean_staged(batches, "and", filter_removed=True,
+                                  columnar=True)
     for bi, qs in enumerate(batches):
         plain = eng.boolean(qs, "and", filter_removed=True)
+        vals, voffs = columnar[bi]
+        assert len(voffs) == len(qs) + 1
         for qi in range(len(qs)):
             assert np.array_equal(staged[bi][qi], plain[qi]), (bi, qi)
+            assert np.array_equal(
+                vals[voffs[qi]: voffs[qi + 1]], plain[qi]
+            ), (bi, qi)
 
 
 def test_fused_and_geom_batch_pre_variants_agree(rng):
