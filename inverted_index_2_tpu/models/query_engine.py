@@ -569,7 +569,9 @@ _JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
 from ..ops import concat_bool as _cb
 
 _JIT_RESOLVE = jax.jit(_cb.resolve_step, static_argnames=("max_probes",))
-_JIT_CONCAT_BOOL = jax.jit(_cb.boolean_concat_step, static_argnames=("SB", "op"))
+_JIT_CONCAT_BOOL = jax.jit(
+    _cb.boolean_concat_step, static_argnames=("SB", "op", "compactor")
+)
 _JIT_FILTER = jax.jit(setops.filter_removed)
 
 
@@ -1056,8 +1058,13 @@ class QueryEngine:
     # was A/B'd on-chip and measured ~15% SLOWER on config-3 OR despite
     # halving the sort volume for the modal 33-64-block queries — the
     # per-class dispatch and per-query fixed costs (layout selects,
-    # run-length marking) outweigh the padding waste. Measured, kept x4.
-    _SB_CLASSES = (8, 32, 128, 512, 2048, 8192, 32768)
+    # run-length marking) outweigh the padding waste below 64. One x2
+    # step IS kept: config-3's modal queries are 33-64 blocks, and moving
+    # them from the 128 class's ~35k QPS rate to a 64 class's ~76k rate
+    # measured 43.8k -> 70.7k config-3 OR overall (one-dispatch on-chip
+    # A/B; dispatches here are async with one pipelined fetch, so the
+    # extra class costs a compile, not a fence).
+    _SB_CLASSES = (8, 32, 64, 128, 512, 2048, 8192, 32768)
 
     def _use_fused(self) -> bool:
         """Fused Pallas AND is available: 128-aligned arena + TPU backend +

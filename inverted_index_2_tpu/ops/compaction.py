@@ -58,6 +58,44 @@ def compact_rows(vals: jnp.ndarray, keep: jnp.ndarray, fill=SENTINEL):
     return compact_keep(vals, keep, fill)[0]
 
 
+def compact_shift(vals: jnp.ndarray, keep: jnp.ndarray, fill=SENTINEL):
+    """Gather-free stable left-compaction via monotone rank shifts.
+
+    Each kept lane must move LEFT by d(j) = #dropped lanes before j — a
+    non-decreasing function of j. Decompose d in binary and apply the
+    shifts bit-by-bit LOW to HIGH: after bits 0..b-1 are applied, a kept
+    lane sits at dest + (d & ~(2^b - 1)); since dest is strictly
+    increasing and d is non-decreasing along the row, those positions
+    stay strictly increasing at every step, so no two lanes ever collide
+    (high-to-low order does NOT have this property: keep=[0,1,0,1] puts
+    lane 3 on top of lane 1 at the s=2 step). Each step is a static
+    lane shift + two selects — no gathers, no sort: O(log S) elementwise
+    passes vs the sort network's O(log^2 S) compare-exchange stages.
+
+    Unlike compact_rows this does NOT require vals' kept lanes to ascend
+    — it is order-preserving for any input (same contract as
+    compact_keep). Returns (out, oc) like compact_keep.
+    """
+    Q, S = vals.shape
+    f = jnp.asarray(fill, vals.dtype)
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1)      # 1-based rank
+    oc = pos[:, -1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    # remaining left-shift per lane; dropped lanes carry 0 (never move,
+    # hold `fill`, and may be overwritten by arriving kept lanes)
+    d = jnp.where(keep, lane - (pos - 1), 0)
+    x = jnp.where(keep, vals, f)
+    for b in range((S - 1).bit_length()):
+        s = 1 << b
+        xin = jnp.concatenate([x[:, s:], jnp.full((Q, s), f, x.dtype)], axis=1)
+        din = jnp.concatenate([d[:, s:], jnp.zeros((Q, s), d.dtype)], axis=1)
+        take = (din & s) != 0
+        gone = (d & s) != 0
+        x = jnp.where(take, xin, jnp.where(gone, f, x))
+        d = jnp.where(take, din - s, jnp.where(gone, 0, d))
+    return x, oc.astype(jnp.int32)
+
+
 def compact_keep(vals: jnp.ndarray, keep: jnp.ndarray, fill=SENTINEL):
     """Pack kept lanes of each row to the left, preserving order.
 

@@ -138,7 +138,7 @@ def last_values(vals, cum, cnt):
 
 def boolean_concat_step(
     blocks, term_block_start, counts,
-    idx, found, k_valid, SB: int, op: str,
+    idx, found, k_valid, SB: int, op: str, compactor: str = "auto",
 ):
     """Set op over each query's CONCATENATED decoded lists.
 
@@ -146,6 +146,15 @@ def boolean_concat_step(
     idx/found: (Q, K) from resolve_step. k_valid: (Q,).
     SB: static total-block budget per query (callers group queries so that
     every query's blocks fit: sum_k ceil(raw_k/128) <= SB).
+
+    compactor: the final left-compaction of kept lanes — "sort" (second
+    full sort network) or "shift" (compaction.compact_shift: cumsum +
+    log2(S) monotone lane shifts, no gathers). Bit-identical outputs.
+    "auto" = sort: at the production config-3 class mix (one-dispatch,
+    classes 32/64/128/512, on-chip A/B) sort measured 70.7k vs shift's
+    63.5k OR QPS — the shift formulation only won on a synthetic
+    equal-share mix (115.8k vs 101k); at the real mix the modal small
+    classes don't amortize its cumsum+13-pass overhead.
 
     Returns (out (Q, S=SB*128) compacted ascending, oc (Q,)).
     """
@@ -176,7 +185,12 @@ def boolean_concat_step(
         in_region = jnp.arange(S, dtype=jnp.int32)[None, :] < n_valid[:, None]
         keep = first & in_region
         oc = jnp.sum(keep, axis=1).astype(jnp.int32)
-    from .compaction import compact_rows
+    from .compaction import compact_rows, compact_shift
 
-    out = compact_rows(svals, keep)
+    if compactor == "auto":
+        compactor = "sort"
+    if compactor == "shift":
+        out, _ = compact_shift(svals, keep)
+    else:
+        out = compact_rows(svals, keep)
     return out, oc

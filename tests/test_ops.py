@@ -299,6 +299,30 @@ class TestCompaction:
         assert np.all(out[1] == 0xFFFFFFFF)
         assert out[2, 0] == 15 and np.all(out[2, 1:] == 0xFFFFFFFF)
 
+    def test_compact_shift_matches_keep(self):
+        # the gather-free monotone-shift formulation is exactly
+        # compact_keep on every mask shape (incl. the keep=[0,1,0,1]
+        # pattern that breaks a high-to-low shift order)
+        from inverted_index_2_tpu.ops import compaction as C
+
+        rng = np.random.default_rng(11)
+        cases = [(8, 64), (5, 257), (1, 1), (16, 1024), (3, 2)]
+        for Q, S_ in cases:
+            vals = rng.integers(0, 2**32, size=(Q, S_), dtype=np.uint32)
+            keep = rng.random((Q, S_)) < rng.uniform(0.0, 1.0, (Q, 1))
+            want, woc = jax.jit(C.compact_keep)(
+                jnp.asarray(vals), jnp.asarray(keep))
+            out, oc = jax.jit(C.compact_shift)(
+                jnp.asarray(vals), jnp.asarray(keep))
+            assert np.array_equal(np.asarray(out), np.asarray(want)), (Q, S_)
+            assert np.array_equal(np.asarray(oc), np.asarray(woc))
+        out, oc = jax.jit(C.compact_shift)(
+            jnp.asarray(np.array([[9, 7, 9, 5]], np.uint32)),
+            jnp.asarray(np.array([[False, True, False, True]])),
+        )
+        assert np.asarray(out)[0].tolist() == [7, 5, 0xFFFFFFFF, 0xFFFFFFFF]
+        assert int(oc[0]) == 2
+
     def test_compact_preserves_stable_order_unsorted(self):
         # stability is the contract — unsorted inputs keep relative order
         from inverted_index_2_tpu.ops import compaction as C
