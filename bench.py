@@ -619,17 +619,21 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
     # batch, zero per-query host work): dispatch batch i+1 before
     # downloading batch i — the steady-state rate a serving deployment
     # sustains. Batch size dominates (tunnel RPC amortization): measured
-    # 25.5k at 4096 -> 62.9k at 8192 on the same kernel.
+    # 25.5k at 4096 -> 62.9k at 8192 on the same kernel. Stream length
+    # matters the same way: at 3 batches the pipeline ramp-in/out is ~30%
+    # of wall (76.6k measured) vs 6 batches' 110.6k — steady state needs
+    # a stream that outlives the depth-2 pipeline.
     sq = max(Q, 8192)
+    nb = 6
     stream = []
     flat = [q for b in batches for q in b]
-    while len(flat) < 3 * sq:
+    while len(flat) < nb * sq:
         flat = flat + flat
-    for c0 in range(0, 3 * sq, sq):
+    for c0 in range(0, nb * sq, sq):
         stream.append(flat[c0 : c0 + sq])
     eng.boolean_staged(stream, "and", columnar=True)
     out[f"{name}_staged_and_qps"] = _qps_stat(
-        f"{name}_staged_and_qps", 3 * sq,
+        f"{name}_staged_and_qps", nb * sq,
         _reps(lambda: eng.boolean_staged(stream, "and", columnar=True)),
     )
     return out

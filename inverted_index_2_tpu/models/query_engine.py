@@ -540,6 +540,40 @@ def boolean_fused_step(
     return out, oc, need
 
 
+def boolean_fused_staged_step(
+    keys, blocks, term_block_start, counts,
+    qkeys, k_valid, L: int, levels, removed=None,
+    slots=None, max_probes: int = 0, interpret: bool = False,
+    small_p: int = 8,
+):
+    """boolean_fused_step with transfer-minimized outputs for stream
+    serving. The staged loop is TUNNEL-byte-bound (measured ~33 MB/s +
+    ~58 ms fixed per RPC, transfers overlapping compute), so the per-batch
+    fetch shrinks to small (Q, small_p) u32 + oc u8 + ONE u8 class code in
+    place of the two i32 count vectors — measured 95.5k -> 113.8k QPS at
+    8192-query batches (small_p 32 -> 8 is most of it; AND results of
+    independent lists almost never exceed 8, and overflows re-run through
+    the sort path like any other wide row).
+
+    levels: ascending i32 ladder levels (<= the arena slack). Returns
+    (small, oc u8, code u8) with code: 0 = normal (exact result in
+    small[:oc]); 1 = small_p overflow (sort-path re-run); 2+li = ladder
+    re-serve at levels[li]; 255 = beyond the ladder (concat path). The
+    host classifies follow-ups from the code alone — level identity is
+    all _reserve_ladder needs, the raw `need` never ships."""
+    small, oc, need, oc_pre = boolean_fused_step(
+        keys, blocks, term_block_start, counts, qkeys, k_valid, L,
+        removed, slots, max_probes, interpret, small_p)
+    ocu8 = jnp.minimum(oc, 255).astype(jnp.uint8)
+    li = jnp.searchsorted(levels, need).astype(jnp.int32)
+    code = jnp.where(
+        need <= L,
+        jnp.where(oc_pre <= small_p, 0, 1),
+        jnp.where(li < levels.shape[0], 2 + li, 255),
+    ).astype(jnp.uint8)
+    return small, ocu8, code
+
+
 def prefix_range_step(keys, lo_keys, hi_keys):
     """Device prefix -> dictionary range [lo, hi) (PrefixSearch kernel).
 
@@ -561,6 +595,10 @@ _JIT_BOOLEAN_DUAL = jax.jit(
 )
 _JIT_BOOLEAN_FUSED = jax.jit(
     boolean_fused_step,
+    static_argnames=("L", "max_probes", "interpret", "small_p"),
+)
+_JIT_BOOLEAN_FUSED_STAGED = jax.jit(
+    boolean_fused_staged_step,
     static_argnames=("L", "max_probes", "interpret", "small_p"),
 )
 _JIT_PREFIX = jax.jit(prefix_range_step)
@@ -748,6 +786,17 @@ class QueryEngine:
                         bqk_full, kv_full, self.L,
                         rem, s.hash_slots, s.max_probes, interp,
                         self._FUSED_SMALL_P,
+                    )[1]
+                )
+                n += 1
+                # the stream-serving program (boolean_staged) is a distinct
+                # trace (u8 outputs + level coding) — warm it too
+                jax.block_until_ready(
+                    _JIT_BOOLEAN_FUSED_STAGED(
+                        s.keys, s.blocks, s.term_block_start, s.counts,
+                        bqk_full, kv_full, self.L, self._staged_levels(),
+                        rem, s.hash_slots, s.max_probes, interp,
+                        self._STAGED_SMALL_P,
                     )[1]
                 )
                 n += 1
@@ -1086,6 +1135,12 @@ class QueryEngine:
     # the rare wider rows re-run through the sort path
     _FUSED_SMALL_P = 32
 
+    # the STREAM-serving prefix is narrower still: the staged loop is
+    # tunnel-byte-bound, and P=8 cut the fetch 1.06 MB -> 0.27 MB per
+    # 8192-query batch for the same overflow count (measured 95.5k ->
+    # 113.8k QPS; overflow rows re-run through the sort path either way)
+    _STAGED_SMALL_P = 8
+
     def _fused_run(self, lv, qk_sub, kv_sub, removed, small_p: int = 0):
         s = self.snap
         interp = (
@@ -1097,6 +1152,34 @@ class QueryEngine:
             jnp.asarray(_narrow_keys(qk_sub, s.width)),
             jnp.asarray(kv_sub), lv,
             removed, s.hash_slots, s.max_probes, interp, small_p,
+        )
+
+    def _staged_levels(self):
+        """Device ladder for the staged step's level coding: ascending
+        levels the kernel can serve (<= the arena slack). Cached per
+        ladder identity (max_count changes on refresh)."""
+        from ..ops.pallas_decode import SLACK_ROWS
+
+        lvls = tuple(lv for lv in self._levels() if lv <= SLACK_ROWS * 128)
+        cached = getattr(self, "_staged_levels_cache", None)
+        if cached is None or cached[0] != lvls:
+            arr = jnp.asarray(np.asarray(lvls or (self.L,), dtype=np.int32))
+            cached = (lvls, arr)
+            self._staged_levels_cache = cached
+        return cached[1]
+
+    def _fused_run_staged(self, qk_sub, kv_sub, removed):
+        s = self.snap
+        interp = (
+            os.environ.get("TPI_FUSED_AND") == "interp"
+            and jax.default_backend() != "tpu"
+        )
+        return _JIT_BOOLEAN_FUSED_STAGED(
+            s.keys, s.blocks, s.term_block_start, s.counts,
+            jnp.asarray(_narrow_keys(qk_sub, s.width)),
+            jnp.asarray(kv_sub), self.L, self._staged_levels(),
+            removed, s.hash_slots, s.max_probes, interp,
+            self._STAGED_SMALL_P,
         )
 
     def _fused_pad(self, qk, kv):
@@ -1240,10 +1323,8 @@ class QueryEngine:
                 return per
             return [_rows_to_columnar(rows) for rows in per]
         removed = self._removed if filter_removed else None
-        P = self._FUSED_SMALL_P
-        from ..ops.pallas_decode import SLACK_ROWS
-
-        max_lv = SLACK_ROWS * 128
+        P = self._STAGED_SMALL_P
+        levels_h = [lv for lv in self._levels()]
         fetched: List = [None] * len(batches)
         wide, longs, overs = [], [], []
 
@@ -1251,16 +1332,22 @@ class QueryEngine:
             bi, nq, qk, kv, devs = item
             f = jax.device_get(devs)
             fetched[bi] = (nq, f)
-            small, oc, need, oc_pre = f
+            small, oc, code = f
             # vectorized classification: only the RARE follow-up rows loop
-            follow = np.nonzero(
-                (need[:nq] > self.L) | (oc_pre[:nq] > P)
-            )[0]
+            # (the u8 code carries the whole decision — see
+            # boolean_fused_staged_step)
+            follow = np.nonzero(code[:nq] != 0)[0]
             for i in follow:
-                if need[i] <= self.L:
+                c = int(code[i])
+                if c == 1:
                     wide.append(((bi, int(i)), qk[i], int(kv[i])))
-                elif self._level_for(int(need[i])) <= max_lv:
-                    longs.append(((bi, int(i)), qk[i], int(kv[i]), int(need[i])))
+                elif c != 255:
+                    # ladder level identity is all the re-serve batcher
+                    # uses of `need` (it serves each batch at the level of
+                    # its largest member) — the level stands in exactly
+                    longs.append(
+                        ((bi, int(i)), qk[i], int(kv[i]), levels_h[c - 2])
+                    )
                 else:
                     overs.append(((bi, int(i)), qk[i], int(kv[i])))
 
@@ -1271,7 +1358,7 @@ class QueryEngine:
                 continue
             qk, kv = self._pack_boolean(queries)
             qk, kv = self._fused_pad(qk, kv)
-            devs = self._fused_run(self.L, qk, kv, removed, small_p=P)
+            devs = self._fused_run_staged(qk, kv, removed)
             # start the device->host copies NOW (they queue behind the
             # compute): by harvest time the data is already local, so the
             # host never blocks a full tunnel round trip per batch
@@ -1298,8 +1385,9 @@ class QueryEngine:
                 out.append((np.zeros(0, np.uint32), np.zeros(1, np.int64))
                            if columnar else [])
                 continue
-            small, oc, need, oc_pre = f
-            normal = (need[:nq] <= self.L) & (oc_pre[:nq] <= P)
+            small, oc8, code = f
+            oc = oc8.astype(np.int32)
+            normal = code[:nq] == 0
             if columnar:
                 counts = np.where(normal, oc[:nq], 0).astype(np.int64)
                 for i, arr in ovr.items():
