@@ -46,12 +46,15 @@ def _fence(x):
     return jax.device_get(x)
 
 
-def _reps(fn, reps: int = 3):
+def _reps(fn, reps: int = 5):
     """Run `fn` (which must block until device-complete) `reps` times and
     return the list of wall durations. Within-process repetition is the
     only valid basis for spread on this host (cross-process numbers vary
     wildly — CLAUDE.md); headline metrics report the MEDIAN and stash
-    [min, median, max] in details.spreads."""
+    [min, median, max] in details.spreads. 5 reps (not 3): the shared
+    tunnel's RPC latency comes in multi-hundred-ms bursts, and with 3
+    reps one burst drags the median — measured lookup medians of 633k
+    and 3.4M for identical code in adjacent runs."""
     ts = []
     for _ in range(reps):
         t0 = time.monotonic()
@@ -531,7 +534,7 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
     # the old "finer classes pay per-class dispatch costs" trade inverts
     # (the 64 class alone moved its 2048-query share from the 35k SB=128
     # rate to the 76k SB=64 rate in the one-dispatch A/B)
-    classes, pos = [32, 64, 128, 512], 0
+    classes, pos = [32, 64, 128, 512, 1024], 0
     work, sbs = [], []
     stride = max(128, int(snap.blocks.shape[1]))
     for SB in classes:
