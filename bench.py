@@ -674,6 +674,41 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     }
 
 
+def _device_preflight(attempts=4, init_timeout_s=240, retry_sleep_s=90):
+    """Bounded device-availability check. The tunnel dies for stretches
+    (measured: hours) and a dead tunnel makes jax device init either raise
+    UNAVAILABLE or block indefinitely — so probe in a daemon thread with a
+    join timeout, and retry a few times before giving up. Returns True when
+    a device answered, False when the budget is spent."""
+    import sys
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.set()
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"[bench] device probe error: {e!r}", file=sys.stderr)
+
+    for i in range(attempts):
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(init_timeout_s)
+        if ok.is_set():
+            return True
+        print(
+            f"[bench] device preflight {i + 1}/{attempts} failed "
+            f"(timeout={init_timeout_s}s)", file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(retry_sleep_s)
+    return False
+
+
 def main():
     # TPI_PROFILE=<dir>: capture a JAX profiler trace of the query section
     # (open with TensorBoard / xprof; per-kernel timings + HLO)
@@ -733,8 +768,30 @@ def main():
     details.update(phase("ingest", bench_ingest))
     details.update(phase("compaction", bench_compaction))
     details.update(phase("compression", bench_compression, values, voffs))
+    # Everything below needs the TPU; the tunnel has measured multi-hour
+    # outages. Bail to a valid JSON line (value 0 + error marker) rather
+    # than crash or hang — the driver records whatever this prints.
+    if not _device_preflight():
+        details["error"] = "device_unavailable: tunnel preflight failed"
+        print(json.dumps({
+            "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,
+            "value": 0.0,
+            "unit": "queries/sec",
+            "vs_baseline": 0.0,
+            "details": details,
+        }))
+        return
     with trace_cm:
-        details.update(phase("query", bench_query, blob, offsets, values, voffs, Q, iters))
+        try:
+            details.update(
+                phase("query", bench_query, blob, offsets, values, voffs, Q, iters))
+        except Exception as e:
+            # one retry: tunnel blips recover within a couple of minutes
+            print(f"[bench] query phase failed ({e!r}); retrying in 120s",
+                  file=sys.stderr)
+            time.sleep(120)
+            details.update(
+                soft_phase("query", bench_query, blob, offsets, values, voffs, Q, iters))
     # phase order tracks key priority: postlen1k and mesh carry
     # driver-required detail keys; the api phases are supplementary and run
     # last so an erratically slow host sheds them first
@@ -768,12 +825,15 @@ def main():
             soft_phase("api", bench_api, blob, offsets, values, voffs)
         )
 
-    details["spreads"] = _SPREADS  # [min, median, max] per metric, 3 reps
+    details["spreads"] = _SPREADS  # [min, median, max] per metric, 5 reps
+    lookup_qps = details.get("lookup_qps", 0.0)
+    if "lookup_qps" not in details:
+        details.setdefault("error", "query phase failed after retry")
     out = {
         "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,
-        "value": details["lookup_qps"],
+        "value": lookup_qps,
         "unit": "queries/sec",
-        "vs_baseline": round(details["lookup_qps"] / 100_000, 3),
+        "vs_baseline": round(lookup_qps / 100_000, 3),
         "details": details,
     }
     print(json.dumps(out))
