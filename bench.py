@@ -582,6 +582,46 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
     return out
 
 
+def bench_checkpoint(corpus, cold_build_s, path="/tmp/tpi_bench.ckpt"):
+    """Serving-snapshot checkpoint warm start: persist the compact host
+    tables, reload, re-upload. `checkpoint_warm_start_s` (load + device
+    upload) is what a restart pays instead of `checkpoint_cold_build_s`
+    (encode + hash build + upload; a real restart also skips the segment
+    k-way merge, which this arrays-based corpus doesn't include)."""
+    import jax
+
+    from inverted_index_2_tpu.models.checkpoint import load_checkpoint, save_tables
+    from inverted_index_2_tpu.models.query_engine import (
+        build_host_tables,
+        upload_tables,
+    )
+
+    t0 = time.monotonic()
+    tables = build_host_tables(*corpus)
+    host_build_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    save_tables(tables, path)
+    save_s = time.monotonic() - t0
+    size_mb = os.path.getsize(path) / 1e6
+    t0 = time.monotonic()
+    tables2, _ = load_checkpoint(path)
+    load_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    snap = upload_tables(tables2)
+    jax.device_get(snap.blocks[-1, -1])  # fence the arena expansion
+    upload_s = time.monotonic() - t0
+    os.unlink(path)
+    return {
+        "checkpoint_mb": round(size_mb, 1),
+        "checkpoint_save_s": round(save_s, 3),
+        "checkpoint_load_s": round(load_s, 3),
+        "checkpoint_upload_s": round(upload_s, 3),
+        "checkpoint_warm_start_s": round(load_s + upload_s, 3),
+        "checkpoint_cold_build_s": round(cold_build_s, 3),
+        "checkpoint_host_tables_s": round(host_build_s, 3),
+    }
+
+
 def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", snap=None):
     """END-TO-END QueryEngine.boolean throughput: includes Python-side query
     packing, dispatch, result download, and exact ladder re-serves of
@@ -796,6 +836,7 @@ def main():
     # driver-required detail keys; the api phases are supplementary and run
     # last so an erratically slow host sheds them first
     b2 = snap1k = None
+    build1k_s = 0.0
     if not over_budget("postlen1k"):
         try:
             n1k = int(os.environ.get("BENCH_POSTLEN1K_TERMS", 32_000))
@@ -813,6 +854,8 @@ def main():
                 Q=1024, iters=2, L=2048, name="api_postlen1k", snap=snap1k,
             )
         )
+    if b2 is not None and not over_budget("checkpoint"):
+        details.update(soft_phase("checkpoint", bench_checkpoint, b2, build1k_s))
     # free the postlen1k corpus (~GB device + host at the 200k-term
     # variant) BEFORE the mesh pass builds its per-device tables
     del snap1k, b2

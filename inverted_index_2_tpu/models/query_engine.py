@@ -115,26 +115,66 @@ def _expand_arena(wpad, flat, stride: int):
     return _expand_arena_step(wpad, flat, col)
 
 
-def build_snapshot_arrays(
+@dataclass
+class HostTables:
+    """Compact host-side image of one snapshot build: everything needed to
+    (re)materialize an IndexSnapshot on device WITHOUT touching segment
+    files — the checkpoint payload (models/checkpoint.py). `words` is the
+    block-compressed postings stream; `flat` the per-block word offsets
+    WITHOUT the device slack rows (upload_tables appends those when it
+    picks an aligned arena layout). The expanded arena never lives here:
+    it is up to ~10x the compressed words and is rebuilt by one device
+    gather at upload."""
+
+    keys: np.ndarray      # (N, W+1) uint32 packed term keys
+    words: np.ndarray     # (T,) uint32 compressed postings stream
+    flat: np.ndarray      # (B,) int32 per-block word offsets
+    tbs: np.ndarray       # (N+1,) int32 term -> first block row
+    counts: np.ndarray    # (N,) int32 posting-list lengths
+    removed: np.ndarray   # (R,) uint32 sorted tombstones
+    slots: np.ndarray     # (S,) int32 linear-probe hash table (-1 empty)
+    max_probes: int       # static probe bound of `slots`
+    max_count: int        # longest posting list
+    width: int            # W (words per packed term, excl. length word)
+    max_bw: int           # widest block in words (pre-alignment stride - 1)
+
+    @property
+    def n_terms(self) -> int:
+        return int(self.keys.shape[0])
+
+
+def _empty_tables(width: int, removed: Optional[np.ndarray] = None) -> HostTables:
+    return HostTables(
+        keys=np.zeros((0, width + 1), dtype=np.uint32),
+        words=np.zeros(0, dtype=np.uint32),
+        flat=np.zeros(0, dtype=np.int32),
+        tbs=np.zeros(1, dtype=np.int32),
+        counts=np.zeros(0, dtype=np.int32),
+        removed=(
+            np.sort(np.asarray(removed, dtype=np.uint32))
+            if removed is not None else np.zeros(0, np.uint32)
+        ),
+        slots=np.full(8, -1, dtype=np.int32),
+        max_probes=1,
+        max_count=0,
+        width=width,
+        max_bw=3,
+    )
+
+
+def build_host_tables(
     blob, offsets, values, voffs, removed=None, width=None, build_hash: bool = True,
-    stride_align: Optional[int] = None,
-):
-    """Lower merged (blob, offsets, values, voffs) arrays to device tables.
+) -> HostTables:
+    """Lower merged (blob, offsets, values, voffs) arrays to compact host
+    tables (the pure-host half of build_snapshot_arrays).
 
     build_hash=False skips hash-table construction (the mesh stacker builds
     per-device tables at a common size itself — building here too would be
-    duplicated O(N) work).
-
-    stride_align: None = AUTO — on a TPU backend, align the arena stride to
-    128 lanes (enabling the fused Pallas AND kernel's in-kernel DMA) when
-    that costs at most 2x the compact stride; corpora with tiny blocks
-    (short posting lists, where alignment would inflate the arena up to
-    ~25x and the padded XLA paths are already fast) stay compact. Explicit
-    1 forces compact, 128 forces aligned. TPI_PALLAS_AND=0 disables auto."""
+    duplicated O(N) work)."""
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if n == 0:
-        return _empty_snapshot(width or 1)
+        return _empty_tables(width or 1, removed)
     blob_arr = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, bytes) else blob
     keys = keys_mod.pack_blob(blob_arr, offsets, width)
     W = keys.shape[1] - 1
@@ -172,7 +212,47 @@ def build_snapshot_arrays(
     h_nblk = ((headers >> 8) & 0xFF).astype(np.int64)
     blk_words = 2 + packing._packed_words(h_nblk, h_b)
     max_bw = int(blk_words.max()) if len(blk_words) else 3
-    stride = max(4, max_bw + 1)
+
+    rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
+    if build_hash:
+        slots, max_probes = hashing.build_table_with_probes(keys)
+    else:
+        slots = np.full(8, -1, dtype=np.int32)
+        max_probes = 1
+    return HostTables(
+        keys=keys,
+        words=words,
+        flat=flat,
+        tbs=tbs,
+        counts=counts.astype(np.int32),
+        removed=rem,
+        slots=np.asarray(slots, dtype=np.int32),
+        max_probes=max_probes,
+        max_count=int(counts.max()) if len(counts) else 0,
+        width=W,
+        max_bw=max_bw,
+    )
+
+
+def upload_tables(
+    t: HostTables, stride_align: Optional[int] = None
+) -> IndexSnapshot:
+    """Materialize compact host tables on the default device (the upload
+    half of build_snapshot_arrays): ship words + offsets, expand the block
+    arena with one device gather.
+
+    stride_align: None = AUTO — on a TPU backend, align the arena stride to
+    128 lanes (enabling the fused Pallas AND kernel's in-kernel DMA) when
+    that costs at most 2x the compact stride; corpora with tiny blocks
+    (short posting lists, where alignment would inflate the arena up to
+    ~25x and the padded XLA paths are already fast) stay compact. Explicit
+    1 forces compact, 128 forces aligned. TPI_PALLAS_AND=0 disables auto."""
+    if t.n_terms == 0:
+        snap = _empty_snapshot(t.width or 1)
+        snap.removed = jnp.asarray(t.removed)
+        return snap
+    words, flat = t.words, t.flat
+    stride = max(4, t.max_bw + 1)
     if stride_align is None:
         aligned = -(-stride // 128) * 128
         auto_ok = (
@@ -197,25 +277,30 @@ def build_snapshot_arrays(
     flat_dev = jnp.asarray(flat)
     arena = _expand_arena(wpad_dev, flat_dev, stride)
 
-    rem = np.sort(np.asarray(removed, dtype=np.uint32)) if removed is not None else np.zeros(0, np.uint32)
-    if build_hash:
-        slots, max_probes = hashing.build_table_with_probes(keys)
-    else:
-        slots = np.full(8, -1, dtype=np.int32)
-        max_probes = 1
-    counts32 = counts.astype(np.int32)
     return IndexSnapshot(
-        keys=jnp.asarray(keys),
+        keys=jnp.asarray(t.keys),
         blocks=jnp.asarray(arena),
-        term_block_start=jnp.asarray(tbs),
-        counts=jnp.asarray(counts32),
-        removed=jnp.asarray(rem),
-        width=W,
-        hash_slots=jnp.asarray(slots),
-        max_probes=max_probes,
-        max_count=int(counts.max()) if len(counts) else 0,
-        host_counts=counts32,
+        term_block_start=jnp.asarray(t.tbs),
+        counts=jnp.asarray(t.counts),
+        removed=jnp.asarray(t.removed),
+        width=t.width,
+        hash_slots=jnp.asarray(t.slots),
+        max_probes=t.max_probes,
+        max_count=t.max_count,
+        host_counts=t.counts,
         arena_aligned=stride_align > 1,
+    )
+
+
+def build_snapshot_arrays(
+    blob, offsets, values, voffs, removed=None, width=None, build_hash: bool = True,
+    stride_align: Optional[int] = None,
+):
+    """Lower merged (blob, offsets, values, voffs) arrays to device tables
+    (build_host_tables + upload_tables; see those for the knobs)."""
+    return upload_tables(
+        build_host_tables(blob, offsets, values, voffs, removed, width, build_hash),
+        stride_align,
     )
 
 
@@ -310,14 +395,14 @@ class _SnapshotTier:
         return self._vals, np.diff(self._voffs), self._voffs
 
 
-def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = None) -> IndexSnapshot:
-    """Freeze an InvertedIndex into a device snapshot.
+def snapshot_tables(index, apply_removed: bool = False, width: Optional[int] = None) -> HostTables:
+    """Freeze an InvertedIndex into compact HOST tables (the pure-host half
+    of snapshot_index — also the checkpoint payload, models/checkpoint.py).
 
-    Pins all segments of all shards, merges them logically (global sorted
-    terms + unioned values — the same array program as compaction), encodes
-    postings with the block codec and uploads the tables to the default
-    device. Equivalent read semantics to Read(nil, nil).
-    """
+    Pins all segments of all shards and merges them logically (global
+    sorted terms + unioned values — the same array program as compaction),
+    then encodes postings with the block codec. Equivalent read semantics
+    to Read(nil, nil)."""
     from ..segment.registry import Segments
 
     views, pinned_all, removed_parts = [], [], []
@@ -335,16 +420,20 @@ def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = No
         np.sort(np.concatenate(removed_parts)) if removed_parts else np.zeros(0, np.uint32)
     )
     if merged is None:
-        snap = _empty_snapshot(width or 1)
-        snap.removed = jnp.asarray(removed)
-        return snap
+        return _empty_tables(width or 1, removed)
     if apply_removed and len(removed):
         merged = _purge_merged(merged, removed)
         if merged is None:
-            return _empty_snapshot(width or 1)
+            return _empty_tables(width or 1)
         removed = np.zeros(0, np.uint32)
     blob, offsets, values, voffs = merged
-    return build_snapshot_arrays(blob, offsets, values, voffs, removed, width)
+    return build_host_tables(blob, offsets, values, voffs, removed, width)
+
+
+def snapshot_index(index, apply_removed: bool = False, width: Optional[int] = None) -> IndexSnapshot:
+    """Freeze an InvertedIndex into a device snapshot (snapshot_tables +
+    upload_tables)."""
+    return upload_tables(snapshot_tables(index, apply_removed=apply_removed, width=width))
 
 
 # ---------------------------------------------------------------------------
@@ -826,6 +915,41 @@ class QueryEngine:
         eng._fingerprint = fp
         eng._main_fp = fp
         return eng
+
+    @classmethod
+    def from_checkpoint(cls, path: str, index=None, L: int = 1024, **kw):
+        """Warm-start a serving engine from a checkpoint written by
+        models.checkpoint.save_checkpoint: load the compact host tables,
+        upload (one gather expands the arena on device) — skipping the
+        segment scan / merge / re-encode / hash build of from_index.
+
+        With `index` given, the checkpoint is reconciled against the LIVE
+        index through the normal refresh lifecycle: unchanged fingerprint =
+        no extra work, additive drift = O(delta) incremental tier, merged-
+        away segments or tombstone drift (under apply_removed) = full
+        rebuild. Without `index`, the engine serves the checkpointed state
+        as-is."""
+        from .checkpoint import load_checkpoint, load_fingerprint
+
+        t, meta = load_checkpoint(path)
+        eng = cls(upload_tables(t), L=L, **kw)
+        fp = load_fingerprint(meta)
+        eng._fingerprint = fp
+        eng._main_fp = fp
+        if index is not None:
+            eng.refresh(index, apply_removed=bool(meta["apply_removed"]))
+        return eng
+
+    def save_checkpoint(self, index, path: str, apply_removed: bool = False) -> dict:
+        """Persist this index's CURRENT state as a warm-start checkpoint
+        (see models/checkpoint.py). Convenience wrapper: the freeze runs
+        from the live index (host tables are not retained on the engine —
+        they are the compressed-postings-sized half of a rebuild). Key
+        width is re-derived from the corpus, not pinned to this engine's:
+        terms grown past snap.width*4 bytes must widen, or they'd alias."""
+        from .checkpoint import save_checkpoint as _save
+
+        return _save(index, path, apply_removed=apply_removed)
 
     def refresh(self, index, apply_removed: bool = False) -> bool:
         """Re-freeze from the live index (serve/refresh lifecycle: queries

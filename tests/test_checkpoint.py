@@ -1,0 +1,166 @@
+"""Snapshot checkpointing: a saved+loaded engine must be indistinguishable
+from a freshly built one (warm-start is a cache, never a semantic change),
+and a STALE checkpoint must reconcile through the normal refresh lifecycle
+— no-op / O(delta) tier / full rebuild — not serve stale results.
+
+Reference analogue: reopen-equivalence of the on-disk index
+(/root/reference/shard_test.go:40-63); the checkpoint adds the same
+guarantee one level up, for the device serving tables."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from inverted_index_2_tpu import InvertedIndex
+from inverted_index_2_tpu.models.checkpoint import (
+    load_checkpoint,
+    load_fingerprint,
+    save_checkpoint,
+)
+from inverted_index_2_tpu.models.query_engine import (
+    QueryEngine,
+    _index_fingerprint,
+    snapshot_tables,
+)
+
+from test_query_engine import build_index
+
+
+def _assert_same_results(eng_a, eng_b, truth, extra_missing=(b"missing",)):
+    terms = sorted(truth.keys()) + list(extra_missing)
+    got_a = eng_a.lookup(terms)
+    got_b = eng_b.lookup(terms)
+    for t, a, b in zip(terms, got_a, got_b):
+        if a is None:
+            assert b is None, t
+        else:
+            assert b is not None and a.tolist() == b.tolist(), t
+    # range read + prefix search parity
+    ra = [(t, v.tolist()) for t, v in eng_a.read_range(None, None)]
+    rb = [(t, v.tolist()) for t, v in eng_b.read_range(None, None)]
+    assert ra == rb
+    pa = eng_a.prefix_search([b"term0", b"nope"])
+    pb = eng_b.prefix_search([b"term0", b"nope"])
+    assert set(pa) == set(pb)
+    for k in pa:
+        assert pa[k].tolist() == pb[k].tolist()
+
+
+def test_checkpoint_roundtrip_tables(tmp_path, rng):
+    ii, _ = build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "snap.ckpt")
+    meta = save_checkpoint(ii, path)
+    t_fresh = snapshot_tables(ii)
+    t_loaded, meta2 = load_checkpoint(path)
+    assert meta2["n_terms"] == t_fresh.n_terms == meta["n_terms"]
+    for name in ("keys", "words", "flat", "tbs", "counts", "removed", "slots"):
+        np.testing.assert_array_equal(
+            getattr(t_loaded, name), getattr(t_fresh, name), err_msg=name
+        )
+    for name in ("max_probes", "max_count", "width", "max_bw"):
+        assert getattr(t_loaded, name) == getattr(t_fresh, name), name
+    assert load_fingerprint(meta2) == _index_fingerprint(ii, False)
+    # no tmp litter after a successful publish
+    assert not (tmp_path / "snap.ckpt.tmp").exists()
+
+
+def test_from_checkpoint_serves_identically(tmp_path, rng):
+    ii, truth = build_index(tmp_path / "idx", rng)
+    ii.put_removed([3, 4])
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    fresh = QueryEngine.from_index(ii, L=256)
+    warm = QueryEngine.from_checkpoint(path, L=256)
+    _assert_same_results(fresh, warm, truth)
+    # tombstone array survived the round trip (filter_removed parity)
+    f = fresh.lookup(sorted(truth.keys()), filter_removed=True)
+    w = warm.lookup(sorted(truth.keys()), filter_removed=True)
+    for t, a, b in zip(sorted(truth.keys()), f, w):
+        assert (a is None) == (b is None), t
+        if a is not None:
+            assert a.tolist() == b.tolist(), t
+
+
+def test_from_checkpoint_unchanged_index_is_noop(tmp_path, rng):
+    ii, truth = build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256)
+    assert warm.delta is None  # fingerprint matched: no refresh work
+    assert warm._fingerprint == _index_fingerprint(ii, False)
+    fresh = QueryEngine.from_index(ii, L=256)
+    _assert_same_results(fresh, warm, truth)
+
+
+def test_stale_checkpoint_additive_drift_uses_delta(tmp_path, rng):
+    ii, truth = build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    # additive drift after the save: new docs only
+    ii.put([b"term000", b"brandnew"], 999)
+    truth.setdefault(b"term000", set()).add(999)
+    truth.setdefault(b"brandnew", set()).add(999)
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256)
+    assert warm.delta is not None  # additive drift -> incremental tier
+    for t in (b"term000", b"brandnew"):
+        got = warm.lookup([t])[0]
+        assert got is not None and got.tolist() == sorted(truth[t]), t
+    fresh = QueryEngine.from_index(ii, L=256)
+    _assert_same_results(fresh, warm, truth)
+
+
+def test_stale_checkpoint_after_merge_full_rebuild(tmp_path, rng):
+    ii, truth = build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    # merge away the checkpointed segments: delta precondition broken
+    ii.put_removed([1, 2])
+    while ii.merge(2, 100, 2) > 0:
+        pass
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256)
+    assert warm.delta is None  # full rebuild path
+    fresh = QueryEngine.from_index(ii, L=256)
+    truth = {t: d for t, d in truth.items()}
+    _assert_same_results(fresh, warm, truth)
+
+
+def test_checkpoint_apply_removed(tmp_path, rng):
+    ii, truth = build_index(tmp_path / "idx", rng, n_docs=30)
+    ii.put_removed([5, 6])
+    path = str(tmp_path / "snap.ckpt")
+    meta = save_checkpoint(ii, path, apply_removed=True)
+    assert meta["apply_removed"] is True
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256)
+    for t, docs in truth.items():
+        want = sorted(docs - {5, 6})
+        got = warm.lookup([t])[0]
+        if want:
+            assert got is not None and got.tolist() == want, t
+        else:
+            assert got is None, t
+
+
+def test_checkpoint_empty_index(tmp_path):
+    ii = InvertedIndex(str(tmp_path / "idx"))
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256)
+    assert warm.snap.n_terms == 0
+    assert warm.lookup([b"anything"]) == [None]
+
+
+def test_corrupt_checkpoint_raises_value_error(tmp_path, rng):
+    ii, _ = build_index(tmp_path / "idx", rng, n_docs=5)
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    # a foreign npz: valid archive, wrong contents
+    foreign = str(tmp_path / "foreign.npz")
+    np.savez(foreign, a=np.arange(3))
+    with pytest.raises((ValueError, KeyError)):
+        load_checkpoint(foreign)
+    # truncated file: numpy raises its own error, never a wrong result
+    raw = open(path, "rb").read()
+    bad = str(tmp_path / "trunc.ckpt")
+    open(bad, "wb").write(raw[: len(raw) // 2])
+    with pytest.raises(Exception):
+        load_checkpoint(bad)
