@@ -150,11 +150,14 @@ def build_sharded_snapshot(
 ) -> ShardedSnapshot:
     """Freeze an InvertedIndex into per-device partitions along `mesh`'s
     shard axis. Shard dirs are routed to devices by contiguous shard-key
-    ranges cut at ~equal term counts (global term order = device order for
-    terms >= 2 bytes; see balanced_ranges for the skew rationale)."""
+    ranges cut at ~equal block volume (global term order = device order for
+    terms >= 2 bytes; see balanced_ranges for the skew rationale). The
+    partitions are built as HOST tables and stacked before any device
+    touch: only compressed words cross the wire, and the padded arenas
+    expand with one sharded device gather (stack_tables)."""
     n_dev = mesh.shape[SHARD_AXIS]
     ranges = balanced_ranges(index, n_dev)
-    parts: List[qe.IndexSnapshot] = []
+    parts: List[qe.HostTables] = []
     for r in ranges:
         views = []
         for sh in index._snapshot():
@@ -168,13 +171,160 @@ def build_sharded_snapshot(
                 )
         merged = merge_views(views, None)
         if merged is None:
-            parts.append(qe._empty_snapshot(width or 1))
+            parts.append(qe._empty_tables(width or 1))
         else:
             blob, offsets, values, voffs = merged
             parts.append(
-                qe.build_snapshot_arrays(blob, offsets, values, voffs, None, width, build_hash=False)
+                qe.build_host_tables(blob, offsets, values, voffs, None, width, build_hash=False)
             )
-    return stack_partitions(parts, mesh)
+    return stack_tables(parts, mesh)
+
+
+def partition_tables(t: "qe.HostTables", n_dev: int) -> List["qe.HostTables"]:
+    """Cut ONE global HostTables (e.g. a loaded checkpoint,
+    models/checkpoint.py) into `n_dev` contiguous TERM ranges balanced by
+    BLOCK volume — the same skew rationale as balanced_ranges, but cutting
+    in term space directly (no index needed): contiguity preserves global
+    term order across devices, and any disjoint contiguous cut keeps the
+    single-owner-per-term exactness of the psum merge.
+
+    Partition hash tables are NOT built here (slots stay empty):
+    stack_tables builds per-device tables at one common size over the
+    WIDENED key rows."""
+    N = t.n_terms
+    if N == 0:
+        return [qe._empty_tables(t.width) for _ in range(n_dev)]
+    tbs64 = t.tbs.astype(np.int64)
+    cum = tbs64[1:]  # cumulative block rows after each term
+    total = int(cum[-1])
+    bounds = [0]
+    for d in range(1, n_dev):
+        cut = int(np.searchsorted(cum, total * d // n_dev, side="left")) + 1
+        bounds.append(min(max(cut, bounds[-1]), N))
+    bounds.append(N)
+    parts: List[qe.HostTables] = []
+    for d in range(n_dev):
+        t0, t1 = bounds[d], bounds[d + 1]
+        if t1 <= t0:
+            parts.append(qe._empty_tables(t.width))
+            continue
+        parts.append(_slice_tables(t, t0, t1))
+    return parts
+
+
+def _slice_tables(t: "qe.HostTables", t0: int, t1: int) -> "qe.HostTables":
+    """Term-range [t0, t1) slice of HostTables (host-only, no hash)."""
+    N = t.n_terms
+    tbs64 = t.tbs.astype(np.int64)
+    b0, b1 = int(tbs64[t0]), int(tbs64[t1])
+    w0 = int(t.flat[b0]) - 1  # count word precedes the first block
+    w1 = int(t.flat[b1]) - 1 if t1 < N else len(t.words)
+    counts = t.counts[t0:t1]
+    return qe.HostTables(
+        keys=t.keys[t0:t1],
+        words=t.words[w0:w1],
+        flat=(t.flat[b0:b1] - w0).astype(np.int32),
+        tbs=(t.tbs[t0 : t1 + 1] - t.tbs[t0]).astype(np.int32),
+        counts=counts,
+        removed=np.zeros(0, np.uint32),  # tombstones replicate engine-side
+        slots=np.full(8, -1, dtype=np.int32),
+        max_probes=1,
+        max_count=int(counts.max()) if len(counts) else 0,
+        width=t.width,
+        # global max_bw: every partition shares one stride anyway (the
+        # stacked arena is (D, Bmax, stride)); per-part recompute would
+        # just be re-derived as the max at stack time
+        max_bw=t.max_bw,
+    )
+
+
+def _pad_table_keys(keys: np.ndarray, Nmax: int, W: int) -> np.ndarray:
+    """Pad a (n, w+1) key matrix to (Nmax, W+1) with _PAD_WORD rows,
+    widening real rows by zero-filling before the length word."""
+    n, w1 = keys.shape
+    out = np.full((Nmax, W + 1), _PAD_WORD, dtype=np.uint32)
+    if n:
+        out[:n, : w1 - 1] = keys[:, :-1]
+        out[:n, w1 - 1 : W] = 0
+        out[:n, W] = keys[:, -1]
+    return out
+
+
+def stack_tables(parts: List["qe.HostTables"], mesh: Mesh) -> ShardedSnapshot:
+    """Pad host-table partitions to a common shape, build per-device hash
+    tables at one power-of-two size, ship ONLY the compressed words, and
+    expand every device's block arena with one sharded gather on device —
+    the warm half of build_sharded_snapshot / the mesh checkpoint load.
+
+    Stride stays compact (no 128-lane alignment): the mesh query steps are
+    XLA programs (gathers are stride-insensitive); the Pallas fused kernel
+    is a single-chip path."""
+    from ..codec import hashing, native
+
+    W = max(p.width for p in parts)
+    Nmax = max(max(p.n_terms for p in parts), 1)
+    Bmax = max(max(len(p.flat) for p in parts), 1)
+    Tmax = max(max(len(p.words) for p in parts), 1)
+    stride = max(4, max(p.max_bw for p in parts) + 1)
+    S = hashing.table_size(Nmax)
+
+    keys_pad, tbs_pad, counts_pad, flat_pad, words_pad = [], [], [], [], []
+    tables, probes = [], 1
+    for p in parts:
+        n = p.n_terms
+        kp = _pad_table_keys(p.keys, Nmax, W)
+        keys_pad.append(kp)
+        tbs = np.zeros(Nmax + 1, dtype=np.int32)
+        tbs[: len(p.tbs)] = p.tbs
+        tbs[len(p.tbs) :] = p.tbs[-1] if len(p.tbs) else 0
+        tbs_pad.append(tbs)
+        c = np.zeros(Nmax, dtype=np.int32)
+        c[:n] = p.counts
+        counts_pad.append(c)
+        # pad rows point one past the real words: the zero tail decodes as
+        # an empty block and is unreachable anyway (tbs caps real rows)
+        fl = np.full(Bmax, len(p.words), dtype=np.int32)
+        fl[: len(p.flat)] = p.flat
+        flat_pad.append(fl)
+        wp = np.zeros(Tmax + stride, dtype=np.uint32)
+        wp[: len(p.words)] = p.words
+        words_pad.append(wp)
+        slots = np.full(S, -1, dtype=np.int32)
+        if n:
+            h = hashing.hash_rows_np(kp[:n])
+            if native.available():
+                slots, mp = native.hash_build_with_probes(h, S=S)
+                probes = max(probes, mp)
+            else:
+                mask = np.uint32(S - 1)
+                for i, hv in enumerate(h):
+                    pos = np.uint32(hv) & mask
+                    while slots[pos] >= 0:
+                        pos = (pos + np.uint32(1)) & mask
+                    slots[pos] = i
+                probes = max(probes, hashing.max_probe_len(slots, h))
+        tables.append(slots)
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    wp_dev = jax.device_put(np.stack(words_pad, axis=0), shard)
+    fl_dev = jax.device_put(np.stack(flat_pad, axis=0), shard)
+    col = jnp.arange(stride, dtype=jnp.int32)
+    expand = jax.jit(
+        jax.vmap(lambda w, f: w[f[:, None] + col[None, :]]),
+        out_shardings=shard,
+    )
+    blocks = expand(wp_dev, fl_dev)
+    return ShardedSnapshot(
+        keys=jax.device_put(np.stack(keys_pad, axis=0), shard),
+        blocks=blocks,
+        term_block_start=jax.device_put(np.stack(tbs_pad, axis=0), shard),
+        counts=jax.device_put(np.stack(counts_pad, axis=0), shard),
+        hash_slots=jax.device_put(np.stack(tables, axis=0), shard),
+        mesh=mesh,
+        width=W,
+        max_probes=probes,
+        max_count=max(p.max_count for p in parts),
+    )
 
 
 def stack_partitions(parts: List[qe.IndexSnapshot], mesh: Mesh) -> ShardedSnapshot:

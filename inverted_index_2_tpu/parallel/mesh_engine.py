@@ -59,6 +59,49 @@ class MeshQueryEngine:
         keys_last = np.asarray(self.snap.keys[:, :, -1])
         self._main_n_terms = int((keys_last != pm._PAD_WORD).sum())
 
+    @classmethod
+    def from_checkpoint(cls, path: str, index=None, mesh=None,
+                        L: int = 1024, q_bucket: int = 256):
+        """Warm-start mesh serving from a checkpoint written by
+        models.checkpoint.save_checkpoint: the global host tables are cut
+        into per-device term ranges balanced by block volume
+        (partition_tables) and stacked with one sharded upload — no
+        segment scan, merge, or re-encode. With `index` given, drift since
+        the save reconciles through the normal refresh lifecycle.
+
+        Only apply_removed=False checkpoints are servable here: the mesh
+        engine filters tombstones per query (replicated `removed`), and a
+        purged build would change the delta/purge baseline semantics."""
+        from ..models.checkpoint import load_checkpoint, load_fingerprint
+
+        t, meta = load_checkpoint(path)
+        if meta["apply_removed"]:
+            raise ValueError(
+                "mesh serving needs an apply_removed=False checkpoint "
+                "(tombstones filter per query on the mesh)"
+            )
+        eng = cls.__new__(cls)
+        eng.mesh = mesh if mesh is not None else pm.default_mesh()
+        eng.L = L
+        eng.q_bucket = q_bucket
+        D = eng.mesh.shape[pm.SHARD_AXIS]
+        eng.snap = pm.stack_tables(pm.partition_tables(t, D), eng.mesh)
+        eng.delta = None
+        eng._removed = jnp.asarray(t.removed)
+        fp = load_fingerprint(meta)
+        eng._fingerprint = fp
+        eng._main_fp = fp
+        eng._base_map = (
+            {} if fp is None else {k: frozenset(segs) for k, segs, _rl in fp[1]}
+        )
+        eng._main_n_terms = t.n_terms
+        if index is not None:
+            if fp is None:
+                eng._full_build(index)
+            else:
+                eng.refresh(index)
+        return eng
+
     def refresh(self, index) -> bool:
         """Re-freeze from the live index; no-op (False) when unchanged.
         Purely-additive changes upload only the new segments as a delta
@@ -74,6 +117,8 @@ class MeshQueryEngine:
         return True
 
     def _try_delta_refresh(self, index, fp) -> bool:
+        if self._main_fp is None:  # fingerprint-less warm start
+            return False
         main_shards = {k: segs for k, segs, _rl in self._main_fp[1]}
         for key, segs, _rl in fp[1]:
             if not set(main_shards.get(key, ())).issubset(segs):

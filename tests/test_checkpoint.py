@@ -164,3 +164,65 @@ def test_corrupt_checkpoint_raises_value_error(tmp_path, rng):
     open(bad, "wb").write(raw[: len(raw) // 2])
     with pytest.raises(Exception):
         load_checkpoint(bad)
+
+
+def test_checkpoint_during_concurrent_writes(tmp_path):
+    """save_checkpoint while writers + a merger run: pin_all freezes a
+    consistent state (every seed doc present, no torn reads, loadable),
+    mirroring the reference's goroutine-storm discipline
+    (/root/reference/inverted_index_test.go:84-138)."""
+    import threading
+
+    ii = InvertedIndex(str(tmp_path / "idx"))
+    seed_terms = [f"seed{i:02d}".encode() for i in range(8)]
+    for doc in range(1, 20):
+        ii.put([seed_terms[doc % 8], b"base"], doc)
+
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        doc = 1000
+        try:
+            while not stop.is_set():
+                ii.put([seed_terms[doc % 8], f"w{doc}".encode()], doc)
+                doc += 1
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def merger():
+        try:
+            while not stop.is_set():
+                ii.merge(2, 4, 1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=merger)]
+    for t in threads:
+        t.start()
+    paths = []
+    try:
+        for i in range(3):
+            p = str(tmp_path / f"live{i}.ckpt")
+            save_checkpoint(ii, p)
+            paths.append(p)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errs, errs
+
+    final_truth = {}
+    from inverted_index_2_tpu import to_slice
+
+    for tv in to_slice(ii.read(None, None)):
+        final_truth[tv.term] = set(tv.values.tolist())
+    for p in paths:
+        eng = QueryEngine.from_checkpoint(p, L=256)
+        got = eng.lookup(seed_terms)
+        for t, g in zip(seed_terms, got):
+            assert g is not None, t
+            vals = set(g.tolist())
+            # every pre-storm doc present; nothing outside the final truth
+            assert {d for d in range(1, 20) if seed_terms[d % 8] == t} <= vals, t
+            assert vals <= final_truth[t], t

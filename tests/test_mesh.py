@@ -281,3 +281,44 @@ def test_balanced_ranges_by_blocks_fix_skew(tmp_path, mesh8):
     # serving still correct on the block-balanced split
     got = pm.sharded_prefix_search(build_with(rs_blocks), [b"aa"], L=1024)
     assert len(got[b"aa"]) == 599
+
+
+def test_partition_tables_balance_and_structure(rng):
+    """partition_tables cuts contiguous term ranges at ~equal BLOCK volume
+    and each slice is a self-consistent HostTables (count words line up,
+    offsets rebase exactly)."""
+    from inverted_index_2_tpu.models.query_engine import build_host_tables
+
+    n = 300
+    terms = sorted(f"k{i:04d}".encode() for i in range(n))
+    blob = b"".join(terms)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in terms], out=offsets[1:])
+    lens = rng.geometric(1 / 50, size=n).astype(np.int64) + 1
+    lens[::37] = 2000  # skew: a few 16-block lists among 1-block ones
+    vals = [
+        np.sort(rng.choice(100_000, size=int(l), replace=False)).astype(np.uint32)
+        for l in lens
+    ]
+    values = np.concatenate(vals)
+    voffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=voffs[1:])
+    t = build_host_tables(np.frombuffer(blob, np.uint8), offsets, values, voffs)
+
+    parts = pm.partition_tables(t, 4)
+    assert sum(p.n_terms for p in parts) == n
+    np.testing.assert_array_equal(
+        np.concatenate([p.keys for p in parts if p.n_terms]), t.keys
+    )
+    rows = [int(p.tbs[-1]) for p in parts]
+    ideal = sum(rows) / 4
+    per_term_blocks = np.diff(t.tbs.astype(np.int64))
+    # a cut lands within one term of the ideal boundary
+    assert max(rows) <= ideal + int(per_term_blocks.max())
+    for p in parts:
+        if p.n_terms == 0:
+            continue
+        # every term's count word sits one before its first block
+        firsts = p.flat[p.tbs[:-1].astype(np.int64)].astype(np.int64)
+        np.testing.assert_array_equal(p.words[firsts - 1], p.counts)
+        assert int(p.flat[0]) == 1  # words slice starts at the count word

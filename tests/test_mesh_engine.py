@@ -121,3 +121,65 @@ def test_mesh_engine_refresh_delta_and_promote(tmp_path, mesh8):
         chip2.lookup([vocab[0], b"zz-new-term"]),
         "post-merge",
     )
+
+
+def test_mesh_engine_from_checkpoint(tmp_path, mesh8):
+    """Warm-started mesh serving (checkpoint -> partition_tables ->
+    stack_tables) must be indistinguishable from a fresh build, and a
+    stale checkpoint must reconcile through refresh."""
+    from inverted_index_2_tpu.models.checkpoint import save_checkpoint
+
+    rng = np.random.default_rng(17)
+    ii, vocab = _build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "serve.ckpt")
+    save_checkpoint(ii, path)
+
+    fresh = MeshQueryEngine(ii, mesh=mesh8, L=128, q_bucket=16)
+    warm = MeshQueryEngine.from_checkpoint(
+        path, index=ii, mesh=mesh8, L=128, q_bucket=16
+    )
+    assert warm.delta is None  # fingerprint matched: no refresh work
+    terms = vocab[:20] + [b"@@missing"]
+    for filt in (False, True):
+        _assert_rows_equal(
+            warm.lookup(terms, filter_removed=filt),
+            fresh.lookup(terms, filter_removed=filt),
+            ("ckpt-lookup", filt),
+        )
+    queries = [
+        [vocab[0], vocab[1]],
+        [vocab[2], vocab[3], vocab[4]],
+        [vocab[5], b"@@missing"],
+    ]
+    for op in ("and", "or"):
+        _assert_rows_equal(
+            warm.boolean(queries, op, filter_removed=True),
+            fresh.boolean(queries, op, filter_removed=True),
+            ("ckpt", op),
+        )
+    got_rows = [(t, v.tolist()) for t, v in warm.read_range(None, None)]
+    want_rows = [(t, v.tolist()) for t, v in fresh.read_range(None, None)]
+    assert got_rows == want_rows
+
+    # stale checkpoint: additive drift -> delta tier at load
+    ii.put([vocab[1], b"zz-late"], 500)
+    warm2 = MeshQueryEngine.from_checkpoint(
+        path, index=ii, mesh=mesh8, L=128, q_bucket=16
+    )
+    assert warm2.delta is not None
+    chip = QueryEngine.from_index(ii, L=128, q_bucket=16)
+    _assert_rows_equal(
+        warm2.lookup([vocab[1], b"zz-late"]),
+        chip.lookup([vocab[1], b"zz-late"]),
+        "ckpt-delta",
+    )
+
+    # apply_removed checkpoints are rejected for mesh serving
+    p2 = str(tmp_path / "purged.ckpt")
+    save_checkpoint(ii, p2, apply_removed=True)
+    with pytest.raises(ValueError):
+        MeshQueryEngine.from_checkpoint(p2, mesh=mesh8)
+
+    # without an index: serve the checkpointed state as-is
+    warm3 = MeshQueryEngine.from_checkpoint(path, mesh=mesh8, L=128, q_bucket=16)
+    _assert_rows_equal(warm3.lookup(terms), fresh.lookup(terms), "ckpt-noindex")
