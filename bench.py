@@ -690,16 +690,23 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     import jax
     import jax.numpy as jnp
 
-    from inverted_index_2_tpu.models.query_engine import build_snapshot_arrays
+    from inverted_index_2_tpu.models.query_engine import build_host_tables
     from inverted_index_2_tpu.parallel import mesh as pm
 
     mesh = pm.default_mesh()
-    snap1 = build_snapshot_arrays(blob, offsets, values, voffs)
-    snap = pm.stack_partitions([snap1] * mesh.shape[pm.SHARD_AXIS], mesh)
+    D = mesh.shape[pm.SHARD_AXIS]
+    tables = build_host_tables(blob, offsets, values, voffs)
+    # freeze = pad + hash + ship compressed words + one sharded arena gather
+    # (the host-tables stacking path; every device gets the full corpus so
+    # per-device QPS stays comparable across mesh sizes)
+    t0 = time.monotonic()
+    snap = pm.stack_tables([tables] * D, mesh)
+    _fence(snap.counts[:, -1])
+    freeze_s = time.monotonic() - t0
     lookup = pm.make_sharded_lookup(snap, L)
     rng = np.random.default_rng(7)
-    hk = np.asarray(snap1.keys)
-    n = snap1.n_terms
+    hk = tables.keys
+    n = tables.n_terms
     qk = jnp.asarray(hk[rng.integers(0, n, size=Q)])
     f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
     _fence(jnp.sum(c))
@@ -709,8 +716,11 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     _fence(jnp.sum(c))
     dt = time.monotonic() - t0
     return {
-        "mesh_devices": int(mesh.shape[pm.SHARD_AXIS]),
+        "mesh_devices": int(D),
         "mesh_lookup_qps": round(Q * iters / dt),
+        "mesh_freeze_s": round(freeze_s, 3),
+        "mesh_words_mb": round(D * tables.words.nbytes / 1e6, 1),
+        "mesh_arena_mb": round(snap.blocks.size * 4 / 1e6, 1),
     }
 
 

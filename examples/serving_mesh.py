@@ -96,6 +96,19 @@ def main():
     stream = pm.sharded_read_range(snap, vocab[0], vocab[2], L=128)
     print("mesh range read:", [(t, v.tolist()[:3]) for t, v in stream][:3])
 
+    # --- warm restarts: serving-snapshot checkpoints -----------------------
+    # One file warm-starts BOTH engines; auto-resave keeps it current on
+    # every main-tier rebuild, and a stale file reconciles at load.
+    from inverted_index_2_tpu.models import save_checkpoint
+
+    ckpt = tempfile.mktemp(suffix=".ckpt")
+    save_checkpoint(ii, ckpt)
+    chip = QueryEngine.from_checkpoint(ckpt, index=ii, L=128,
+                                       checkpoint_path=ckpt)  # adopt: auto-resave
+    warm_mesh = MeshQueryEngine.from_checkpoint(ckpt, index=ii, mesh=mesh, L=128)
+    print("warm single-chip:", chip.lookup([b"zz-more-news"])[0].tolist())
+    print("warm mesh:", warm_mesh.lookup([b"zz-more-news"])[0].tolist())
+
 
 if __name__ == "__main__":
     main()

@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
 import os
+import threading
 
 import numpy as np
 
@@ -785,17 +786,56 @@ class QueryEngine:
     # triggers a full rebuild (the LSM analogue of compaction)
     DELTA_FRACTION = 0.25
 
-    def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256):
+    def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256,
+                 checkpoint_path: Optional[str] = None, checkpoint_async: bool = True):
         self.snap = snapshot
         self.delta: Optional[IndexSnapshot] = None  # incremental-refresh tier
         self._removed = snapshot.removed
         self.L = L
         self.q_bucket = q_bucket
+        # auto-checkpointing: with a path set, every MAIN-tier rebuild
+        # (from_index, full refresh, delta promotion) re-persists the warm-
+        # start tables there — serving restarts are always warm with zero
+        # operator action. Delta-only refreshes deliberately do NOT rewrite
+        # it: the stale file reconciles at load via the refresh lifecycle.
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_async = checkpoint_async
+        self._ckpt_lock = threading.Lock()
+        self._ckpt_thread: Optional[threading.Thread] = None
         # module-level jit caches: shared across engine instances so fresh
         # snapshots of same-shaped indexes reuse compiled programs
         self._lookup = _JIT_LOOKUP
         self._boolean = _JIT_BOOLEAN
         self._prefix = _JIT_PREFIX
+
+    def _save_ckpt(self, tables: HostTables, fp) -> None:
+        """Persist `tables` at checkpoint_path (async by default — the npz
+        write is host IO the serving path need not wait on; saves serialize
+        on a lock, and the atomic tmp+rename publish means a reader never
+        sees a torn file)."""
+        if self.checkpoint_path is None:
+            return
+        from .checkpoint import save_tables
+
+        apply_removed = bool(fp[0]) if fp is not None else False
+
+        def run():
+            with self._ckpt_lock:
+                save_tables(tables, self.checkpoint_path, fingerprint=fp,
+                            apply_removed=apply_removed)
+
+        if self.checkpoint_async:
+            t = threading.Thread(target=run, daemon=True, name="tpi-ckpt-save")
+            t.start()
+            self._ckpt_thread = t
+        else:
+            run()
+
+    def checkpoint_wait(self) -> None:
+        """Block until any in-flight async checkpoint save has published."""
+        t = self._ckpt_thread
+        if t is not None:
+            t.join()
 
     def _max_count(self) -> int:
         m = self.snap.max_count
@@ -911,9 +951,11 @@ class QueryEngine:
     @classmethod
     def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
         fp = _index_fingerprint(index, apply_removed)
-        eng = cls(snapshot_index(index, apply_removed=apply_removed), L=L, **kw)
+        t = snapshot_tables(index, apply_removed=apply_removed)
+        eng = cls(upload_tables(t), L=L, **kw)
         eng._fingerprint = fp
         eng._main_fp = fp
+        eng._save_ckpt(t, fp)
         return eng
 
     @classmethod
@@ -928,7 +970,11 @@ class QueryEngine:
         no extra work, additive drift = O(delta) incremental tier, merged-
         away segments or tombstone drift (under apply_removed) = full
         rebuild. Without `index`, the engine serves the checkpointed state
-        as-is."""
+        as-is.
+
+        Pass checkpoint_path=<same path> to also ADOPT the file for
+        auto-resave: every subsequent main-tier rebuild re-persists it
+        (opt-in — the load path may be a read-only location)."""
         from .checkpoint import load_checkpoint, load_fingerprint
 
         t, meta = load_checkpoint(path)
@@ -973,11 +1019,13 @@ class QueryEngine:
         if getattr(self, "_fingerprint", None) is not None and self._try_delta_refresh(index, fp, apply_removed):
             self._fingerprint = fp
             return True
-        self.snap = snapshot_index(index, apply_removed=apply_removed)
+        t = snapshot_tables(index, apply_removed=apply_removed)
+        self.snap = upload_tables(t)
         self.delta = None
         self._removed = self.snap.removed
         self._fingerprint = fp
         self._main_fp = fp
+        self._save_ckpt(t, fp)
         return True
 
     def _try_delta_refresh(self, index, fp, apply_removed: bool) -> bool:
@@ -1026,11 +1074,13 @@ class QueryEngine:
             return False
         blob, offsets, values, voffs = merged
         rem = None if apply_removed else _collect_removed(index)
-        self.snap = build_snapshot_arrays(blob, offsets, values, voffs, rem)
+        t = build_host_tables(blob, offsets, values, voffs, rem)
+        self.snap = upload_tables(t)
         self.delta = None
         self._removed = self.snap.removed
         self._fingerprint = fp
         self._main_fp = fp
+        self._save_ckpt(t, fp)
         return True
 
     # -- exact lookup --------------------------------------------------------

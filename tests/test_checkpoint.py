@@ -226,3 +226,48 @@ def test_checkpoint_during_concurrent_writes(tmp_path):
             # every pre-storm doc present; nothing outside the final truth
             assert {d for d in range(1, 20) if seed_terms[d % 8] == t} <= vals, t
             assert vals <= final_truth[t], t
+
+
+def test_auto_checkpoint_tracks_main_rebuilds(tmp_path, rng):
+    """checkpoint_path keeps the warm-start file current: written at
+    from_index, untouched by delta-only refreshes (reconciles at load),
+    rewritten by full rebuilds and promotions."""
+    ii, truth = build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "auto.ckpt")
+    eng = QueryEngine.from_index(
+        ii, L=256, checkpoint_path=path, checkpoint_async=False
+    )
+    _, meta0 = load_checkpoint(path)
+    assert load_fingerprint(meta0) == eng._main_fp
+
+    # delta-only refresh: file keeps the MAIN fingerprint (stale by design)
+    ii.put([b"term000", b"tiny"], 901)
+    assert eng.refresh(ii) is True and eng.delta is not None
+    _, meta1 = load_checkpoint(path)
+    assert load_fingerprint(meta1) == eng._main_fp != eng._fingerprint
+    # ... and a load still reconciles to the live state
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256)
+    assert warm.lookup([b"tiny"])[0].tolist() == [901]
+
+    # compaction forces a full rebuild: the file is rewritten
+    while ii.merge(2, 100, 2) > 0:
+        pass
+    assert eng.refresh(ii) is True and eng.delta is None
+    _, meta2 = load_checkpoint(path)
+    assert load_fingerprint(meta2) == _index_fingerprint(ii, False)
+    warm2 = QueryEngine.from_checkpoint(path, L=256)
+    truth.setdefault(b"term000", set()).add(901)
+    truth.setdefault(b"tiny", set()).add(901)
+    _assert_same_results(QueryEngine.from_index(ii, L=256), warm2, truth)
+
+
+def test_auto_checkpoint_async_publishes_atomically(tmp_path, rng):
+    ii, _ = build_index(tmp_path / "idx", rng, n_docs=20)
+    path = str(tmp_path / "auto.ckpt")
+    eng = QueryEngine.from_index(ii, L=256, checkpoint_path=path)
+    eng.checkpoint_wait()
+    _, meta = load_checkpoint(path)
+    assert load_fingerprint(meta) == eng._main_fp
+    import os
+
+    assert not os.path.exists(path + ".tmp")
