@@ -487,6 +487,81 @@ def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     return call
 
 
+def make_sharded_boolean_scatter(snap: ShardedSnapshot, L: int, op: str):
+    """Fan-out boolean with REDUCE-SCATTER query partitioning.
+
+    make_sharded_boolean psum-replicates the (Q, K, L) decode, so every
+    device then runs the FULL sort/intersect stage redundantly — the
+    dominant config-3 cost doesn't scale with the mesh. Here the same
+    owner-device decode is followed by a psum_scatter over the query axis:
+    device d receives the complete rows of its Q/D query tile (the psum and
+    the scatter are one fused reduce-scatter on ICI, same reduce volume,
+    1/D the output), and the set op runs once per query across the mesh.
+    Results return query-sharded; the caller-visible (out, oc, need)
+    contract matches make_sharded_boolean bit-for-bit.
+
+    The returned call pads Q to a device multiple internally."""
+    _ck = ("bool_rs", L, op)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
+    from ..ops import setops
+
+    probes = snap.max_probes
+    D = snap.n_devices
+
+    def step(keys, blocks, tbs, counts, slots, qkeys, k_valid):
+        Q, K, Wp1 = qkeys.shape
+        Qd = Q // D
+        flat = qkeys.reshape(Q * K, Wp1)
+        found, vals, n, raw = _local_lookup(
+            keys, blocks, tbs, counts, slots, flat, L, probes
+        )
+        vals = jax.lax.psum_scatter(
+            vals.reshape(Q, K * L), SHARD_AXIS, scatter_dimension=0, tiled=True
+        ).reshape(Qd, K, L)
+        n = jax.lax.psum_scatter(
+            n.reshape(Q, K), SHARD_AXIS, scatter_dimension=0, tiled=True
+        )
+        raw = jax.lax.psum_scatter(
+            raw.reshape(Q, K), SHARD_AXIS, scatter_dimension=0, tiled=True
+        )
+        i0 = jax.lax.axis_index(SHARD_AXIS) * Qd
+        kv = jax.lax.dynamic_slice_in_dim(k_valid, i0, Qd)
+        kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < kv[:, None]
+        need = jnp.max(jnp.where(kmask, raw, 0), axis=1).astype(jnp.int32)
+        if op == "and":
+            out, oc = setops.intersect_many(vals, n, kv)
+        else:
+            out, oc = setops.union_many(vals, n, kv)
+        return out, oc, need
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    jitted = jax.jit(mapped)
+
+    def call(keys, blocks, tbs, counts, qkeys, k_valid):
+        Q = qkeys.shape[0]
+        Qp = -(-Q // D) * D
+        if Qp != Q:
+            qkeys = jnp.concatenate(
+                [qkeys, jnp.zeros((Qp - Q, *qkeys.shape[1:]), qkeys.dtype)]
+            )
+            k_valid = jnp.concatenate(
+                [k_valid, jnp.zeros(Qp - Q, dtype=k_valid.dtype)]
+            )
+        out, oc, need = jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys, k_valid)
+        if Qp != Q:
+            out, oc, need = out[:Q], oc[:Q], need[:Q]
+        return out, oc, need
+
+    snap._jit_cache[_ck] = call
+    return call
+
+
 # compiled dual-tier programs, keyed independently of the delta snapshot
 # object (deltas churn on every refresh; the program depends only on mesh,
 # shapes and statics — jax.jit then retraces per array shape as usual)
@@ -556,6 +631,89 @@ def make_sharded_boolean_dual(
             dsnap.hash_slots,
             qk1, qk2, k_valid,
         )
+
+    return call
+
+
+def make_sharded_boolean_dual_scatter(
+    snap: ShardedSnapshot, dsnap: ShardedSnapshot, L: int, op: str
+):
+    """make_sharded_boolean_dual with REDUCE-SCATTER query partitioning
+    (see make_sharded_boolean_scatter): both tiers' decodes psum_scatter
+    over the query axis, so the pair union AND the set op run on each
+    device's Q/D tile instead of replicated. Same (out, oc, need) contract;
+    Q pads to a device multiple internally."""
+    from ..ops import setops
+
+    D = snap.n_devices
+    key = ("rs", snap.mesh, L, op, snap.max_probes, dsnap.max_probes)
+    probes1, probes2 = snap.max_probes, dsnap.max_probes
+    jitted = _DUAL_JIT_CACHE.get(key)
+    if jitted is None:
+        def _rs(x):
+            return jax.lax.psum_scatter(
+                x, SHARD_AXIS, scatter_dimension=0, tiled=True
+            )
+
+        def step(k1, b1, t1, c1, s1, k2, b2, t2, c2, s2, qk1, qk2, k_valid):
+            Q, K, W1 = qk1.shape
+            Qd = Q // D
+            f1, v1, n1, r1 = _local_lookup(
+                k1, b1, t1, c1, s1, qk1.reshape(Q * K, W1), L, probes1)
+            v1 = _rs(v1.reshape(Q, K * L)).reshape(Qd * K, L)
+            n1 = _rs(n1.reshape(Q, K)).reshape(Qd * K)
+            r1 = _rs(r1.reshape(Q, K))
+            f2, v2, n2, r2 = _local_lookup(
+                k2, b2, t2, c2, s2, qk2.reshape(Q * K, qk2.shape[-1]), L,
+                probes2)
+            v2 = _rs(v2.reshape(Q, K * L)).reshape(Qd * K, L)
+            n2 = _rs(n2.reshape(Q, K)).reshape(Qd * K)
+            r2 = _rs(r2.reshape(Q, K))
+            pair = jnp.stack([v1, v2], axis=1)                  # (QdK, 2, L)
+            pcnt = jnp.stack([n1, n2], axis=1)
+            u, uc = setops.union_many(
+                pair, pcnt, jnp.full((Qd * K,), 2, jnp.int32))
+            lists = u.reshape(Qd, K, 2 * L)
+            ncnt = uc.reshape(Qd, K)
+            i0 = jax.lax.axis_index(SHARD_AXIS) * Qd
+            kv = jax.lax.dynamic_slice_in_dim(k_valid, i0, Qd)
+            kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < kv[:, None]
+            need = jnp.max(
+                jnp.where(kmask, r1 + r2, 0), axis=1
+            ).astype(jnp.int32)
+            if op == "and":
+                out, oc = setops.intersect_many(lists, ncnt, kv)
+            else:
+                out, oc = setops.union_many(lists, ncnt, kv)
+            return out, oc, need
+
+        mapped = shard_map(
+            step,
+            mesh=snap.mesh,
+            in_specs=(P(SHARD_AXIS),) * 10 + (P(), P(), P()),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+        jitted = jax.jit(mapped)
+        _DUAL_JIT_CACHE[key] = jitted
+
+    def call(qk1, qk2, k_valid):
+        Q = qk1.shape[0]
+        Qp = -(-Q // D) * D
+        if Qp != Q:
+            pad = lambda a: jnp.concatenate(
+                [a, jnp.zeros((Qp - Q, *a.shape[1:]), a.dtype)]
+            )
+            qk1, qk2, k_valid = pad(qk1), pad(qk2), pad(k_valid)
+        out, oc, need = jitted(
+            snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+            snap.hash_slots,
+            dsnap.keys, dsnap.blocks, dsnap.term_block_start, dsnap.counts,
+            dsnap.hash_slots,
+            qk1, qk2, k_valid,
+        )
+        if Qp != Q:
+            out, oc, need = out[:Q], oc[:Q], need[:Q]
+        return out, oc, need
 
     return call
 
@@ -640,6 +798,98 @@ def make_sharded_boolean_concat(snap: ShardedSnapshot, SB: int, op: str):
             snap.keys, snap.blocks, snap.term_block_start, snap.counts,
             snap.hash_slots, qkeys, k_valid,
         )
+
+    snap._jit_cache[_ck] = call
+    return call
+
+
+def make_sharded_boolean_concat_scatter(snap: ShardedSnapshot, SB: int, op: str):
+    """make_sharded_boolean_concat with the reduction QUERY-SHARDED: the
+    per-device concat slices exchange with an all_to_all over the query
+    axis (device d receives every device's slice for its Q/D query tile —
+    same wire volume as the all_gather divided by D), so the (Q, D*SB*128)
+    sort + run-length reduction runs once per query across the mesh instead
+    of replicated on every device. Same exactness and call contract as the
+    replicated form; Q pads to a device multiple internally."""
+    _ck = ("bool_concat_rs", SB, op)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
+    from ..ops import concat_bool as cb
+    from ..ops import dict_search as ds
+
+    probes = snap.max_probes
+    D = snap.mesh.shape[SHARD_AXIS]
+    BLOCK = 128
+
+    def step(keys, blocks, tbs_arr, counts, slots, qkeys, k_valid):
+        Q, K, Wp1 = qkeys.shape
+        Qd = Q // D
+        flat = qkeys.reshape(Q * K, Wp1)
+        idx, found = ds.hash_lookup_rows(keys[0], slots[0], flat, probes)
+        idx = idx.reshape(Q, K)
+        found = found.reshape(Q, K)
+        kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
+        live = found & kmask
+        cnt = jnp.where(live, counts[0][idx], 0)
+        rows, in_use, bit, cnt_j, cum = cb.concat_layout(tbs_arr[0][idx], cnt, SB)
+        local, vals, mask = cb.decode_masked(blocks[0], rows, in_use, bit, cnt_j)
+
+        # query tile exchange: device d receives all slices of its Q/D tile
+        tile = jax.lax.all_to_all(
+            local, SHARD_AXIS, split_axis=0, concat_axis=1, tiled=True
+        )                                                     # (Qd, D*S_loc)
+        S = D * SB * BLOCK
+        svals = jnp.sort(tile.reshape(Qd, S), axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((Qd, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
+        )
+        i0 = jax.lax.axis_index(SHARD_AXIS) * Qd
+        kv = jax.lax.dynamic_slice_in_dim(k_valid, i0, Qd)
+        # ff / found counts reduce mesh-wide (per query), then tile-slice
+        has_ff_local = (cnt > 0) & (cb.last_values(vals, cum, cnt) == cb.SENTINEL)
+        ff_cnt = jax.lax.psum(
+            jnp.sum(has_ff_local.astype(jnp.int32), axis=1), SHARD_AXIS
+        )
+        ff_cnt = jax.lax.dynamic_slice_in_dim(ff_cnt, i0, Qd)
+        if op == "and":
+            keep = cb.run_reaches_k(svals, kv, K) & first & (svals != cb.SENTINEL)
+            n_found = jax.lax.psum(jnp.sum(live.astype(jnp.int32), axis=1), SHARD_AXIS)
+            n_found = jax.lax.dynamic_slice_in_dim(n_found, i0, Qd)
+            ff_all = (ff_cnt == kv) & (kv > 0)
+            ff_all &= n_found == kv
+            oc = (jnp.sum(keep, axis=1) + ff_all.astype(jnp.int32)).astype(jnp.int32)
+        else:
+            keep = first & (svals != cb.SENTINEL)
+            oc = (jnp.sum(keep, axis=1) + (ff_cnt > 0).astype(jnp.int32)).astype(jnp.int32)
+        out = jnp.sort(jnp.where(keep, svals, cb.SENTINEL), axis=1)
+        return out, oc
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def call(qkeys, k_valid):
+        Q = qkeys.shape[0]
+        Qp = -(-Q // D) * D
+        if Qp != Q:
+            qkeys = jnp.concatenate(
+                [qkeys, jnp.zeros((Qp - Q, *qkeys.shape[1:]), qkeys.dtype)]
+            )
+            k_valid = jnp.concatenate(
+                [k_valid, jnp.zeros(Qp - Q, dtype=k_valid.dtype)]
+            )
+        out, oc = jitted(
+            snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+            snap.hash_slots, qkeys, k_valid,
+        )
+        if Qp != Q:
+            out, oc = out[:Q], oc[:Q]
+        return out, oc
 
     snap._jit_cache[_ck] = call
     return call

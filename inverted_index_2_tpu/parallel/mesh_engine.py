@@ -278,16 +278,18 @@ class MeshQueryEngine:
     # -- boolean -----------------------------------------------------------
 
     def _boolean_dispatch(self, lv: int, qk: np.ndarray, kv, op: str):
-        """One device pass at pad lv over main (+delta when live)."""
+        """One device pass at pad lv over main (+delta when live). The
+        single-tier path reduce-scatters the decode so the set op runs
+        query-sharded (1/D per device) instead of replicated."""
         s = self.snap
         if self.delta is None:
-            call = pm.make_sharded_boolean(s, lv, op)
+            call = pm.make_sharded_boolean_scatter(s, lv, op)
             return call(
                 s.keys, s.blocks, s.term_block_start, s.counts,
                 jnp.asarray(qe._narrow_keys(qk, s.width)), kv,
             )
         d = self.delta
-        call = pm.make_sharded_boolean_dual(s, d, lv, op)
+        call = pm.make_sharded_boolean_dual_scatter(s, d, lv, op)
         return call(
             jnp.asarray(qe._narrow_keys(qk, s.width)),
             jnp.asarray(qe._narrow_keys(qk, d.width)),

@@ -322,3 +322,124 @@ def test_partition_tables_balance_and_structure(rng):
         firsts = p.flat[p.tbs[:-1].astype(np.int64)].astype(np.int64)
         np.testing.assert_array_equal(p.words[firsts - 1], p.counts)
         assert int(p.flat[0]) == 1  # words slice starts at the count word
+
+
+def test_sharded_boolean_scatter_bit_identity(built, mesh8):
+    """The reduce-scatter boolean (set op query-sharded, 1/D per device)
+    must match the replicated make_sharded_boolean bit-for-bit — including
+    at Q not divisible by the mesh size (internal pad) and with short
+    k_valid rows."""
+    ii, truth, snap = built
+    import jax.numpy as jnp2
+
+    vocab = sorted(truth.keys())
+    rng = np.random.default_rng(9)
+    for op in ("and", "or"):
+        for nq in (12, 17, 8):  # 17: pads to 24 internally
+            L = 128
+            queries = [
+                [vocab[i] for i in rng.choice(len(vocab), size=int(k), replace=False)]
+                for k in rng.integers(1, 4, size=nq)
+            ]
+            Kk = 3
+            qk = np.zeros((nq, Kk, snap.width + 1), dtype=np.uint32)
+            kv = np.zeros(nq, dtype=np.int32)
+            for i, q in enumerate(queries):
+                qk[i, : len(q)] = K.pack_terms(q, width=snap.width)
+                kv[i] = len(q)
+            args = (
+                snap.keys, snap.blocks, snap.term_block_start, snap.counts,
+                jnp2.asarray(qk), jnp2.asarray(kv),
+            )
+            ref = pm.make_sharded_boolean(snap, L, op)(*args)
+            got = pm.make_sharded_boolean_scatter(snap, L, op)(*args)
+            for a, b, name in zip(ref, got, ("out", "oc", "need")):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=(op, nq, name)
+                )
+
+
+def test_sharded_boolean_dual_scatter_bit_identity(mesh8, rng):
+    """Dual-tier (main+delta) reduce-scatter boolean == the replicated dual
+    formulation, including at Q not divisible by the mesh size."""
+    from inverted_index_2_tpu.models.query_engine import (
+        _empty_tables,
+        build_host_tables,
+    )
+
+    def corpus(terms, seed):
+        r = np.random.default_rng(seed)
+        blob = b"".join(terms)
+        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in terms], out=offsets[1:])
+        lists = [
+            np.unique(r.integers(0, 5000, size=int(r.integers(1, 90)), dtype=np.uint32))
+            for _ in terms
+        ]
+        voffs = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum([len(l) for l in lists], out=voffs[1:])
+        return build_host_tables(
+            np.frombuffer(blob, np.uint8), offsets, np.concatenate(lists), voffs
+        )
+
+    main_terms = sorted(f"m{i:03d}".encode() for i in range(60))
+    delta_terms = sorted(
+        [f"d{i:03d}".encode() for i in range(20)] + main_terms[:10]
+    )
+    t_main = corpus(main_terms, 21)
+    t_delta = corpus(delta_terms, 22)
+    snap = pm.stack_tables(pm.partition_tables(t_main, 8), mesh8)
+    dsnap = pm.stack_tables(
+        [t_delta] + [_empty_tables(t_delta.width) for _ in range(7)], mesh8
+    )
+
+    allt = main_terms + [t for t in delta_terms if t not in main_terms]
+    L = 128
+    for op in ("and", "or"):
+        for nq in (16, 17):
+            qs = [
+                [allt[i] for i in rng.choice(len(allt), size=2, replace=False)]
+                for _ in range(nq)
+            ]
+            qk1 = np.zeros((nq, 2, snap.width + 1), dtype=np.uint32)
+            qk2 = np.zeros((nq, 2, dsnap.width + 1), dtype=np.uint32)
+            kv = np.full(nq, 2, dtype=np.int32)
+            for i, q in enumerate(qs):
+                qk1[i] = K.pack_terms(q, width=snap.width)
+                qk2[i] = K.pack_terms(q, width=dsnap.width)
+            import jax.numpy as jnp2
+
+            args = (jnp2.asarray(qk1), jnp2.asarray(qk2), jnp2.asarray(kv))
+            ref = pm.make_sharded_boolean_dual(snap, dsnap, L, op)(*args)
+            got = pm.make_sharded_boolean_dual_scatter(snap, dsnap, L, op)(*args)
+            for a, b, name in zip(ref, got, ("out", "oc", "need")):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=(op, nq, name)
+                )
+
+
+def test_sharded_boolean_concat_scatter_bit_identity(built, mesh8):
+    """The query-sharded concat reduction == the replicated concat form,
+    including the 0xFFFFFFFF-member guard and Q padding."""
+    ii, truth, snap = built
+    import jax.numpy as jnp2
+
+    vocab = sorted(truth.keys())
+    rng = np.random.default_rng(29)
+    for op in ("and", "or"):
+        for nq in (16, 13):
+            queries = [
+                [vocab[i] for i in rng.choice(len(vocab), size=2, replace=False)]
+                for _ in range(nq)
+            ]
+            qk = np.zeros((nq, 2, snap.width + 1), dtype=np.uint32)
+            kv = np.full(nq, 2, dtype=np.int32)
+            for i, q in enumerate(queries):
+                qk[i] = K.pack_terms(q, width=snap.width)
+            args = (jnp2.asarray(qk), jnp2.asarray(kv))
+            ref = pm.make_sharded_boolean_concat(snap, 4, op)(*args)
+            got = pm.make_sharded_boolean_concat_scatter(snap, 4, op)(*args)
+            for a, b, name in zip(ref, got, ("out", "oc")):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=(op, nq, name)
+                )
