@@ -703,25 +703,32 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
     snap = pm.stack_tables([tables] * D, mesh)
     _fence(snap.counts[:, -1])
     freeze_s = time.monotonic() - t0
-    lookup = pm.make_sharded_lookup(snap, L)
     rng = np.random.default_rng(7)
     hk = tables.keys
     n = tables.n_terms
     qk = jnp.asarray(hk[rng.integers(0, n, size=Q)])
-    f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
-    _fence(jnp.sum(c))
-    t0 = time.monotonic()
-    for _ in range(iters):
-        f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
-    _fence(jnp.sum(c))
-    dt = time.monotonic() - t0
-    return {
+    out = {
         "mesh_devices": int(D),
-        "mesh_lookup_qps": round(Q * iters / dt),
         "mesh_freeze_s": round(freeze_s, 3),
         "mesh_words_mb": round(D * tables.words.nbytes / 1e6, 1),
         "mesh_arena_mb": round(snap.blocks.size * 4 / 1e6, 1),
     }
+    # replicated psum vs reduce-scatter result merge (the engine serves the
+    # scatter form; at D=1 both collectives are no-ops, so on one chip this
+    # mostly cross-checks compile + dispatch overhead)
+    for name, fac in (
+        ("mesh_lookup_qps", pm.make_sharded_lookup),
+        ("mesh_lookup_rs_qps", pm.make_sharded_lookup_scatter),
+    ):
+        lookup = fac(snap, L)
+        f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+        _fence(jnp.sum(c))
+        t0 = time.monotonic()
+        for _ in range(iters):
+            f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+        _fence(jnp.sum(c))
+        out[name] = round(Q * iters / (time.monotonic() - t0))
+    return out
 
 
 def _device_preflight(attempts=4, init_timeout_s=240, retry_sleep_s=90):

@@ -436,6 +436,57 @@ def make_sharded_lookup(snap: ShardedSnapshot, L: int):
     return call
 
 
+def make_sharded_lookup_scatter(snap: ShardedSnapshot, L: int):
+    """make_sharded_lookup with the result merge as a REDUCE-SCATTER: the
+    psum is an all-reduce (reduce-scatter + all-gather on ICI); since
+    every caller consumes the results on the host anyway, the broadcast
+    leg is pure waste — psum_scatter returns each device its Q/D tile at
+    half the wire cost, and the host fetch of the query-sharded outputs
+    moves the same bytes it always did. Identical (found, vals, n, raw)
+    contract; Q pads to a device multiple internally."""
+    _ck = ("lookup_rs", L)
+    if _ck in snap._jit_cache:
+        return snap._jit_cache[_ck]
+    probes = snap.max_probes
+    D = snap.n_devices
+
+    def _rs(x):
+        return jax.lax.psum_scatter(
+            x, SHARD_AXIS, scatter_dimension=0, tiled=True
+        )
+
+    def step(keys, blocks, tbs, counts, slots, qkeys):
+        found, vals, n, raw = _local_lookup(keys, blocks, tbs, counts, slots, qkeys, L, probes)
+        found = _rs(found.astype(jnp.int32)) > 0
+        vals = _rs(vals)
+        n = _rs(n)
+        raw = _rs(raw)
+        return found, vals, n, raw
+
+    mapped = shard_map(
+        step,
+        mesh=snap.mesh,
+        in_specs=(P(SHARD_AXIS),) * 5 + (P(),),
+        out_specs=(P(SHARD_AXIS),) * 4,
+    )
+    jitted = jax.jit(mapped)
+
+    def call(keys, blocks, tbs, counts, qkeys):
+        Q = qkeys.shape[0]
+        Qp = -(-Q // D) * D
+        if Qp != Q:
+            qkeys = jnp.concatenate(
+                [qkeys, jnp.zeros((Qp - Q, *qkeys.shape[1:]), qkeys.dtype)]
+            )
+        out = jitted(keys, blocks, tbs, counts, snap.hash_slots, qkeys)
+        if Qp != Q:
+            out = tuple(a[:Q] for a in out)
+        return out
+
+    snap._jit_cache[_ck] = call
+    return call
+
+
 def make_sharded_boolean(snap: ShardedSnapshot, L: int, op: str):
     """Fan-out boolean queries: per-term postings fetched on the owning
     device, merged by psum, then the set op runs replicated (its inputs are

@@ -174,7 +174,7 @@ class MeshQueryEngine:
         n = 0
         W = self._widths()
         qk = jnp.zeros((self.q_bucket, self.snap.width + 1), dtype=jnp.uint32)
-        lookup = pm.make_sharded_lookup(self.snap, self.L)
+        lookup = pm.make_sharded_lookup_scatter(self.snap, self.L)
         jax.block_until_ready(lookup(
             self.snap.keys, self.snap.blocks, self.snap.term_block_start,
             self.snap.counts, qk,
@@ -239,7 +239,7 @@ class MeshQueryEngine:
         qk = keys_mod.pack_terms(list(terms), width=s.width)
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
         qk_p = jnp.asarray(np.concatenate([qk, pad], axis=0))
-        lookup = pm.make_sharded_lookup(s, self.L)
+        lookup = pm.make_sharded_lookup_scatter(s, self.L)
         found, vals, n, raw = lookup(
             s.keys, s.blocks, s.term_block_start, s.counts, qk_p
         )
@@ -263,7 +263,7 @@ class MeshQueryEngine:
             B = qe._round_up(len(batch), 8)
             bq = np.repeat(qk[batch[-1]: batch[-1] + 1], B, axis=0)
             bq[: len(batch)] = qk[batch]
-            lk2 = pm.make_sharded_lookup(s, lv)
+            lk2 = pm.make_sharded_lookup_scatter(s, lv)
             f2, v2, n2, _ = lk2(
                 s.keys, s.blocks, s.term_block_start, s.counts, jnp.asarray(bq)
             )

@@ -443,3 +443,21 @@ def test_sharded_boolean_concat_scatter_bit_identity(built, mesh8):
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b), err_msg=(op, nq, name)
                 )
+
+
+def test_sharded_lookup_scatter_bit_identity(built, mesh8):
+    """Reduce-scatter lookup == replicated-psum lookup (incl. internal Q
+    padding at Q not divisible by the mesh size)."""
+    ii, truth, snap = built
+    import jax.numpy as jnp2
+
+    terms = sorted(truth.keys())[:30] + [b"@@missing", b"zz-none", b"q"]
+    for nq in (len(terms), 17):
+        qk = jnp2.asarray(K.pack_terms(terms[:nq], width=snap.width))
+        args = (snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
+        ref = pm.make_sharded_lookup(snap, 128)(*args)
+        got = pm.make_sharded_lookup_scatter(snap, 128)(*args)
+        for a, b, name in zip(ref, got, ("found", "vals", "n", "raw")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=(nq, name)
+            )
