@@ -1467,7 +1467,7 @@ class QueryEngine:
 
     def boolean_staged(
         self, batches, op: str = "and", filter_removed: bool = False,
-        depth: int = 2, columnar: bool = False,
+        depth: int = 2, columnar: bool = False, prefix_p: int = 0,
     ):
         """Pipelined stream serving: pack + dispatch batch i+`depth` BEFORE
         downloading batch i's results, so host packing and the fetch round
@@ -1478,14 +1478,57 @@ class QueryEngine:
         and processed once across the whole stream. Per-batch semantics
         are identical to boolean().
 
+        AND on TPU streams through the fused kernel; OR (and AND off-TPU)
+        streams through the concat-decode classes with the same depth-`depth`
+        pipeline (_staged_concat_stream). With a delta tier live the stream
+        falls back to per-batch boolean() (dual-tier programs are not
+        stream-shaped; refresh cadence makes this transient).
+
         batches: iterable of query batches (each a sequence of term lists).
         columnar=False: one result list (np array per query) per batch.
         columnar=True: one (values, voffs[n+1]) pair per batch — zero
         per-query host work (bulk consumers; values[voffs[i]:voffs[i+1]]
-        is query i's sorted result)."""
+        is query i's sorted result).
+        prefix_p > 0 (requires columnar): pagination serving — each batch
+        returns (values, voffs, counts) where values holds only the FIRST
+        min(count, prefix_p) results per query and counts the true result
+        sizes. Bounds the fetch volume for large-result ops (OR unions are
+        O(sum of list lengths); full-result fetches are bandwidth-bound on
+        any link). Exact full results for chosen rows come from boolean().
+        """
         from collections import deque
 
         batches = list(batches)
+        if prefix_p:
+            if not columnar:
+                raise ValueError("prefix_p requires columnar=True")
+            if self.delta is None and self.snap.n_terms > 0:
+                removed = self._removed if filter_removed else None
+                return self._staged_concat_stream(
+                    batches, op, removed, depth, columnar, prefix_p
+                )
+            # fallback: exact per-batch serve, prefix applied host-side
+            out = []
+            for b in batches:
+                rows = self.boolean(b, op, filter_removed)
+                counts = np.array(
+                    [0 if r is None else len(r) for r in rows], dtype=np.int64
+                )
+                vals, voffs = _rows_to_columnar(
+                    [None if r is None else r[:prefix_p] for r in rows]
+                )
+                out.append((vals, voffs, counts))
+            return out
+        if (
+            self.delta is None
+            and self.snap.n_terms > 0
+            and (op != "and" or not self._use_fused())
+        ):
+            # exact full-result stream through the pipelined concat classes
+            removed = self._removed if filter_removed else None
+            return self._staged_concat_stream(
+                batches, op, removed, depth, columnar, 0
+            )
         if (
             op != "and"
             or self.delta is not None
@@ -1585,6 +1628,161 @@ class QueryEngine:
                     rows[i] = arr
                 out.append(rows)
         return out
+
+    def _staged_concat_stream(
+        self, batches, op: str, removed, depth: int, columnar: bool,
+        prefix_p: int,
+    ):
+        """Depth-pipelined stream serving over the concat-decode classes —
+        the OR twin of the fused-AND staged loop. Three stages per batch,
+        each overlapping the others' device time across the stream:
+
+          resolve:  pack + dispatch the cheap term-resolution pass
+          classes:  read the counts, group queries into total-block classes,
+                    dispatch every class chunk (async) + start the result
+                    copies
+          harvest:  fetch counts (+ trimmed results, or the prefix_p slice),
+                    assemble per-batch output
+
+        prefix_p=0 fetches exact full results (two round trips per batch —
+        counts gate the trim; OR unions are O(total postings), so the fetch
+        itself is the floor on any link). prefix_p>0 slices each result row
+        to prefix_p ON DEVICE at dispatch time, so the harvest is ONE
+        bounded fetch regardless of union sizes and the batch returns
+        (values, voffs, true_counts) — the pagination contract documented
+        on boolean_staged."""
+        from collections import deque
+
+        s = self.snap
+        stride = int(s.blocks.shape[1])
+        P = int(prefix_p)
+        out_all: List = [None] * len(batches)
+        resq: deque = deque()
+        clsq: deque = deque()
+
+        def stage_resolve(bi):
+            queries = batches[bi]
+            if not queries:
+                resq.append((bi, 0, None, None))
+                return
+            qk, kv = self._pack_boolean(queries)
+            r = _JIT_RESOLVE(
+                s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
+            )
+            for a in r:
+                a.copy_to_host_async()
+            resq.append((bi, len(queries), kv, r))
+
+        def stage_classes(item):
+            bi, nq, kv, r = item
+            if nq == 0:
+                clsq.append((bi, 0, [], {}))
+                return
+            idx_h, found_h, raw_h = jax.device_get(r)
+            K = idx_h.shape[1]
+            sb_q = np.minimum(
+                -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
+            ).sum(axis=1)
+            order = np.argsort(sb_q, kind="stable")
+            pos = 0
+            dispatches = []
+            singles: Dict[int, np.ndarray] = {}
+            for SB in self._SB_CLASSES:
+                hi = int(np.searchsorted(sb_q[order], SB, side="right"))
+                members = order[pos:hi]
+                pos = hi
+                if not len(members):
+                    continue
+                qb = max(8, (_RESERVE_BUDGET // (SB * max(stride, 128))) // 8 * 8)
+                for c0 in range(0, len(members), qb):
+                    batch = members[c0 : c0 + qb]
+                    B = 8
+                    while B < len(batch):
+                        B *= 2
+                    bi2 = np.zeros((B, K), dtype=np.int32)
+                    bf = np.zeros((B, K), dtype=bool)
+                    bkv = np.zeros(B, dtype=np.int32)
+                    bi2[: len(batch)] = idx_h[batch]
+                    bf[: len(batch)] = found_h[batch]
+                    bkv[: len(batch)] = kv[batch]
+                    o, oc = _JIT_CONCAT_BOOL(
+                        s.blocks, s.term_block_start, s.counts,
+                        jnp.asarray(bi2), jnp.asarray(bf), jnp.asarray(bkv),
+                        SB, op,
+                    )
+                    if removed is not None and removed.shape[0] > 0:
+                        o, oc = _JIT_FILTER(o, oc, removed)
+                    if P:
+                        o = o[:, : min(P, o.shape[1])]
+                        o.copy_to_host_async()
+                    oc.copy_to_host_async()
+                    dispatches.append((batch, o, oc))
+                if pos >= nq:
+                    break
+            # beyond the largest class (pathological): singly, exact budget
+            for qi in order[pos:]:
+                SB = int(_round_up(int(sb_q[qi]), 8))
+                bi3 = np.repeat(idx_h[qi : qi + 1], 8, axis=0).astype(np.int32)
+                bf3 = np.repeat(found_h[qi : qi + 1], 8, axis=0)
+                bkv3 = np.full(8, kv[qi], dtype=np.int32)
+                o, oc = _JIT_CONCAT_BOOL(
+                    s.blocks, s.term_block_start, s.counts,
+                    jnp.asarray(bi3), jnp.asarray(bf3), jnp.asarray(bkv3),
+                    SB, op,
+                )
+                if removed is not None and removed.shape[0] > 0:
+                    o, oc = _JIT_FILTER(o, oc, removed)
+                c = int(np.asarray(oc)[0])
+                singles[int(qi)] = np.asarray(o[0, :c]).copy()
+            clsq.append((bi, nq, dispatches, singles))
+
+        def stage_harvest(item):
+            bi, nq, dispatches, singles = item
+            if nq == 0:
+                if columnar:
+                    empty = (np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                    out_all[bi] = empty + (np.zeros(0, np.int64),) if P else empty
+                else:
+                    out_all[bi] = []
+                return
+            ocs = jax.device_get([d[2] for d in dispatches])
+            if P:
+                outs = jax.device_get([d[1] for d in dispatches])
+            else:
+                trimmed = [
+                    d[1][:, : max(1, int(o.max(initial=0)))]
+                    for d, o in zip(dispatches, ocs)
+                ]
+                outs = jax.device_get(trimmed)
+            counts = np.zeros(nq, dtype=np.int64)
+            rows: List[Optional[np.ndarray]] = [None] * nq
+            for (batch, _, _), oc, o in zip(dispatches, ocs, outs):
+                for j, qi in enumerate(batch):
+                    c = int(oc[j])
+                    counts[qi] = c
+                    rows[qi] = o[j, : (min(c, P) if P else c)]
+            for qi, v in singles.items():
+                counts[qi] = len(v)
+                rows[qi] = v[:P] if P else v
+            if columnar:
+                vals, voffs = _rows_to_columnar(rows)
+                out_all[bi] = (vals, voffs, counts) if P else (vals, voffs)
+            else:
+                out_all[bi] = [np.array(r, dtype=np.uint32) for r in rows]
+
+        for bi in range(len(batches)):
+            stage_resolve(bi)
+            if len(resq) > depth:
+                stage_classes(resq.popleft())
+            if len(clsq) > depth:
+                stage_harvest(clsq.popleft())
+        while resq:
+            stage_classes(resq.popleft())
+            if len(clsq) > depth:
+                stage_harvest(clsq.popleft())
+        while clsq:
+            stage_harvest(clsq.popleft())
+        return out_all
 
     def _boolean_concat(self, queries, qk, kv, op: str, removed):
         """Exact AND/OR sized by each query's REAL total postings:

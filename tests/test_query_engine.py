@@ -542,3 +542,74 @@ def test_warmup_compiles_serving_programs(tmp_path):
     # serving still exact after warmup
     assert eng.lookup([b"w05"])[0].tolist() == [5]
     assert eng.boolean([[b"w05", b"w06"]], op="or")[0].tolist() == [5, 6]
+
+
+def test_boolean_staged_concat_stream(tmp_path, rng):
+    """Staged OR (depth-pipelined concat-stream) is result-identical to
+    boolean() per batch — and on CPU (no fused kernel) AND streams through
+    the same path. prefix_p mode returns TRUE counts plus the first-P
+    values per query (the pagination contract)."""
+    ii, truth = build_index(tmp_path, rng, n_docs=120)
+    ii.put_removed(np.asarray([3, 17], dtype=np.uint32))
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    vocab = sorted(truth.keys())
+    rq = np.random.default_rng(5)
+    batches = []
+    for _ in range(3):
+        qs = []
+        for _ in range(7):
+            k = int(rq.integers(1, 5))
+            qs.append(
+                [vocab[i] for i in rq.choice(len(vocab), size=k, replace=False)]
+            )
+        batches.append(qs)
+    batches[1].append([vocab[0], b"zz-missing"])
+    batches.append([])  # empty batch mid-stream keeps positions aligned
+    for op in ("or", "and"):
+        for fr in (False, True):
+            staged = eng.boolean_staged(batches, op, filter_removed=fr)
+            col = eng.boolean_staged(batches, op, filter_removed=fr,
+                                     columnar=True)
+            pre = eng.boolean_staged(batches, op, filter_removed=fr,
+                                     columnar=True, prefix_p=3)
+            for bi, qs in enumerate(batches):
+                plain = eng.boolean(qs, op, filter_removed=fr)
+                vals, voffs = col[bi]
+                pv, pvo, pc = pre[bi]
+                assert len(voffs) == len(qs) + 1
+                assert len(pvo) == len(qs) + 1 and len(pc) == len(qs)
+                for qi in range(len(qs)):
+                    assert np.array_equal(staged[bi][qi], plain[qi]), (op, bi, qi)
+                    assert np.array_equal(
+                        vals[voffs[qi]: voffs[qi + 1]], plain[qi]
+                    ), (op, bi, qi)
+                    assert pc[qi] == len(plain[qi]), (op, bi, qi)
+                    assert np.array_equal(
+                        pv[pvo[qi]: pvo[qi + 1]], plain[qi][:3]
+                    ), (op, bi, qi)
+
+
+def test_boolean_staged_prefix_requires_columnar(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"aa"], 1)
+    eng = QueryEngine.from_index(ii, L=128)
+    with pytest.raises(ValueError):
+        eng.boolean_staged([[[b"aa"]]], "or", prefix_p=4)
+
+
+def test_boolean_staged_prefix_fallback_with_delta(tmp_path):
+    """With a delta tier live the prefix_p mode serves through the exact
+    per-batch fallback — same (values, voffs, counts) contract."""
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 40):
+        ii.put([b"aa", f"b{v:02d}".encode()], v)
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    ii.put([b"aa", b"zz"], 99)
+    assert eng.refresh(ii) is True and eng.delta is not None
+    out = eng.boolean_staged([[[b"aa"], [b"aa", b"zz"]]], "or",
+                             columnar=True, prefix_p=4)
+    (pv, pvo, pc), = out
+    plain = eng.boolean([[b"aa"], [b"aa", b"zz"]], "or")
+    assert pc[0] == len(plain[0]) and pc[1] == len(plain[1])
+    assert np.array_equal(pv[pvo[0]: pvo[1]], plain[0][:4])
+    assert np.array_equal(pv[pvo[1]: pvo[2]], plain[1][:4])
