@@ -277,6 +277,13 @@ def test_hostile_terms_differential(tmp_path, seed):
                     sets = [data[t] for t in q]
                     want = set.intersection(*sets) if op == "and" else set.union(*sets)
                     assert set(g.tolist()) == want, (op, q)
+                # the pipelined stream (fused staged for AND, concat-class
+                # stream for OR) must serve hostile terms identically
+                staged = eng.boolean_staged([qs[:5], qs[5:]], op)
+                for q, g in zip(qs, staged[0] + staged[1]):
+                    sets = [data[t] for t in q]
+                    want = set.intersection(*sets) if op == "and" else set.union(*sets)
+                    assert set(g.tolist()) == want, ("staged", op, q)
     finally:
         os.environ.pop("TPI_FUSED_AND", None)
         os.environ.pop("TPI_PALLAS_AND", None)
