@@ -679,6 +679,24 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
         f"{name}_staged_and_qps", nb * sq,
         _reps(lambda: eng.boolean_staged(stream, "and", columnar=True)),
     )
+    # staged OR: the depth-pipelined concat-class stream. OR unions are
+    # O(total postings) per query, so FULL-result serving is fetch-volume
+    # bound on any link (this tunnel: ~33 MB/s); the pagination mode
+    # (prefix_p: true counts + first-P values, one bounded fetch) is the
+    # deployment shape for large-result ops — both are reported.
+    or_stream = [b[:2048] for b in stream[:2]]  # full unions: bounded fetch
+    eng.boolean_staged(or_stream, "or", columnar=True)  # warm compile
+    out[f"{name}_staged_or_qps"] = _qps_stat(
+        f"{name}_staged_or_qps", sum(len(b) for b in or_stream),
+        _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
+              reps=3),
+    )
+    eng.boolean_staged(stream, "or", columnar=True, prefix_p=32)
+    out[f"{name}_staged_or_prefix_qps"] = _qps_stat(
+        f"{name}_staged_or_prefix_qps", nb * sq,
+        _reps(lambda: eng.boolean_staged(
+            stream, "or", columnar=True, prefix_p=32)),
+    )
     return out
 
 

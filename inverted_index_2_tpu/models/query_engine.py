@@ -1315,17 +1315,36 @@ class QueryEngine:
     # 113.8k QPS; overflow rows re-run through the sort path either way)
     _STAGED_SMALL_P = 8
 
+    # SMEM scalar-prefetch bound on one fused dispatch: rows/counts are
+    # (Q*K) i32 prefetched operands — Q=16384 x K=8 measured an SMEM
+    # overflow on v5e (512 KiB operand), Q=8192 fits. Larger batches chunk
+    # transparently inside _fused_run/_fused_run_staged.
+    _FUSED_MAX_Q = 8192
+
+    def _fused_chunked(self, run, qk_sub, kv_sub):
+        M = self._FUSED_MAX_Q
+        if qk_sub.shape[0] <= M:
+            return run(qk_sub, kv_sub)
+        outs = [
+            run(qk_sub[c : c + M], kv_sub[c : c + M])
+            for c in range(0, qk_sub.shape[0], M)
+        ]
+        return tuple(jnp.concatenate(parts) for parts in zip(*outs))
+
     def _fused_run(self, lv, qk_sub, kv_sub, removed, small_p: int = 0):
         s = self.snap
         interp = (
             os.environ.get("TPI_FUSED_AND") == "interp"
             and jax.default_backend() != "tpu"
         )
-        return _JIT_BOOLEAN_FUSED(
-            s.keys, s.blocks, s.term_block_start, s.counts,
-            jnp.asarray(_narrow_keys(qk_sub, s.width)),
-            jnp.asarray(kv_sub), lv,
-            removed, s.hash_slots, s.max_probes, interp, small_p,
+        return self._fused_chunked(
+            lambda q, k: _JIT_BOOLEAN_FUSED(
+                s.keys, s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(_narrow_keys(q, s.width)),
+                jnp.asarray(k), lv,
+                removed, s.hash_slots, s.max_probes, interp, small_p,
+            ),
+            qk_sub, kv_sub,
         )
 
     def _staged_levels(self):
@@ -1348,12 +1367,15 @@ class QueryEngine:
             os.environ.get("TPI_FUSED_AND") == "interp"
             and jax.default_backend() != "tpu"
         )
-        return _JIT_BOOLEAN_FUSED_STAGED(
-            s.keys, s.blocks, s.term_block_start, s.counts,
-            jnp.asarray(_narrow_keys(qk_sub, s.width)),
-            jnp.asarray(kv_sub), self.L, self._staged_levels(),
-            removed, s.hash_slots, s.max_probes, interp,
-            self._STAGED_SMALL_P,
+        return self._fused_chunked(
+            lambda q, k: _JIT_BOOLEAN_FUSED_STAGED(
+                s.keys, s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(_narrow_keys(q, s.width)),
+                jnp.asarray(k), self.L, self._staged_levels(),
+                removed, s.hash_slots, s.max_probes, interp,
+                self._STAGED_SMALL_P,
+            ),
+            qk_sub, kv_sub,
         )
 
     def _fused_pad(self, qk, kv):

@@ -451,3 +451,33 @@ def test_fused_and_geom_batch_pre_variants_agree(rng):
         outs[bp] = (np.asarray(out), np.asarray(oc))
     assert np.array_equal(outs[False][1], outs[True][1])
     assert np.array_equal(outs[False][0], outs[True][0])
+
+
+def test_engine_fused_chunked_large_batch(rng, monkeypatch):
+    """Batches beyond _FUSED_MAX_Q (the kernel's SMEM scalar-prefetch
+    bound: 16384x8 rows/counts operands measured an SMEM overflow on v5e)
+    chunk transparently inside _fused_run/_fused_run_staged."""
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    lists = [
+        np.unique(rng.integers(0, 2_000, size=int(s), dtype=np.uint32))
+        for s in [150, 180, 40, 120, 90, 60]
+    ]
+    snap = _snap(lists, rng)
+    terms = [f"t{i:05d}".encode() for i in range(len(lists))]
+    eng = QueryEngine(snap, L=256, q_bucket=8)
+    assert eng._use_fused()
+    monkeypatch.setattr(QueryEngine, "_FUSED_MAX_Q", 8)
+    rq = np.random.default_rng(3)
+    qs = []
+    for _ in range(20):  # pads to 24 > 2 chunks of 8
+        k = int(rq.integers(2, 4))
+        qs.append([terms[i] for i in rq.choice(len(lists), size=k, replace=False)])
+    got = eng.boolean(qs, "and")
+    staged = eng.boolean_staged([qs], "and")
+    for qi, q in enumerate(qs):
+        want = sorted(set(lists[terms.index(q[0])].tolist()).intersection(
+            *[set(lists[terms.index(t)].tolist()) for t in q[1:]]))
+        assert got[qi].tolist() == want, qi
+        assert staged[0][qi].tolist() == want, qi
