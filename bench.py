@@ -659,25 +659,28 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
         _reps(lambda: [eng.boolean(qs, op="and") for qs in batches]),
     )
     # pipelined stream serving with COLUMNAR results (values+offsets per
-    # batch, zero per-query host work): dispatch batch i+1 before
+    # batch, zero per-query host work): dispatch batch i+`depth` before
     # downloading batch i — the steady-state rate a serving deployment
     # sustains. Batch size dominates (tunnel RPC amortization): measured
-    # 25.5k at 4096 -> 62.9k at 8192 on the same kernel. Stream length
-    # matters the same way: at 3 batches the pipeline ramp-in/out is ~30%
-    # of wall (76.6k measured) vs 6 batches' 110.6k — steady state needs
-    # a stream that outlives the depth-2 pipeline.
+    # 25.5k at 4096 -> 62.9k at 8192 on the same kernel; 16384 overflows
+    # the kernel's SMEM prefetch and now chunks back to 8192 internally.
+    # Stream shape: interleaved on-chip A/B at config-3 measured nb=12
+    # over nb=6 (+7%: ramp amortization) and depth=3 over depth=2 (equal
+    # medians ~126k but min 124k vs 100k — the deeper pipeline absorbs
+    # this tunnel's multi-hundred-ms RPC bursts).
     sq = max(Q, 8192)
-    nb = 6
+    nb = 12
     stream = []
     flat = [q for b in batches for q in b]
     while len(flat) < nb * sq:
         flat = flat + flat
     for c0 in range(0, nb * sq, sq):
         stream.append(flat[c0 : c0 + sq])
-    eng.boolean_staged(stream, "and", columnar=True)
+    eng.boolean_staged(stream, "and", columnar=True, depth=3)
     out[f"{name}_staged_and_qps"] = _qps_stat(
         f"{name}_staged_and_qps", nb * sq,
-        _reps(lambda: eng.boolean_staged(stream, "and", columnar=True)),
+        _reps(lambda: eng.boolean_staged(stream, "and", columnar=True,
+                                         depth=3)),
     )
     # staged OR: the depth-pipelined concat-class stream. OR unions are
     # O(total postings) per query, so FULL-result serving is fetch-volume
@@ -691,11 +694,11 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
         _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
               reps=3),
     )
-    eng.boolean_staged(stream, "or", columnar=True, prefix_p=32)
+    eng.boolean_staged(stream, "or", columnar=True, prefix_p=32, depth=3)
     out[f"{name}_staged_or_prefix_qps"] = _qps_stat(
         f"{name}_staged_or_prefix_qps", nb * sq,
         _reps(lambda: eng.boolean_staged(
-            stream, "or", columnar=True, prefix_p=32)),
+            stream, "or", columnar=True, prefix_p=32, depth=3)),
     )
     return out
 
