@@ -1123,6 +1123,26 @@ class QueryEngine:
                 out.append(np.union1d(a, b))
         return out
 
+    def lookup_staged(
+        self, batches, filter_removed: bool = False, depth: int = 2,
+        columnar: bool = False, prefix_p: int = 0,
+    ):
+        """Pipelined stream lookup: `batches` is an iterable of term lists.
+        Each term serves as a single-term OR query through the staged
+        concat-class stream (exact at any posting length — classes size by
+        TRUE counts, no ladder, no truncation), so packing, dispatch, and
+        the fetch round trips pipeline across batches exactly like
+        boolean_staged. Returns per batch what boolean_staged returns
+        (rows / columnar pair / pagination triple with prefix_p).
+
+        Misses surface as count-0 results rather than lookup()'s None —
+        without filter_removed a PRESENT term always has >= 1 posting, so
+        zero is unambiguous there."""
+        return self.boolean_staged(
+            [[[t] for t in b] for b in batches], "or",
+            filter_removed, depth, columnar, prefix_p,
+        )
+
     def _exact_rows(
         self, s: IndexSnapshot, terms: Sequence[bytes], filter_removed: bool
     ) -> List[Optional[np.ndarray]]:

@@ -613,3 +613,28 @@ def test_boolean_staged_prefix_fallback_with_delta(tmp_path):
     assert pc[0] == len(plain[0]) and pc[1] == len(plain[1])
     assert np.array_equal(pv[pvo[0]: pvo[1]], plain[0][:4])
     assert np.array_equal(pv[pvo[1]: pvo[2]], plain[1][:4])
+
+
+def test_lookup_staged_matches_lookup(tmp_path, rng):
+    """lookup_staged (stream lookup through the concat classes) agrees with
+    lookup() per term — misses surface as count-0 rows, prefix_p returns
+    true counts + the first-P values."""
+    ii, truth = build_index(tmp_path, rng)
+    ii.put_removed(np.asarray([5], dtype=np.uint32))
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    vocab = sorted(truth.keys())
+    batches = [vocab[:9] + [b"zz-missing"], vocab[9:20], []]
+    for fr in (False, True):
+        plain = [eng.lookup(b, filter_removed=fr) for b in batches]
+        rows = eng.lookup_staged(batches, filter_removed=fr)
+        pre = eng.lookup_staged(batches, filter_removed=fr,
+                                columnar=True, prefix_p=4)
+        for bi, terms in enumerate(batches):
+            pv, pvo, pc = pre[bi]
+            assert len(pvo) == len(terms) + 1
+            for qi, t in enumerate(terms):
+                want = plain[bi][qi]
+                want = np.zeros(0, np.uint32) if want is None else want
+                assert np.array_equal(rows[bi][qi], want), (fr, bi, qi)
+                assert pc[qi] == len(want)
+                assert np.array_equal(pv[pvo[qi]: pvo[qi + 1]], want[:4])
