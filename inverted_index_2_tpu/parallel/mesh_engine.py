@@ -41,6 +41,8 @@ class MeshQueryEngine:
     DELTA_FRACTION = 0.25
 
     def __init__(self, index, mesh=None, L: int = 1024, q_bucket: int = 256):
+        if L % 128 != 0 or L <= 0:
+            raise ValueError(f"L must be a positive multiple of 128, got {L}")
         self.mesh = mesh if mesh is not None else pm.default_mesh()
         self.L = L
         self.q_bucket = q_bucket
@@ -80,6 +82,8 @@ class MeshQueryEngine:
                 "mesh serving needs an apply_removed=False checkpoint "
                 "(tombstones filter per query on the mesh)"
             )
+        if L % 128 != 0 or L <= 0:
+            raise ValueError(f"L must be a positive multiple of 128, got {L}")
         eng = cls.__new__(cls)
         eng.mesh = mesh if mesh is not None else pm.default_mesh()
         eng.L = L
@@ -350,6 +354,113 @@ class MeshQueryEngine:
             o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
             for j, i in enumerate(batch):
                 results[i] = o2[j, : c2[j]].copy()
+        return results
+
+    def boolean_staged(
+        self, batches, op: str, filter_removed: bool = False,
+        depth: int = 2, columnar: bool = False,
+    ):
+        """Depth-pipelined mesh stream serving: dispatch batch i+`depth`
+        (and start its result copies) BEFORE fetching batch i, so the
+        host's fetch round trips overlap the mesh's compute — the mesh
+        twin of QueryEngine.boolean_staged. Ladder re-serves (need > L)
+        are deferred and processed ONCE across the whole stream, largest
+        level first, so the re-serve round-trip count is independent of
+        how many batches clipped. Per-batch results are identical to
+        boolean()."""
+        from collections import deque
+
+        batches = list(batches)
+        if self.delta is not None:
+            # dual-tier programs are not stream-shaped; the delta window is
+            # transient (promotion folds it into main)
+            per = [self.boolean(b, op, filter_removed) for b in batches]
+            return (
+                [qe._rows_to_columnar(rows) for rows in per]
+                if columnar else per
+            )
+        W = self._widths()
+        fetched: List = [None] * len(batches)
+        longs = []  # (batch, row, qk_row (K, W+1), kv, need)
+        pend = deque()
+
+        def harvest(item):
+            bi, nq, qk, kv, out, oc, need = item
+            oc_h, need_h = jax.device_get((oc, need))
+            out_h = np.asarray(out[:, : max(1, int(oc_h[:nq].max(initial=0)))])
+            fetched[bi] = (nq, out_h, oc_h)
+            for i in np.nonzero(need_h[:nq] > self.L)[0]:
+                longs.append((bi, int(i), qk[i], int(kv[i]), int(need_h[i])))
+
+        for bi, queries in enumerate(batches):
+            if not queries:
+                fetched[bi] = (0, None, None)
+                continue
+            K = max(len(q) for q in queries)
+            Q = qe._round_up(len(queries), self.q_bucket)
+            qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
+            kv = np.array(
+                [len(q) for q in queries] + [0] * (Q - len(queries)),
+                dtype=np.int32,
+            )
+            flat_terms = [t for q in queries for t in q]
+            if flat_terms:
+                packed = keys_mod.pack_terms(flat_terms, width=W)
+                rows = np.repeat(np.arange(len(queries)), kv[: len(queries)])
+                cols = np.concatenate(
+                    [np.arange(k) for k in kv[: len(queries)]]
+                )
+                qk[rows, cols] = packed
+            out, oc, need = self._boolean_dispatch(
+                self.L, qk, jnp.asarray(kv), op
+            )
+            if filter_removed:
+                out, oc = self._filter(out, oc)
+            for a in (oc, need):
+                a.copy_to_host_async()
+            pend.append((bi, len(queries), qk, kv, out, oc, need))
+            if len(pend) > depth:
+                harvest(pend.popleft())
+        while pend:
+            harvest(pend.popleft())
+
+        # deferred exact re-serves, cross-stream, largest level first
+        overrides: Dict[int, Dict[int, np.ndarray]] = {}
+        longs.sort(key=lambda t: -t[4])
+        while longs:
+            lv = self._level_for(longs[0][4])
+            K = max(t[2].shape[0] for t in longs)
+            qb = max(1, qe._RESERVE_BUDGET // (K * lv))
+            batch, longs = longs[:qb], longs[qb:]
+            B = qe._round_up(len(batch), 8)
+            bq = np.zeros((B, K, W + 1), dtype=np.uint32)
+            bkv = np.zeros(B, dtype=np.int32)
+            for j, t in enumerate(batch):
+                bq[j, : t[2].shape[0]] = t[2]
+                bkv[j] = t[3]
+            o2, c2, _ = self._boolean_dispatch(lv, bq, jnp.asarray(bkv), op)
+            if filter_removed:
+                o2, c2 = self._filter(o2, c2)
+            c2 = np.asarray(c2)
+            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
+            for j, t in enumerate(batch):
+                overrides.setdefault(t[0], {})[t[1]] = o2[j, : c2[j]].copy()
+
+        results = []
+        for bi in range(len(batches)):
+            nq, out_h, oc_h = fetched[bi]
+            if nq == 0:
+                results.append(
+                    (np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                    if columnar else []
+                )
+                continue
+            ovr = overrides.get(bi, {})
+            rows = [
+                ovr[i] if i in ovr else out_h[i, : oc_h[i]].copy()
+                for i in range(nq)
+            ]
+            results.append(qe._rows_to_columnar(rows) if columnar else rows)
         return results
 
     # -- prefix search / range read ---------------------------------------

@@ -183,3 +183,39 @@ def test_mesh_engine_from_checkpoint(tmp_path, mesh8):
     # without an index: serve the checkpointed state as-is
     warm3 = MeshQueryEngine.from_checkpoint(path, mesh=mesh8, L=128, q_bucket=16)
     _assert_rows_equal(warm3.lookup(terms), fresh.lookup(terms), "ckpt-noindex")
+
+
+def test_mesh_engine_boolean_staged(tmp_path, mesh8):
+    """Mesh stream serving (boolean_staged) is result-identical to mesh
+    boolean() per batch — ladder re-serves and tombstone filtering
+    included — and the columnar pair carries the same values."""
+    rng = np.random.default_rng(17)
+    ii, vocab = _build_index(tmp_path, rng, n_docs=90)
+    # a long list to force the ladder (L=128 below)
+    for v in range(100, 300):
+        ii.put([vocab[0], vocab[1]], v)
+    eng = MeshQueryEngine(ii, mesh=mesh8, L=128, q_bucket=8)
+    rq = np.random.default_rng(23)
+    batches = []
+    for _ in range(3):
+        qs = []
+        for _ in range(6):
+            k = int(rq.integers(1, 4))
+            qs.append([vocab[i] for i in rq.choice(40, size=k, replace=False)])
+        batches.append(qs)
+    batches[0].append([vocab[0], vocab[1]])  # > L: deferred re-serve
+    batches.append([])
+    for op in ("and", "or"):
+        for fr in (False, True):
+            staged = eng.boolean_staged(batches, op, filter_removed=fr)
+            col = eng.boolean_staged(batches, op, filter_removed=fr,
+                                     columnar=True)
+            for bi, qs in enumerate(batches):
+                plain = eng.boolean(qs, op, filter_removed=fr)
+                _assert_rows_equal(staged[bi], plain, (op, fr, bi))
+                vals, voffs = col[bi]
+                assert len(voffs) == len(qs) + 1
+                for qi in range(len(qs)):
+                    assert np.array_equal(
+                        vals[voffs[qi]: voffs[qi + 1]], plain[qi]
+                    ), (op, fr, bi, qi)
