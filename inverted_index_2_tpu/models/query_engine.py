@@ -719,6 +719,30 @@ def _round_up(x: int, m: int) -> int:
     return max(m, -(-x // m) * m)
 
 
+def _batch_as_lists(b):
+    """Normalize one stream batch to a list of term lists (identity for
+    list input; expands a columnar (blob, offsets, qoffs) triple — the
+    slow-path inverse of QueryEngine._pack_boolean_cols, used only by the
+    per-batch fallbacks)."""
+    if not (isinstance(b, tuple) and len(b) == 3):
+        return b
+    blob, offsets, qoffs = b
+    blob8 = (
+        np.frombuffer(blob, dtype=np.uint8)
+        if isinstance(blob, (bytes, bytearray))
+        else np.asarray(blob, dtype=np.uint8)
+    )
+    offsets = np.asarray(offsets, dtype=np.int64)
+    terms = [
+        blob8[offsets[i] : offsets[i + 1]].tobytes()
+        for i in range(len(offsets) - 1)
+    ]
+    return [
+        terms[int(qoffs[i]) : int(qoffs[i + 1])]
+        for i in range(len(qoffs) - 1)
+    ]
+
+
 def _rows_to_columnar(rows):
     """List-of-arrays -> (values, voffs[n+1]) columnar pair."""
     counts = np.array(
@@ -1211,6 +1235,51 @@ class QueryEngine:
         qk[rows, cols] = packed
         return qk, kv
 
+    def _pack_boolean_cols(self, blob, offsets, qoffs):
+        """Columnar query batch -> (qk, kv): `blob` all query terms'
+        bytes concatenated, `offsets[T+1]` term bounds in it, `qoffs[Q+1]`
+        each query's term range. Skips every Python-object cost of the
+        list-of-lists pack (flatten + join + per-term len: measured ~7 of
+        its 9 ms per 8192-query batch on this 1-vCPU host) — callers that
+        already hold queries in wire/columnar form should prefer it."""
+        s = self.snap
+        W = s.width if self.delta is None else max(s.width, self.delta.width)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        qoffs = np.asarray(qoffs, dtype=np.int64)
+        nq = len(qoffs) - 1
+        kvq = np.diff(qoffs)
+        K = max(1, int(kvq.max(initial=1)))
+        Q = _round_up(nq, self.q_bucket)
+        qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
+        kv = np.zeros(Q, dtype=np.int32)
+        kv[:nq] = kvq
+        blob8 = (
+            np.frombuffer(blob, dtype=np.uint8)
+            if isinstance(blob, (bytes, bytearray))
+            else np.asarray(blob, dtype=np.uint8)
+        )
+        packed = keys_mod.pack_blob(blob8, offsets, W)
+        rows = np.repeat(np.arange(nq), kvq)
+        cols = np.arange(qoffs[-1], dtype=np.int64) - np.repeat(qoffs[:-1], kvq)
+        qk[rows, cols] = packed
+        return qk, kv
+
+    def _batch_pack(self, queries):
+        """One stream batch -> (nq, qk, kv). Accepts a sequence of term
+        lists OR a columnar (blob, offsets, qoffs) triple (see
+        _pack_boolean_cols)."""
+        if isinstance(queries, tuple) and len(queries) == 3:
+            _, _, qoffs = queries
+            nq = len(qoffs) - 1
+            if nq <= 0:
+                return 0, None, None
+            qk, kv = self._pack_boolean_cols(*queries)
+            return nq, qk, kv
+        if not queries:
+            return 0, None, None
+        qk, kv = self._pack_boolean(queries)
+        return len(queries), qk, kv
+
     def boolean(self, queries: Sequence[Sequence[bytes]], op: str, filter_removed: bool = False):
         """Batch of AND/OR queries; each query is 1..K terms.
 
@@ -1451,30 +1520,60 @@ class QueryEngine:
     def _fused_followups(self, setter, wide, longs, overs, removed):
         """Process the deferred classes ONCE (shared by boolean() and the
         staged stream — cross-batch grouping keeps the round-trip count
-        independent of how many batches deferred into them)."""
-        if wide:
-            B = _round_up(len(wide), 8)
-            bq = self._stack_rows([t[1] for t in wide], B)
+        independent of how many batches deferred into them).
+
+        All re-serve dispatches are issued back-to-back BEFORE any result
+        fetch (the device queue runs them without idling between round
+        trips), then counts fetch in ONE wave and trimmed results in a
+        second — 2 round trips for the whole drain instead of 2 per ladder
+        level. Measured: the drain was the staged stream's residual gap
+        (pack and uploads pipeline-hide behind harvest waits; the serial
+        post-stream follow-up chain did not)."""
+        dispatches = []  # (members, out_dev, cnt_dev)
+        pend_bytes = 0
+
+        def drain():
+            nonlocal pend_bytes
+            counts = jax.device_get([d[2] for d in dispatches])
+            trimmed = [
+                d[1][:, : max(1, int(c[: len(d[0])].max(initial=0)))]
+                for d, c in zip(dispatches, counts)
+            ]
+            outs = jax.device_get(trimmed)
+            for (members, _, _), c, o in zip(dispatches, counts, outs):
+                for j, t in enumerate(members):
+                    setter(t[0], o[j, : c[j]].copy())
+            dispatches.clear()
+            pend_bytes = 0
+
+        def dispatch(members, lv):
+            nonlocal pend_bytes
+            B = _round_up(len(members), 8)
+            bq = self._stack_rows([t[1] for t in members], B)
             bkv = np.zeros(B, dtype=np.int32)
-            bkv[: len(wide)] = [t[2] for t in wide]
-            o2, c2, _ = self._fused_run(self.L, bq, bkv, removed)
-            c2 = np.asarray(c2)
-            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
-            for j, t in enumerate(wide):
-                setter(t[0], o2[j, : c2[j]].copy())
+            bkv[: len(members)] = [t[2] for t in members]
+            o2, c2, _ = self._fused_run(lv, bq, bkv, removed)
+            c2.copy_to_host_async()
+            dispatches.append((members, o2, c2))
+            pend_bytes += B * lv * 4
+            if pend_bytes > 4 * _RESERVE_BUDGET:  # cap in-flight HBM
+                drain()
+
+        if wide:
+            dispatch(wide, self.L)
         if longs:
-            n = len(longs)
-            bq = self._stack_rows([t[1] for t in longs], n)
-            bkv = np.asarray([t[2] for t in longs], dtype=np.int32)
-            bneed = np.asarray([t[3] for t in longs], dtype=np.int64)
-            tmp: List[Optional[np.ndarray]] = [None] * n
-            order = sorted(range(n), key=lambda j: -bneed[j])
-            self._reserve_ladder(
-                tmp, order, bneed, bq, bkv,
-                lambda lv, q, k2: self._fused_run(lv, q, k2, removed),
-            )
-            for t, v in zip(longs, tmp):
-                setter(t[0], v)
+            # largest level first; each batch re-serves at ITS OWN level
+            longs.sort(key=lambda t: -t[3])
+            idx = 0
+            while idx < len(longs):
+                lv = self._level_for(int(longs[idx][3]))
+                K = max(t[1].shape[0] for t in longs)
+                qb = max(1, _RESERVE_BUDGET // (K * lv))
+                batch = longs[idx : idx + qb]
+                idx += len(batch)
+                dispatch(batch, lv)
+        if dispatches:
+            drain()
         if overs:
             B = _round_up(len(overs), 8)
             bq = self._stack_rows([t[1] for t in overs], B)
@@ -1526,7 +1625,12 @@ class QueryEngine:
         falls back to per-batch boolean() (dual-tier programs are not
         stream-shaped; refresh cadence makes this transient).
 
-        batches: iterable of query batches (each a sequence of term lists).
+        batches: iterable of query batches — each a sequence of term
+        lists, OR a columnar (blob, offsets[T+1], qoffs[Q+1]) triple
+        (terms concatenated in one bytes/uint8 buffer; queries as term
+        ranges). Columnar input skips the list-of-lists pack's
+        Python-object costs (~7 of 9 ms per 8192-query batch on a 1-vCPU
+        host) — prefer it when queries arrive in wire form.
         columnar=False: one result list (np array per query) per batch.
         columnar=True: one (values, voffs[n+1]) pair per batch — zero
         per-query host work (bulk consumers; values[voffs[i]:voffs[i+1]]
@@ -1552,7 +1656,7 @@ class QueryEngine:
             # fallback: exact per-batch serve, prefix applied host-side
             out = []
             for b in batches:
-                rows = self.boolean(b, op, filter_removed)
+                rows = self.boolean(_batch_as_lists(b), op, filter_removed)
                 counts = np.array(
                     [0 if r is None else len(r) for r in rows], dtype=np.int64
                 )
@@ -1577,7 +1681,10 @@ class QueryEngine:
             or not self._use_fused()
             or self.snap.n_terms == 0
         ):
-            per = [self.boolean(b, op, filter_removed) for b in batches]
+            per = [
+                self.boolean(_batch_as_lists(b), op, filter_removed)
+                for b in batches
+            ]
             if not columnar:
                 return per
             return [_rows_to_columnar(rows) for rows in per]
@@ -1612,10 +1719,10 @@ class QueryEngine:
 
         pend = deque()
         for bi, queries in enumerate(batches):
-            if not queries:
+            nq, qk, kv = self._batch_pack(queries)
+            if nq == 0:
                 fetched[bi] = (0, None)
                 continue
-            qk, kv = self._pack_boolean(queries)
             qk, kv = self._fused_pad(qk, kv)
             devs = self._fused_run_staged(qk, kv, removed)
             # start the device->host copies NOW (they queue behind the
@@ -1623,7 +1730,7 @@ class QueryEngine:
             # host never blocks a full tunnel round trip per batch
             for a in devs:
                 a.copy_to_host_async()
-            pend.append((bi, len(queries), qk, kv, devs))
+            pend.append((bi, nq, qk, kv, devs))
             if len(pend) > depth:
                 harvest(pend.popleft())
         while pend:
@@ -1703,17 +1810,16 @@ class QueryEngine:
         clsq: deque = deque()
 
         def stage_resolve(bi):
-            queries = batches[bi]
-            if not queries:
+            nq, qk, kv = self._batch_pack(batches[bi])
+            if nq == 0:
                 resq.append((bi, 0, None, None))
                 return
-            qk, kv = self._pack_boolean(queries)
             r = _JIT_RESOLVE(
                 s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
             )
             for a in r:
                 a.copy_to_host_async()
-            resq.append((bi, len(queries), kv, r))
+            resq.append((bi, nq, kv, r))
 
         def stage_classes(item):
             bi, nq, kv, r = item

@@ -638,3 +638,49 @@ def test_lookup_staged_matches_lookup(tmp_path, rng):
                 assert np.array_equal(rows[bi][qi], want), (fr, bi, qi)
                 assert pc[qi] == len(want)
                 assert np.array_equal(pv[pvo[qi]: pvo[qi + 1]], want[:4])
+
+
+def _to_cols(qs):
+    """list-of-term-lists -> (blob, offsets, qoffs) columnar triple."""
+    flat = [t for q in qs for t in q]
+    blob = b"".join(flat)
+    offsets = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in flat], out=offsets[1:])
+    qoffs = np.zeros(len(qs) + 1, dtype=np.int64)
+    np.cumsum([len(q) for q in qs], out=qoffs[1:])
+    return blob, offsets, qoffs
+
+
+def test_boolean_staged_columnar_input(tmp_path, rng):
+    """Columnar (blob, offsets, qoffs) batches serve identically to
+    list-of-lists batches through every staged route (concat stream,
+    prefix mode, and the per-batch fallback with a delta live)."""
+    ii, truth = build_index(tmp_path, rng, n_docs=100)
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    vocab = sorted(truth.keys())
+    rq = np.random.default_rng(9)
+    batches = []
+    for _ in range(2):
+        qs = []
+        for _ in range(6):
+            k = int(rq.integers(1, 5))
+            qs.append([vocab[i] for i in rq.choice(len(vocab), size=k, replace=False)])
+        batches.append(qs)
+    cols = [_to_cols(qs) for qs in batches]
+    for op in ("or", "and"):
+        a = eng.boolean_staged(batches, op, columnar=True)
+        b = eng.boolean_staged(cols, op, columnar=True)
+        for (va, oa), (vb, ob) in zip(a, b):
+            assert np.array_equal(va, vb) and np.array_equal(oa, ob), op
+        pa = eng.boolean_staged(batches, op, columnar=True, prefix_p=3)
+        pb = eng.boolean_staged(cols, op, columnar=True, prefix_p=3)
+        for ta, tb in zip(pa, pb):
+            for xa, xb in zip(ta, tb):
+                assert np.array_equal(xa, xb), op
+    # delta live -> per-batch fallback must expand columnar batches
+    ii.put([vocab[0], b"zz-new"], 999)
+    assert eng.refresh(ii) is True and eng.delta is not None
+    a = eng.boolean_staged(batches, "or", columnar=True)
+    b = eng.boolean_staged(cols, "or", columnar=True)
+    for (va, oa), (vb, ob) in zip(a, b):
+        assert np.array_equal(va, vb) and np.array_equal(oa, ob)
