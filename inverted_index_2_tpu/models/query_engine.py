@@ -1148,7 +1148,7 @@ class QueryEngine:
         return out
 
     def lookup_staged(
-        self, batches, filter_removed: bool = False, depth: int = 2,
+        self, batches, filter_removed: bool = False, depth: int = 3,
         columnar: bool = False, prefix_p: int = 0,
     ):
         """Pipelined stream lookup: `batches` is an iterable of term lists.
@@ -1506,6 +1506,52 @@ class QueryEngine:
             else:
                 overs.append((pos, qk[j], int(kv[j])))
 
+    def _drain_levels(self, items, run, setter):
+        """Two-wave exact re-serve drain. items: (pos, qk_row (K_i, W+1),
+        kv, lv) — lv the pad level to serve at (callers precompute; a
+        batch serves at the level of its LARGEST member, which is exact
+        for every smaller member in it). All dispatches are issued
+        back-to-back with async count copies, then counts fetch in one
+        wave and trimmed results in a second; in-flight HBM is capped at
+        4x the reserve budget (a cap hit drains early and continues)."""
+        dispatches = []  # (members, out_dev, cnt_dev)
+        pend_bytes = 0
+
+        def drain():
+            nonlocal pend_bytes
+            counts = jax.device_get([d[2] for d in dispatches])
+            trimmed = [
+                d[1][:, : max(1, int(c[: len(d[0])].max(initial=0)))]
+                for d, c in zip(dispatches, counts)
+            ]
+            outs = jax.device_get(trimmed)
+            for (members, _, _), c, o in zip(dispatches, counts, outs):
+                for j, t in enumerate(members):
+                    setter(t[0], o[j, : c[j]].copy())
+            dispatches.clear()
+            pend_bytes = 0
+
+        items.sort(key=lambda t: -t[3])
+        idx = 0
+        while idx < len(items):
+            lv = int(items[idx][3])
+            K = max(t[1].shape[0] for t in items)
+            qb = max(1, _RESERVE_BUDGET // (K * lv))
+            batch = items[idx : idx + qb]
+            idx += len(batch)
+            B = _round_up(len(batch), 8)
+            bq = self._stack_rows([t[1] for t in batch], B)
+            bkv = np.zeros(B, dtype=np.int32)
+            bkv[: len(batch)] = [t[2] for t in batch]
+            o2, c2, _ = run(lv, bq, bkv)
+            c2.copy_to_host_async()
+            dispatches.append((batch, o2, c2))
+            pend_bytes += B * lv * 4
+            if pend_bytes > 4 * _RESERVE_BUDGET:
+                drain()
+        if dispatches:
+            drain()
+
     @staticmethod
     def _stack_rows(rows, B):
         """Stack per-query (K_b, W+1) key rows (possibly different K across
@@ -1529,51 +1575,14 @@ class QueryEngine:
         level. Measured: the drain was the staged stream's residual gap
         (pack and uploads pipeline-hide behind harvest waits; the serial
         post-stream follow-up chain did not)."""
-        dispatches = []  # (members, out_dev, cnt_dev)
-        pend_bytes = 0
-
-        def drain():
-            nonlocal pend_bytes
-            counts = jax.device_get([d[2] for d in dispatches])
-            trimmed = [
-                d[1][:, : max(1, int(c[: len(d[0])].max(initial=0)))]
-                for d, c in zip(dispatches, counts)
-            ]
-            outs = jax.device_get(trimmed)
-            for (members, _, _), c, o in zip(dispatches, counts, outs):
-                for j, t in enumerate(members):
-                    setter(t[0], o[j, : c[j]].copy())
-            dispatches.clear()
-            pend_bytes = 0
-
-        def dispatch(members, lv):
-            nonlocal pend_bytes
-            B = _round_up(len(members), 8)
-            bq = self._stack_rows([t[1] for t in members], B)
-            bkv = np.zeros(B, dtype=np.int32)
-            bkv[: len(members)] = [t[2] for t in members]
-            o2, c2, _ = self._fused_run(lv, bq, bkv, removed)
-            c2.copy_to_host_async()
-            dispatches.append((members, o2, c2))
-            pend_bytes += B * lv * 4
-            if pend_bytes > 4 * _RESERVE_BUDGET:  # cap in-flight HBM
-                drain()
-
-        if wide:
-            dispatch(wide, self.L)
-        if longs:
-            # largest level first; each batch re-serves at ITS OWN level
-            longs.sort(key=lambda t: -t[3])
-            idx = 0
-            while idx < len(longs):
-                lv = self._level_for(int(longs[idx][3]))
-                K = max(t[1].shape[0] for t in longs)
-                qb = max(1, _RESERVE_BUDGET // (K * lv))
-                batch = longs[idx : idx + qb]
-                idx += len(batch)
-                dispatch(batch, lv)
-        if dispatches:
-            drain()
+        items = [(t[0], t[1], t[2], self.L) for t in wide]
+        items += [
+            (t[0], t[1], t[2], self._level_for(int(t[3]))) for t in longs
+        ]
+        self._drain_levels(
+            items, lambda lv, q, k2: self._fused_run(lv, q, k2, removed),
+            setter,
+        )
         if overs:
             B = _round_up(len(overs), 8)
             bq = self._stack_rows([t[1] for t in overs], B)
@@ -1608,7 +1617,7 @@ class QueryEngine:
 
     def boolean_staged(
         self, batches, op: str = "and", filter_removed: bool = False,
-        depth: int = 2, columnar: bool = False, prefix_p: int = 0,
+        depth: int = 3, columnar: bool = False, prefix_p: int = 0,
     ):
         """Pipelined stream serving: pack + dispatch batch i+`depth` BEFORE
         downloading batch i's results, so host packing and the fetch round
@@ -1619,11 +1628,11 @@ class QueryEngine:
         and processed once across the whole stream. Per-batch semantics
         are identical to boolean().
 
-        AND on TPU streams through the fused kernel; OR (and AND off-TPU)
-        streams through the concat-decode classes with the same depth-`depth`
-        pipeline (_staged_concat_stream). With a delta tier live the stream
-        falls back to per-batch boolean() (dual-tier programs are not
-        stream-shaped; refresh cadence makes this transient).
+        AND on TPU streams through the fused kernel; OR (and AND off-TPU,
+        and any prefix_p run) streams through the concat-decode classes;
+        with a delta tier live, batches stream through the padded DUAL
+        formulation (_staged_dual_stream) — every route pipelines at the
+        same depth and drains ladder re-serves once, cross-stream.
 
         batches: iterable of query batches — each a sequence of term
         lists, OR a columnar (blob, offsets[T+1], qoffs[Q+1]) triple
@@ -1645,50 +1654,41 @@ class QueryEngine:
         from collections import deque
 
         batches = list(batches)
-        if prefix_p:
-            if not columnar:
-                raise ValueError("prefix_p requires columnar=True")
-            if self.delta is None and self.snap.n_terms > 0:
-                removed = self._removed if filter_removed else None
-                return self._staged_concat_stream(
-                    batches, op, removed, depth, columnar, prefix_p
-                )
-            # fallback: exact per-batch serve, prefix applied host-side
+        if prefix_p and not columnar:
+            raise ValueError("prefix_p requires columnar=True")
+        removed = self._removed if filter_removed else None
+        if self.delta is not None:
+            # delta window: the padded DUAL formulation, still pipelined
+            return self._staged_dual_stream(
+                batches, op, removed, depth, columnar, prefix_p
+            )
+        if self.snap.n_terms == 0:
+            # empty index: per-batch fallback (nothing to pipeline)
             out = []
             for b in batches:
                 rows = self.boolean(_batch_as_lists(b), op, filter_removed)
-                counts = np.array(
-                    [0 if r is None else len(r) for r in rows], dtype=np.int64
-                )
+                if not columnar:
+                    out.append(rows)
+                    continue
                 vals, voffs = _rows_to_columnar(
                     [None if r is None else r[:prefix_p] for r in rows]
+                    if prefix_p else rows
                 )
-                out.append((vals, voffs, counts))
+                if prefix_p:
+                    counts = np.array(
+                        [0 if r is None else len(r) for r in rows],
+                        dtype=np.int64,
+                    )
+                    out.append((vals, voffs, counts))
+                else:
+                    out.append((vals, voffs))
             return out
-        if (
-            self.delta is None
-            and self.snap.n_terms > 0
-            and (op != "and" or not self._use_fused())
-        ):
-            # exact full-result stream through the pipelined concat classes
-            removed = self._removed if filter_removed else None
+        if op != "and" or not self._use_fused() or prefix_p:
+            # exact stream through the pipelined concat classes (also the
+            # pagination route: prefix_p slices on device there)
             return self._staged_concat_stream(
-                batches, op, removed, depth, columnar, 0
+                batches, op, removed, depth, columnar, prefix_p
             )
-        if (
-            op != "and"
-            or self.delta is not None
-            or not self._use_fused()
-            or self.snap.n_terms == 0
-        ):
-            per = [
-                self.boolean(_batch_as_lists(b), op, filter_removed)
-                for b in batches
-            ]
-            if not columnar:
-                return per
-            return [_rows_to_columnar(rows) for rows in per]
-        removed = self._removed if filter_removed else None
         P = self._STAGED_SMALL_P
         levels_h = [lv for lv in self._levels()]
         fetched: List = [None] * len(batches)
@@ -1777,6 +1777,107 @@ class QueryEngine:
                     rows[i] = arr
                 out.append(rows)
         return out
+
+    def _staged_dual_stream(
+        self, batches, op: str, removed, depth: int, columnar: bool,
+        prefix_p: int,
+    ):
+        """Depth-pipelined stream over the MAIN+DELTA snapshot pair (the
+        padded dual formulation, boolean_step_dual): dispatches pipeline
+        across batches and ladder re-serves drain once cross-stream
+        (two-wave), so serving throughput holds through delta windows
+        instead of dropping to serial per-batch calls. prefix_p slices
+        each result row on device at dispatch time (true counts + first-P
+        values, one bounded fetch — the pagination contract)."""
+        from collections import deque
+
+        s, d = self.snap, self.delta
+        P = int(prefix_p)
+        fetched: List = [None] * len(batches)
+        longs = []
+        pend = deque()
+
+        def run(lv, qk_sub, kv_sub):
+            return _JIT_BOOLEAN_DUAL(
+                s.keys, s.blocks, s.term_block_start, s.counts, s.hash_slots,
+                d.keys, d.blocks, d.term_block_start, d.counts, d.hash_slots,
+                jnp.asarray(_narrow_keys(qk_sub, s.width)),
+                jnp.asarray(_narrow_keys(qk_sub, d.width)),
+                jnp.asarray(kv_sub), lv, op, removed,
+                s.max_probes, d.max_probes,
+            )
+
+        def harvest(item):
+            bi, nq, qk, kv, out, oc, need = item
+            oc_h, need_h = jax.device_get((oc, need))
+            if P:
+                out_h = np.asarray(out)  # the (Q, P) device slice
+            else:
+                out_h = np.asarray(
+                    out[:, : max(1, int(oc_h[:nq].max(initial=0)))]
+                )
+            fetched[bi] = (nq, out_h, oc_h)
+            for i in np.nonzero(need_h[:nq] > self.L)[0]:
+                longs.append((
+                    (bi, int(i)), qk[i], int(kv[i]),
+                    self._level_for(int(need_h[i])),
+                ))
+
+        for bi, queries in enumerate(batches):
+            nq, qk, kv = self._batch_pack(queries)
+            if nq == 0:
+                fetched[bi] = (0, None, None)
+                continue
+            out, oc, need = run(self.L, qk, kv)
+            if P:
+                out = out[:, : min(P, out.shape[1])]
+                out.copy_to_host_async()
+            oc.copy_to_host_async()
+            need.copy_to_host_async()
+            pend.append((bi, nq, qk, kv, out, oc, need))
+            if len(pend) > depth:
+                harvest(pend.popleft())
+        while pend:
+            harvest(pend.popleft())
+
+        overrides: Dict[int, Dict[int, np.ndarray]] = {}
+
+        def setter(pos, v):
+            overrides.setdefault(pos[0], {})[pos[1]] = v
+
+        self._drain_levels(longs, run, setter)
+
+        results = []
+        for bi in range(len(batches)):
+            nq, out_h, oc_h = fetched[bi]
+            if nq == 0:
+                if columnar:
+                    empty = (np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                    results.append(
+                        empty + (np.zeros(0, np.int64),) if P else empty
+                    )
+                else:
+                    results.append([])
+                continue
+            ovr = overrides.get(bi, {})
+            if P:
+                counts = oc_h[:nq].astype(np.int64)
+                rows = []
+                for i in range(nq):
+                    if i in ovr:
+                        counts[i] = len(ovr[i])
+                        rows.append(ovr[i][:P])
+                    else:
+                        rows.append(out_h[i, : min(int(oc_h[i]), P)])
+                vals, voffs = _rows_to_columnar(rows)
+                results.append((vals, voffs, counts))
+            else:
+                rows = [
+                    ovr[i] if i in ovr else out_h[i, : oc_h[i]].copy()
+                    for i in range(nq)
+                ]
+                results.append(_rows_to_columnar(rows) if columnar else rows)
+        return results
 
     def _staged_concat_stream(
         self, batches, op: str, removed, depth: int, columnar: bool,

@@ -358,7 +358,7 @@ class MeshQueryEngine:
 
     def boolean_staged(
         self, batches, op: str, filter_removed: bool = False,
-        depth: int = 2, columnar: bool = False,
+        depth: int = 3, columnar: bool = False,
     ):
         """Depth-pipelined mesh stream serving: dispatch batch i+`depth`
         (and start its result copies) BEFORE fetching batch i, so the

@@ -684,3 +684,44 @@ def test_boolean_staged_columnar_input(tmp_path, rng):
     b = eng.boolean_staged(cols, "or", columnar=True)
     for (va, oa), (vb, ob) in zip(a, b):
         assert np.array_equal(va, vb) and np.array_equal(oa, ob)
+
+
+def test_boolean_staged_dual_stream(tmp_path):
+    """With a delta tier live, boolean_staged streams through the padded
+    DUAL formulation — result-identical to boolean() per batch, ladder
+    re-serves, tombstone filtering and prefix_p pagination included."""
+    ii = InvertedIndex(str(tmp_path))
+    for v in range(1, 300):  # long list -> ladder re-serve at L=128
+        ii.put([b"aa-long", b"bb"], v)
+    for v in range(1, 40):
+        ii.put([b"cc", b"dd"] + [f"fill{v:02d}".encode()], v * 2)
+    ii.put_removed(np.asarray([4, 10], dtype=np.uint32))
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    ii.put([b"aa-long", b"ee-new"], 999)
+    ii.put([b"cc", b"ee-new"], 1000)
+    assert eng.refresh(ii) is True and eng.delta is not None
+    batches = [
+        [[b"aa-long", b"bb"], [b"cc"], [b"aa-long", b"ee-new"]],
+        [[b"cc", b"dd"], [b"ee-new"], [b"zz-missing", b"cc"]],
+        [],
+    ]
+    for op in ("and", "or"):
+        for fr in (False, True):
+            staged = eng.boolean_staged(batches, op, filter_removed=fr)
+            col = eng.boolean_staged(batches, op, filter_removed=fr,
+                                     columnar=True)
+            pre = eng.boolean_staged(batches, op, filter_removed=fr,
+                                     columnar=True, prefix_p=3)
+            for bi, qs in enumerate(batches):
+                plain = eng.boolean(qs, op, filter_removed=fr)
+                vals, voffs = col[bi]
+                pv, pvo, pc = pre[bi]
+                assert len(voffs) == len(qs) + 1
+                for qi in range(len(qs)):
+                    assert np.array_equal(staged[bi][qi], plain[qi]), \
+                        (op, fr, bi, qi)
+                    assert np.array_equal(
+                        vals[voffs[qi]: voffs[qi + 1]], plain[qi])
+                    assert pc[qi] == len(plain[qi])
+                    assert np.array_equal(
+                        pv[pvo[qi]: pvo[qi + 1]], plain[qi][:3])
