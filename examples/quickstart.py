@@ -62,6 +62,18 @@ print("OR: ", [g.tolist() for g in eng.boolean([[b"cherry", b"date"]], op="or")]
 stream = [[[b"apple", b"banana"]], [[b"banana", b"fig"]]]
 for vals, voffs in eng.boolean_staged(stream, op="and", columnar=True):
     print("staged batch:", [vals[voffs[i]:voffs[i + 1]].tolist() for i in range(len(voffs) - 1)])
+# pagination serving for large-result ops: ONE bounded fetch per batch of
+# true counts + the first prefix_p values per query (full results on
+# request via boolean()); lookup_staged streams single-term lookups the
+# same way
+(pv, pvo, pc), = eng.boolean_staged(
+    [[[b"banana"], [b"apple", b"banana"]]], op="or", columnar=True, prefix_p=2
+)
+print("paginated OR (first 2):",
+      [pv[pvo[i]:pvo[i + 1]].tolist() for i in range(len(pc))],
+      "true counts:", pc.tolist())
+print("stream lookup:",
+      [r.tolist() for r in eng.lookup_staged([[b"banana", b"nope"]])[0]])
 print("engine prefix:", {k: v.tolist() for k, v in eng.prefix_search([b"ba"]).items()})
 print("engine range read:", [(t, v.tolist()) for t, v in eng.read_range(b"apple", b"banana")])
 
