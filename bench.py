@@ -700,6 +700,16 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
         _reps(lambda: eng.boolean_staged(
             stream, "or", columnar=True, prefix_p=32, depth=3)),
     )
+    # staged stream lookup: the END-TO-END analogue of the scan-based
+    # lookup_qps (exact at any posting length — single-term service through
+    # the pipelined concat-class stream, full results fetched)
+    lk_stream = [[q[0] for q in b] for b in stream[:4]]
+    eng.lookup_staged(lk_stream, columnar=True, depth=3)
+    out[f"{name}_staged_lookup_qps"] = _qps_stat(
+        f"{name}_staged_lookup_qps", sum(len(b) for b in lk_stream),
+        _reps(lambda: eng.lookup_staged(lk_stream, columnar=True, depth=3),
+              reps=3),
+    )
     return out
 
 
@@ -749,6 +759,21 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
             f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
         _fence(jnp.sum(c))
         out[name] = round(Q * iters / (time.monotonic() - t0))
+    # mesh boolean AND on real hardware (the engine's reduce-scatter serving
+    # form: decode fan-out + psum_scatter, set op query-sharded)
+    Qb, Kb = 2048, 4
+    bq = jnp.asarray(hk[rng.integers(0, n, size=(Qb, Kb))])
+    kv = jnp.full((Qb,), Kb, dtype=jnp.int32)
+    rs_and = pm.make_sharded_boolean_scatter(snap, L, "and")
+    o, oc, _need = rs_and(
+        snap.keys, snap.blocks, snap.term_block_start, snap.counts, bq, kv)
+    _fence(jnp.sum(oc))
+    t0 = time.monotonic()
+    for _ in range(iters):
+        o, oc, _need = rs_and(
+            snap.keys, snap.blocks, snap.term_block_start, snap.counts, bq, kv)
+    _fence(jnp.sum(oc))
+    out["mesh_and_rs_qps"] = round(Qb * iters / (time.monotonic() - t0))
     return out
 
 

@@ -63,7 +63,8 @@ PP = 4        # probe chunks folded into one compare op (op-issue bound)
 
 def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
                     tq: int = None, gp: int = None, pp: int = None,
-                    bg0: int = None, batch_pre: bool = True):
+                    bg0: int = None, batch_pre: bool = True,
+                    early_exit: bool = True):
     tq = tq or TQ
     gp = gp or GP
     pp = pp or PP
@@ -342,13 +343,26 @@ def _kernel_factory(K: int, C: int, stride: int, prune: bool = True,
                                 probe_win[:], use_mxu=True, perms=perms
                             )                               # (gp, 128)
                             probe_block(pv, g, jnp.int32(0))
+                        if early_exit:
+                            # anchors ascend with g: once one group starts
+                            # past the base's max, every later group does
+                            # too — hand the while_loop its stop signal so
+                            # the tail walk's DMAs stop with the compares
+                            return (pw0f[0, 1] > base_hi_f).astype(jnp.int32)
                         return carry
                     pv, _ = decode_blocks_pow2(
                         probe_win[:], use_mxu=True, perms=perms
                     )                                       # (gp, 128)
                     return probe_block(pv, g, carry)
 
-                jax.lax.fori_loop(1, ngrp, gbody, jnp.int32(0))
+                if prune and early_exit:
+                    jax.lax.while_loop(
+                        lambda c: (c[0] < ngrp) & (c[1] == 0),
+                        lambda c: (c[0] + 1, gbody(c[0], c[1])),
+                        (jnp.int32(1), jnp.int32(0)),
+                    )
+                else:
+                    jax.lax.fori_loop(1, ngrp, gbody, jnp.int32(0))
                 return keep & hit_buf[pl.ds(0, C), :]
 
             keep = jax.lax.fori_loop(1, kv, jbody, keep0) > 0
@@ -399,12 +413,14 @@ def fused_and_pallas(
     """
     from .pallas_decode import SLACK_ROWS
 
-    # geom: (tq, gp, pp, bg0[, batch_pre]) — batch_pre=True batches all
-    # tq x (K-1) first-probe-group DMAs + their decode across the tile
-    # (A/B'd on-chip; see PERFORMANCE.md round-3 notes)
+    # geom: (tq, gp, pp, bg0[, batch_pre[, early_exit]]) — batch_pre=True
+    # batches all tq x (K-1) first-probe-group DMAs + their decode across
+    # the tile; early_exit=True stops each probe walk's DMA loop at the
+    # first group past the base's max (A/B'd on-chip; see PERFORMANCE.md)
     g = geom or (TQ, GP, PP, BG0)
     tq, gp, pp, bg0 = g[:4]
     batch_pre = bool(g[4]) if len(g) > 4 else True
+    early_exit = bool(g[5]) if len(g) > 5 else True
     Q, K = rows.shape
     # non-multiple-of-8 GP measured as a DEVICE FAULT (DMA windows must be
     # sublane-tile aligned); fail loud at trace time instead
@@ -457,7 +473,8 @@ def fused_and_pallas(
         ],
     )
     masked, cnt = pl.pallas_call(
-        _kernel_factory(K, C, stride, prune, tq, gp, pp, bg0, batch_pre),
+        _kernel_factory(K, C, stride, prune, tq, gp, pp, bg0, batch_pre,
+                        early_exit),
         out_shape=[
             jax.ShapeDtypeStruct((Q, C, CHUNK), jnp.uint32),
             jax.ShapeDtypeStruct((Q, CHUNK), jnp.int32),

@@ -453,6 +453,53 @@ def test_fused_and_geom_batch_pre_variants_agree(rng):
     assert np.array_equal(outs[False][0], outs[True][0])
 
 
+def test_fused_and_early_exit_variants_agree(rng):
+    """geom early_exit=True (production: the probe-group walk's while_loop
+    stops at the first group past the base's max) and early_exit=False
+    (full fori walk) are bit-identical — on RANGE-CLUSTERED lists the exit
+    actually fires (each term's postings sit in a narrow window, so probe
+    anchors pass the base max after ~1 group), which is the case the
+    on-chip A/B and the log-search deployment shape care about."""
+    import jax.numpy as jnp
+
+    from inverted_index_2_tpu.ops.pallas_fused import (
+        fused_and_pallas, reorder_smallest_base,
+    )
+
+    # clustered multi-group lists: window centers spread over the u32 axis;
+    # lengths straddle the gp*128=1024 group size so the walk has tails
+    lists = []
+    for s, c in [(40, 100), (2600, 5_000_000), (1300, 9_000),
+                 (3100, 2_000_000_000), (700, 60_000), (2049, 1_000_000),
+                 (90, 1_500_000_000), (1025, 300_000)]:
+        w = max(4 * s, 16)
+        lists.append(np.unique(rng.integers(c, c + w, size=s, dtype=np.uint32)))
+    snap = _snap(lists, rng)
+    Q, K, L = 16, 4, 512
+    idx = rng.integers(0, len(lists), size=(Q, K)).astype(np.int32)
+    kv = rng.integers(2, K + 1, size=Q).astype(np.int32)
+    tbs = np.asarray(snap.term_block_start)
+    hc = snap.host_counts
+    kmask = np.arange(K)[None, :] < kv[:, None]
+    rows = np.where(kmask, tbs[idx], 0).astype(np.int32)
+    cnts = np.where(kmask, hc[idx], 0).astype(np.int32)
+    r2, c2, _ = reorder_smallest_base(
+        jnp.asarray(rows), jnp.asarray(cnts), jnp.asarray(kv)
+    )
+    # clamp only the BASE count to L (a base over L would need the ladder);
+    # probe counts stay FULL length so multi-group walks exercise the exit
+    c2 = c2.at[:, 0].set(jnp.minimum(c2[:, 0], L))
+    outs = {}
+    for ee in (False, True):
+        out, oc = fused_and_pallas(
+            snap.blocks, r2, c2, jnp.asarray(kv), L,
+            interpret=True, geom=(8, 8, 4, 4, True, ee),
+        )
+        outs[ee] = (np.asarray(out), np.asarray(oc))
+    assert np.array_equal(outs[False][1], outs[True][1])
+    assert np.array_equal(outs[False][0], outs[True][0])
+
+
 def test_engine_fused_chunked_large_batch(rng, monkeypatch):
     """Batches beyond _FUSED_MAX_Q (the kernel's SMEM scalar-prefetch
     bound: 16384x8 rows/counts operands measured an SMEM overflow on v5e)
