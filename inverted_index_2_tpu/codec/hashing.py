@@ -112,6 +112,34 @@ def build_table_with_probes(keys: np.ndarray):
     return slots, max_probe_len(slots, hashes)
 
 
+def probe_rows_np(slots: np.ndarray, max_probes: int, keys: np.ndarray,
+                  qkeys: np.ndarray) -> np.ndarray:
+    """Vectorized host-side exact lookup: query key rows -> term indexes
+    (int64, -1 = absent). Walks the same probe sequence as the device
+    resolve step (ops/dict_search.py) over the same table, with the same
+    full-key verification — used by the host serving path
+    (QueryEngine.lookup_host), where postings decode natively from the
+    retained compact tables and the device is never touched."""
+    qkeys = np.ascontiguousarray(qkeys, dtype=np.uint32)
+    out = np.full(qkeys.shape[0], -1, dtype=np.int64)
+    if len(slots) == 0 or keys.shape[0] == 0 or qkeys.shape[0] == 0:
+        return out
+    mask = np.uint32(len(slots) - 1)
+    h = hash_rows_np(qkeys)
+    open_ = np.arange(qkeys.shape[0], dtype=np.int64)  # still unresolved
+    for p in range(max_probes):
+        pos = ((h[open_] + np.uint32(p)) & mask).astype(np.int64)
+        cand = slots[pos].astype(np.int64)
+        occupied = cand >= 0
+        # an EMPTY slot terminates the probe chain: a definitive miss
+        hit = occupied & (keys[np.maximum(cand, 0)] == qkeys[open_]).all(axis=1)
+        out[open_[hit]] = cand[hit]
+        open_ = open_[occupied & ~hit]
+        if not len(open_):
+            break
+    return out
+
+
 def max_probe_len(slots: np.ndarray, hashes: np.ndarray) -> int:
     """Longest probe chain in the table (host check / device trip bound)."""
     S = len(slots)

@@ -339,13 +339,16 @@ def _purge_merged(merged, removed: np.ndarray):
 
 def snapshot_new_segments(
     index, base_segments: Dict[str, frozenset], width: Optional[int] = None,
-    removed: Optional[np.ndarray] = None,
-) -> Optional[IndexSnapshot]:
+    removed: Optional[np.ndarray] = None, with_tables: bool = False,
+):
     """Freeze ONLY the segments not in `base_segments` (shard key ->
     segment-key set): the O(delta) piece of an incremental refresh. Returns
     None when nothing is new. Pass `removed` (sorted tombstones) to purge
     the delta at build — REQUIRED under apply_removed, where the main tier
-    was purged and an unpurged delta would resurrect removed values."""
+    was purged and an unpurged delta would resurrect removed values.
+    with_tables=True returns (snapshot, HostTables) instead — the engine's
+    table-retention mode keeps the compact host half for host-side
+    serving (lookup_host) and checkpointing."""
     from ..segment.registry import Segments
 
     views, pinned_all = [], []
@@ -368,7 +371,9 @@ def snapshot_new_segments(
         if merged is None:
             return None
     blob, offsets, values, voffs = merged
-    return build_snapshot_arrays(blob, offsets, values, voffs, None, width)
+    t = build_host_tables(blob, offsets, values, voffs, None, width)
+    snap = upload_tables(t)
+    return (snap, t) if with_tables else snap
 
 
 class _SnapshotTier:
@@ -811,10 +816,22 @@ class QueryEngine:
     DELTA_FRACTION = 0.25
 
     def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256,
-                 checkpoint_path: Optional[str] = None, checkpoint_async: bool = True):
+                 checkpoint_path: Optional[str] = None, checkpoint_async: bool = True,
+                 tables: Optional[HostTables] = None):
         self.snap = snapshot
         self.delta: Optional[IndexSnapshot] = None  # incremental-refresh tier
         self._removed = snapshot.removed
+        # table retention: with the compact host tables kept (`tables`,
+        # auto via from_index/from_checkpoint keep_tables=True), full-result
+        # lookups serve ENTIRELY host-side (lookup_host — hash probe +
+        # native block decode from the compressed stream, zero device round
+        # trips), the reference's mmap-read architecture (reader.go:33-103).
+        # Costs host RAM ~= the compressed index; refresh keeps them current.
+        self.tables: Optional[HostTables] = tables
+        self.delta_tables: Optional[HostTables] = None
+        self._removed_host: Optional[np.ndarray] = (
+            tables.removed if tables is not None else None
+        )
         self.L = L
         self.q_bucket = q_bucket
         # auto-checkpointing: with a path set, every MAIN-tier rebuild
@@ -973,17 +990,23 @@ class QueryEngine:
         }
 
     @classmethod
-    def from_index(cls, index, L: int = 1024, apply_removed: bool = False, **kw):
+    def from_index(cls, index, L: int = 1024, apply_removed: bool = False,
+                   keep_tables: bool = True, **kw):
+        """Freeze `index` and serve it. keep_tables=True (default) retains
+        the compact host tables already built by the freeze — enabling
+        host-side full-result lookups (lookup_host) for the cost of holding
+        the compressed postings in host RAM; pass False to drop them."""
         fp = _index_fingerprint(index, apply_removed)
         t = snapshot_tables(index, apply_removed=apply_removed)
-        eng = cls(upload_tables(t), L=L, **kw)
+        eng = cls(upload_tables(t), L=L, tables=t if keep_tables else None, **kw)
         eng._fingerprint = fp
         eng._main_fp = fp
         eng._save_ckpt(t, fp)
         return eng
 
     @classmethod
-    def from_checkpoint(cls, path: str, index=None, L: int = 1024, **kw):
+    def from_checkpoint(cls, path: str, index=None, L: int = 1024,
+                        keep_tables: bool = True, **kw):
         """Warm-start a serving engine from a checkpoint written by
         models.checkpoint.save_checkpoint: load the compact host tables,
         upload (one gather expands the arena on device) — skipping the
@@ -1002,7 +1025,7 @@ class QueryEngine:
         from .checkpoint import load_checkpoint, load_fingerprint
 
         t, meta = load_checkpoint(path)
-        eng = cls(upload_tables(t), L=L, **kw)
+        eng = cls(upload_tables(t), L=L, tables=t if keep_tables else None, **kw)
         fp = load_fingerprint(meta)
         eng._fingerprint = fp
         eng._main_fp = fp
@@ -1047,10 +1070,24 @@ class QueryEngine:
         self.snap = upload_tables(t)
         self.delta = None
         self._removed = self.snap.removed
+        self._adopt_tables(t, None)
         self._fingerprint = fp
         self._main_fp = fp
         self._save_ckpt(t, fp)
         return True
+
+    def _adopt_tables(self, main: Optional[HostTables],
+                      delta: Optional[HostTables]) -> None:
+        """Swap the retained host tables on a refresh (no-op when the engine
+        was built without table retention). The host tombstone mirror tracks
+        `_removed` — the SERVING set, which delta refreshes advance past
+        tables.removed."""
+        if self.tables is None:
+            return
+        if main is not None:
+            self.tables = main
+            self._removed_host = main.removed
+        self.delta_tables = delta
 
     def _try_delta_refresh(self, index, fp, apply_removed: bool) -> bool:
         main_fp = getattr(self, "_main_fp", None)
@@ -1068,20 +1105,27 @@ class QueryEngine:
         # delta against the SAME (unchanged — checked above) tombstone set,
         # so the pair is bit-identical to a full purged rebuild
         rem = _collect_removed(index) if apply_removed else None
-        delta = snapshot_new_segments(index, base_map, removed=rem)
-        if delta is None:
+        keep = self.tables is not None
+        built = snapshot_new_segments(index, base_map, removed=rem,
+                                      with_tables=keep)
+        if built is None:
             # nothing new on disk (e.g. only tombstones, not applied) —
             # still refresh the tombstone array below
-            delta = self.delta
+            delta, dt = self.delta, self.delta_tables
         else:
+            delta, dt = built if keep else (built, None)
             main_terms = max(1, self.snap.n_terms)
             if delta.n_terms > self.DELTA_FRACTION * main_terms:
                 # promote: fold the delta into main by merging the two
                 # SNAPSHOT tiers directly (no segment re-read)
                 return self._promote_delta(index, fp, apply_removed, delta)
         self.delta = delta
+        self._adopt_tables(None, dt)
         if not apply_removed:
-            self._removed = jnp.asarray(_collect_removed(index))
+            rem_h = _collect_removed(index)
+            self._removed = jnp.asarray(rem_h)
+            if self.tables is not None:
+                self._removed_host = rem_h
         return True
 
     def _promote_delta(self, index, fp, apply_removed: bool, delta) -> bool:
@@ -1102,6 +1146,7 @@ class QueryEngine:
         self.snap = upload_tables(t)
         self.delta = None
         self._removed = self.snap.removed
+        self._adopt_tables(t, None)
         self._fingerprint = fp
         self._main_fp = fp
         self._save_ckpt(t, fp)
@@ -1161,7 +1206,17 @@ class QueryEngine:
 
         Misses surface as count-0 results rather than lookup()'s None —
         without filter_removed a PRESENT term always has >= 1 posting, so
-        zero is unambiguous there."""
+        zero is unambiguous there.
+
+        With retained host tables covering the live tier pair (host_ready),
+        batches serve entirely HOST-side — native decode from the
+        compressed stream, zero device round trips: full-result lookup is
+        fetch-volume bound on any link, so not crossing the link at all is
+        the speed of light for this op."""
+        if self.host_ready():
+            return self._host_lookup_stream(
+                batches, filter_removed, columnar, prefix_p
+            )
         return self.boolean_staged(
             [[[t] for t in b] for b in batches], "or",
             filter_removed, depth, columnar, prefix_p,
@@ -1204,6 +1259,156 @@ class QueryEngine:
             v2 = np.asarray(v2[:, : max(1, int(n2.max(initial=0)))])
             for j, i in enumerate(batch):
                 out[i] = v2[j, : n2[j]].copy()
+        return out
+
+    # -- host-side full-result serving -------------------------------------------
+    #
+    # Full-result lookups are fetch-volume bound on ANY host<->device link
+    # (results are O(sum of posting lengths); the device adds no compute
+    # value to a raw decode). With the compact host tables retained
+    # (keep_tables), lookups serve entirely host-side: hash probe
+    # (codec/hashing.probe_rows_np) + native block decode from the SAME
+    # compressed stream the device arena expands from — the reference's
+    # mmap-read architecture (reader.go:33-103) with a columnar contract.
+    # Booleans stay on device: set algebra is where the TPU earns its keep.
+
+    def host_ready(self) -> bool:
+        """True when host-side serving covers the CURRENT tier pair (tables
+        retained, and the delta tier — if live — retained too)."""
+        return self.tables is not None and (
+            self.delta is None or self.delta_tables is not None
+        )
+
+    @staticmethod
+    def _host_decode(t: HostTables, idx: np.ndarray):
+        """Decode posting lists for term indexes `idx` (all >= 0) from the
+        retained compressed stream. List i's count word sits one word before
+        its first block (layout: [n][blocks...], codec/packing.py:11-33;
+        flat[tbs[i]] is the first block's offset)."""
+        starts = t.flat[t.tbs[:-1].astype(np.int64)[idx]].astype(np.int64) - 1
+        values, _, voffs = packing.decode_bulk(t.words, starts)
+        return values, voffs
+
+    @staticmethod
+    def _filter_sorted_columnar(values, voffs, rem):
+        """Drop tombstoned values from a columnar (values, voffs) pair —
+        one vectorized searchsorted membership test over the concatenation
+        (rem is sorted; removed_list.go:44-54 semantics)."""
+        if rem is None or len(rem) == 0 or len(values) == 0:
+            return values, voffs
+        pos = np.searchsorted(rem, values)
+        hit = rem[np.minimum(pos, len(rem) - 1)] == values
+        kept = np.zeros(len(values) + 1, dtype=np.int64)
+        np.cumsum(~hit, out=kept[1:])
+        return values[~hit], kept[voffs]
+
+    def _host_tier_columnar(self, t: HostTables, qk: np.ndarray, rem):
+        """One tier's lookup results as (found, values, voffs) — fully
+        vectorized: probe, bulk-decode hits (concatenation is already in
+        query order), tombstone-filter, re-offset misses to count 0."""
+        nq = qk.shape[0]
+        if t.n_terms == 0:
+            return (np.zeros(nq, bool), np.zeros(0, np.uint32),
+                    np.zeros(nq + 1, np.int64))
+        idx = hashing.probe_rows_np(
+            t.slots, t.max_probes, t.keys, _narrow_keys(qk, t.width)
+        )
+        found = idx >= 0
+        values, hvoffs = self._host_decode(t, idx[found])
+        counts = np.zeros(nq, dtype=np.int64)
+        counts[found] = np.diff(hvoffs)
+        voffs = np.zeros(nq + 1, dtype=np.int64)
+        np.cumsum(counts, out=voffs[1:])
+        values, voffs = self._filter_sorted_columnar(values, voffs, rem)
+        return found, values, voffs
+
+    def _host_removed(self):
+        if self._removed_host is None:
+            self._removed_host = np.asarray(self._removed)
+        return self._removed_host
+
+    def lookup_host(
+        self, terms: Sequence[bytes], filter_removed: bool = False
+    ) -> List[Optional[np.ndarray]]:
+        """lookup() served entirely on host from the retained tables (zero
+        device round trips; exact at any posting length — no ladder). Same
+        contract: None for misses, per-term sorted postings, delta-tier
+        union when an incremental refresh window is live. Requires
+        host_ready() (engine built with keep_tables)."""
+        if not terms:
+            return []
+        if not self.host_ready():
+            raise RuntimeError(
+                "host serving needs retained tables (keep_tables=True)"
+            )
+        rem = self._host_removed() if filter_removed else None
+        qk = keys_mod.pack_terms(list(terms), width=self._host_q_width())
+        found, values, voffs = self._host_tier_columnar(self.tables, qk, rem)
+        rows: List[Optional[np.ndarray]] = [
+            values[voffs[i] : voffs[i + 1]].copy() if found[i] else None
+            for i in range(len(terms))
+        ]
+        if self.delta is not None:
+            f2, v2, o2 = self._host_tier_columnar(self.delta_tables, qk, rem)
+            for i in range(len(terms)):
+                if not f2[i]:
+                    continue
+                d = v2[o2[i] : o2[i + 1]]
+                rows[i] = d if rows[i] is None else np.union1d(rows[i], d)
+        return rows
+
+    def _host_q_width(self) -> int:
+        w = self.tables.width
+        if self.delta_tables is not None:
+            w = max(w, self.delta_tables.width)
+        return w
+
+    def _host_lookup_stream(self, batches, filter_removed: bool,
+                            columnar: bool, prefix_p: int):
+        """lookup_staged's host route: per-batch columnar assembly with no
+        round trips to pipeline (see lookup_staged for the contract —
+        misses surface as count-0 rows here, matching the device stream)."""
+        rem = self._host_removed() if filter_removed else None
+        P = int(prefix_p)
+        W = self._host_q_width()
+        out = []
+        for b in batches:
+            terms = list(b)
+            if not terms:
+                if columnar:
+                    empty = (np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                    out.append(empty + (np.zeros(0, np.int64),) if P else empty)
+                else:
+                    out.append([])
+                continue
+            qk = keys_mod.pack_terms(terms, width=W)
+            _, values, voffs = self._host_tier_columnar(self.tables, qk, rem)
+            if self.delta is not None:
+                f2, v2, o2 = self._host_tier_columnar(
+                    self.delta_tables, qk, rem
+                )
+                if f2.any():
+                    rows = [values[voffs[i] : voffs[i + 1]]
+                            for i in range(len(terms))]
+                    for i in np.nonzero(f2)[0]:
+                        rows[i] = np.union1d(rows[i], v2[o2[i] : o2[i + 1]])
+                    values, voffs = _rows_to_columnar(rows)
+            counts = np.diff(voffs)
+            if P:
+                rid = np.searchsorted(
+                    voffs, np.arange(len(values)), side="right"
+                ) - 1
+                keep = (np.arange(len(values)) - voffs[rid]) < P
+                pvoffs = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(np.minimum(counts, P), out=pvoffs[1:])
+                out.append((values[keep], pvoffs, counts))
+            elif columnar:
+                out.append((values, voffs))
+            else:
+                out.append([
+                    values[voffs[i] : voffs[i + 1]].copy()
+                    for i in range(len(terms))
+                ])
         return out
 
     # -- boolean queries ---------------------------------------------------------

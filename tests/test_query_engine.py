@@ -725,3 +725,115 @@ def test_boolean_staged_dual_stream(tmp_path):
                     assert pc[qi] == len(plain[qi])
                     assert np.array_equal(
                         pv[pvo[qi]: pvo[qi + 1]], plain[qi][:3])
+
+
+# -- host-side full-result serving (retained tables) --------------------------
+
+
+def _assert_rows_equal(a, b, ctx=""):
+    assert len(a) == len(b), ctx
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None:
+            assert x is None and y is None, (ctx, i)
+        else:
+            assert np.array_equal(x, y), (ctx, i)
+
+
+def test_lookup_host_matches_device(tmp_path, rng):
+    """lookup_host (hash probe + native decode from retained tables, zero
+    device round trips) is bit-identical to lookup() — plain, tombstone-
+    filtered, misses, hostile terms."""
+    ii, truth = build_index(tmp_path, rng)
+    ii.put_removed(np.asarray([1, 7, 13], dtype=np.uint32))
+    eng = QueryEngine.from_index(ii, L=128)  # keep_tables defaults True
+    assert eng.host_ready()
+    terms = sorted(truth.keys()) + [b"missing", b"\x00", b"zzzz" * 40]
+    for fr in (False, True):
+        _assert_rows_equal(
+            eng.lookup_host(terms, filter_removed=fr),
+            eng.lookup(terms, filter_removed=fr), f"fr={fr}",
+        )
+
+
+def test_lookup_host_requires_tables(tmp_path):
+    ii = InvertedIndex(str(tmp_path))
+    ii.put([b"a"], 1)
+    eng = QueryEngine.from_index(ii, keep_tables=False)
+    assert not eng.host_ready()
+    with pytest.raises(RuntimeError):
+        eng.lookup_host([b"a"])
+
+
+def test_lookup_host_refresh_lifecycle(tmp_path, rng):
+    """Retained tables track every refresh route: delta tier (union
+    semantics + fresh tombstones), promotion, and full rebuild."""
+    ii, truth = build_index(tmp_path, rng, n_docs=40)
+    eng = QueryEngine.from_index(ii, L=128)
+    # additive drift -> delta tier; host route must union both tiers
+    ii.put([b"term000", b"brand-new"], 997)
+    ii.put_removed([2])
+    assert eng.refresh(ii) is True and eng.delta is not None
+    assert eng.host_ready() and eng.delta_tables is not None
+    terms = sorted(truth.keys()) + [b"brand-new", b"missing"]
+    for fr in (False, True):
+        _assert_rows_equal(
+            eng.lookup_host(terms, filter_removed=fr),
+            eng.lookup(terms, filter_removed=fr), f"delta fr={fr}",
+        )
+    # grow the delta past DELTA_FRACTION -> promotion folds tables too
+    for d in range(60):
+        ii.put([f"promo{d:03d}".encode()], 500 + d)
+    assert eng.refresh(ii) is True
+    assert eng.delta is None and eng.tables is not None
+    _assert_rows_equal(
+        eng.lookup_host(terms + [b"promo000"]),
+        eng.lookup(terms + [b"promo000"]), "promoted",
+    )
+    # compaction (segments vanish) -> full rebuild route
+    while ii.merge(2, 10_000, 2) > 0:
+        pass
+    assert eng.refresh(ii) is True
+    _assert_rows_equal(eng.lookup_host(terms), eng.lookup(terms), "rebuilt")
+
+
+def test_lookup_staged_host_route_matches_device(tmp_path, rng):
+    """lookup_staged over retained tables (host route) returns exactly what
+    the device concat-class stream returns, in all three output shapes."""
+    ii, truth = build_index(tmp_path, rng)
+    ii.put_removed(np.asarray([3, 9], dtype=np.uint32))
+    host_eng = QueryEngine.from_index(ii, L=128)
+    dev_eng = QueryEngine.from_index(ii, L=128, keep_tables=False)
+    assert host_eng.host_ready() and not dev_eng.host_ready()
+    keys = sorted(truth.keys())
+    batches = [keys[:10] + [b"missing"], [], keys[10:25], [b"", b"zz"]]
+    for fr in (False, True):
+        h = host_eng.lookup_staged(batches, filter_removed=fr)
+        d = dev_eng.lookup_staged(batches, filter_removed=fr)
+        for bi in range(len(batches)):
+            _assert_rows_equal(h[bi], d[bi], f"rows fr={fr} b={bi}")
+        hc = host_eng.lookup_staged(batches, filter_removed=fr, columnar=True)
+        dc = dev_eng.lookup_staged(batches, filter_removed=fr, columnar=True)
+        for bi in range(len(batches)):
+            assert np.array_equal(hc[bi][0], dc[bi][0]), (fr, bi)
+            assert np.array_equal(hc[bi][1], dc[bi][1]), (fr, bi)
+        hp = host_eng.lookup_staged(
+            batches, filter_removed=fr, columnar=True, prefix_p=4)
+        dp = dev_eng.lookup_staged(
+            batches, filter_removed=fr, columnar=True, prefix_p=4)
+        for bi in range(len(batches)):
+            for part in range(3):
+                assert np.array_equal(hp[bi][part], dp[bi][part]), (fr, bi)
+
+
+def test_lookup_staged_host_route_with_delta(tmp_path, rng):
+    ii, truth = build_index(tmp_path, rng, n_docs=30)
+    eng = QueryEngine.from_index(ii, L=128)
+    ii.put([b"term000", b"fresh"], 998)
+    assert eng.refresh(ii) is True and eng.delta is not None
+    keys = sorted(truth.keys())[:12] + [b"fresh", b"missing"]
+    got = eng.lookup_staged([keys], columnar=True)[0]
+    want = eng.lookup(keys)
+    for qi, t in enumerate(keys):
+        row = got[0][got[1][qi]: got[1][qi + 1]]
+        exp = want[qi] if want[qi] is not None else np.zeros(0, np.uint32)
+        assert np.array_equal(row, exp), t
