@@ -395,15 +395,21 @@ def bench_compression(values, voffs):
 
 
 def build_snapshot(corpus):
-    """Build + time a device snapshot from a gen_corpus tuple."""
+    """Build + time a device snapshot from a gen_corpus tuple. Also returns
+    the compact host tables (retained-tables serving: bench_api passes them
+    to the engine, matching the from_index default)."""
     import jax
 
-    from inverted_index_2_tpu.models.query_engine import build_snapshot_arrays
+    from inverted_index_2_tpu.models.query_engine import (
+        build_host_tables,
+        upload_tables,
+    )
 
     t0 = time.monotonic()
-    snap = build_snapshot_arrays(*corpus)
+    tables = build_host_tables(*corpus)
+    snap = upload_tables(tables)
     _fence(snap.counts[-1:])
-    return snap, time.monotonic() - t0
+    return snap, time.monotonic() - t0, tables
 
 
 def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
@@ -622,22 +628,27 @@ def bench_checkpoint(corpus, cold_build_s, path="/tmp/tpi_bench.ckpt"):
     }
 
 
-def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", snap=None):
+def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
+              snap=None, tables=None):
     """END-TO-END QueryEngine.boolean throughput: includes Python-side query
     packing, dispatch, result download, and exact ladder re-serves of
     clipped queries — the number a user of the public API sees (the scan
-    benches above isolate kernel throughput)."""
+    benches above isolate kernel throughput). `tables` enables the engine's
+    retained-tables serving (the from_index default): staged lookups route
+    host-side."""
     import jax
 
     from inverted_index_2_tpu.models.query_engine import (
         QueryEngine,
-        build_snapshot_arrays,
+        build_host_tables,
+        upload_tables,
     )
 
     if snap is None:
-        snap = build_snapshot_arrays(blob, offsets, values, voffs)
+        tables = build_host_tables(blob, offsets, values, voffs)
+        snap = upload_tables(tables)
         _fence(snap.counts[-1:])
-    eng = QueryEngine(snap, L=L, q_bucket=Q)
+    eng = QueryEngine(snap, L=L, q_bucket=Q, tables=tables)
     # reconstruct term bytes for query sampling
     from inverted_index_2_tpu.codec.keys import unpack_keys
 
@@ -701,8 +712,10 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api", 
             stream, "or", columnar=True, prefix_p=32, depth=3)),
     )
     # staged stream lookup: the END-TO-END analogue of the scan-based
-    # lookup_qps (exact at any posting length — single-term service through
-    # the pipelined concat-class stream, full results fetched)
+    # lookup_qps (exact at any posting length). With tables retained (the
+    # from_index default, passed above) this serves HOST-side — native
+    # decode from the compressed stream, zero device round trips: full
+    # results never cross the link at all
     lk_stream = [[q[0] for q in b] for b in stream[:4]]
     eng.lookup_staged(lk_stream, columnar=True, depth=3)
     out[f"{name}_staged_lookup_qps"] = _qps_stat(
@@ -898,13 +911,15 @@ def main():
     # phase order tracks key priority: postlen1k and mesh carry
     # driver-required detail keys; the api phases are supplementary and run
     # last so an erratically slow host sheds them first
-    b2 = snap1k = None
+    b2 = snap1k = tables1k = None
     build1k_s = 0.0
     if not over_budget("postlen1k"):
         try:
             n1k = int(os.environ.get("BENCH_POSTLEN1K_TERMS", 32_000))
             b2 = phase("gen_postlen1k", gen_corpus, n1k, 1000, seed=11)
-            snap1k, build1k_s = phase("snap_postlen1k", build_snapshot, b2)
+            snap1k, build1k_s, tables1k = phase(
+                "snap_postlen1k", build_snapshot, b2
+            )
             details.update(
                 soft_phase("postlen1k", bench_postlen1k, b2, snap1k, build1k_s)
             )
@@ -915,6 +930,7 @@ def main():
             soft_phase(
                 "api_postlen1k", bench_api, *b2,
                 Q=1024, iters=2, L=2048, name="api_postlen1k", snap=snap1k,
+                tables=tables1k,
             )
         )
     if not over_budget("checkpoint"):
@@ -929,7 +945,7 @@ def main():
         ))
     # free the postlen1k corpus (~GB device + host at the 200k-term
     # variant) BEFORE the mesh pass builds its per-device tables
-    del snap1k, b2
+    del snap1k, b2, tables1k
     if os.environ.get("BENCH_MESH", "1") != "0" and not over_budget("mesh"):
         details.update(
             soft_phase("mesh", bench_mesh, blob, offsets, values, voffs, Q=Q)

@@ -708,6 +708,46 @@ _JIT_CONCAT_BOOL = jax.jit(
 _JIT_FILTER = jax.jit(setops.filter_removed)
 
 
+# -- result wire codec (full-result fetch compression) -----------------------
+#
+# Full-result set ops ship O(sum of posting lengths) back to the host; on a
+# bandwidth-bound link the fetch IS the serving floor. Result rows are
+# sorted, so their deltas are small: shipping (first value u32, deltas u8 or
+# u16) halves/quarters the wire volume, and the host reconstructs with one
+# vectorized cumsum. The dtype is chosen PER DISPATCH from the masked max
+# delta (computed on device at dispatch time, fetched with the counts — no
+# extra round trip vs the trim path it replaces); a dispatch whose max delta
+# exceeds 16 bits falls back to the raw u32 trim. Exact for any corpus.
+
+
+def _wire_meta_step(o, oc):
+    """Masked max result delta of a dispatch (deltas past a row's count are
+    pad garbage and must not inflate the width choice)."""
+    d = o[:, 1:] - o[:, :-1]
+    col = jnp.arange(o.shape[1] - 1, dtype=jnp.int32)
+    mask = col[None, :] < (oc[:, None] - 1)
+    return jnp.max(jnp.where(mask, d, 0), initial=jnp.uint32(0))
+
+
+def _wire_pack_step(o, bits: int):
+    """(first column u32, delta plane u8/u16). Deltas past a row's count may
+    wrap — the host trims to the row count before they are ever read."""
+    dt = jnp.uint8 if bits == 8 else jnp.uint16
+    return o[:, :1], (o[:, 1:] - o[:, :-1]).astype(dt)
+
+
+_JIT_WIRE_META = jax.jit(_wire_meta_step)
+_JIT_WIRE_PACK = jax.jit(_wire_pack_step, static_argnames=("bits",))
+
+
+def _wire_unpack(first: np.ndarray, deltas: np.ndarray) -> np.ndarray:
+    """Host half: reconstruct the (B, maxc) u32 result matrix."""
+    out = np.empty((first.shape[0], 1 + deltas.shape[1]), dtype=np.uint32)
+    out[:, :1] = first
+    out[:, 1:] = deltas
+    return np.cumsum(out, axis=1, dtype=np.uint32)
+
+
 def _index_fingerprint(index, apply_removed: bool):
     """Cheap identity of the index's visible state (segment keys + tombstone
     batch counts per shard) for refresh no-op detection. Tombstone counts are
@@ -832,7 +872,10 @@ class QueryEngine:
         self._removed_host: Optional[np.ndarray] = (
             tables.removed if tables is not None else None
         )
-        self.L = L
+        # L is only the fast-path pad (lists over it re-serve exactly), and
+        # every decode path works in 128-value blocks — normalize rather
+        # than crash deep in the first dual-tier dispatch
+        self.L = max(128, _round_up(L, 128))
         self.q_bucket = q_bucket
         # auto-checkpointing: with a path set, every MAIN-tier rebuild
         # (from_index, full refresh, delta promotion) re-persists the warm-
@@ -2166,11 +2209,17 @@ class QueryEngine:
                     )
                     if removed is not None and removed.shape[0] > 0:
                         o, oc = _JIT_FILTER(o, oc, removed)
+                    md = None
                     if P:
                         o = o[:, : min(P, o.shape[1])]
                         o.copy_to_host_async()
+                    else:
+                        # full-result route: masked max delta rides the
+                        # counts fetch and picks the wire width at harvest
+                        md = _JIT_WIRE_META(o, oc)
+                        md.copy_to_host_async()
                     oc.copy_to_host_async()
-                    dispatches.append((batch, o, oc))
+                    dispatches.append((batch, o, oc, md))
                 if pos >= nq:
                     break
             # beyond the largest class (pathological): singly, exact budget
@@ -2199,18 +2248,20 @@ class QueryEngine:
                 else:
                     out_all[bi] = []
                 return
-            ocs = jax.device_get([d[2] for d in dispatches])
             if P:
+                ocs = jax.device_get([d[2] for d in dispatches])
                 outs = jax.device_get([d[1] for d in dispatches])
             else:
-                trimmed = [
-                    d[1][:, : max(1, int(o.max(initial=0)))]
-                    for d, o in zip(dispatches, ocs)
-                ]
-                outs = jax.device_get(trimmed)
+                ocs, mds = (
+                    jax.device_get(
+                        ([d[2] for d in dispatches],
+                         [d[3] for d in dispatches])
+                    ) if dispatches else ([], [])
+                )
+                outs = self._wire_fetch(dispatches, ocs, mds)
             counts = np.zeros(nq, dtype=np.int64)
             rows: List[Optional[np.ndarray]] = [None] * nq
-            for (batch, _, _), oc, o in zip(dispatches, ocs, outs):
+            for (batch, _, _, _), oc, o in zip(dispatches, ocs, outs):
                 for j, qi in enumerate(batch):
                     c = int(oc[j])
                     counts[qi] = c
@@ -2237,6 +2288,31 @@ class QueryEngine:
         while clsq:
             stage_harvest(clsq.popleft())
         return out_all
+
+    @staticmethod
+    def _wire_fetch(dispatches, ocs, mds):
+        """Trip 2 of a full-result harvest: per dispatch, ship the
+        delta-packed plane at the width its masked max delta allows
+        (u8/u16 — see the wire codec above _JIT_WIRE_META), or the raw u32
+        trim when deltas exceed 16 bits. One device_get covers every
+        dispatch. dispatches rows are (query indices, out, oc, maxdelta)."""
+        fetches, wire = [], []
+        for (_, o, _, _), oc_h, md_h in zip(dispatches, ocs, mds):
+            maxc = int(oc_h.max(initial=0))
+            if maxc <= 1:
+                fetches.append(o[:, :1])
+                wire.append(False)
+            elif int(md_h) < (1 << 16):
+                f, dd = _JIT_WIRE_PACK(o, bits=8 if int(md_h) < 256 else 16)
+                fetches.append((f, dd[:, : maxc - 1]))
+                wire.append(True)
+            else:
+                fetches.append(o[:, :maxc])
+                wire.append(False)
+        fetched = jax.device_get(fetches)
+        return [
+            _wire_unpack(*fo) if w else fo for fo, w in zip(fetched, wire)
+        ]
 
     def _boolean_concat(self, queries, qk, kv, op: str, removed):
         """Exact AND/OR sized by each query's REAL total postings:
@@ -2285,19 +2361,24 @@ class QueryEngine:
                 )
                 if removed is not None and removed.shape[0] > 0:
                     out, oc = _JIT_FILTER(out, oc, removed)
-                dispatches.append((batch, out, oc))
+                md = _JIT_WIRE_META(out, oc)
+                md.copy_to_host_async()
+                oc.copy_to_host_async()
+                dispatches.append((batch, out, oc, md))
             if pos >= nq:
                 break
-        # phase 2: ONE pipelined fetch of all counts, then one of all
-        # trimmed result prefixes (each device_get issues every async copy
-        # before blocking — sequential np.asarray would pay the tunnel RPC
-        # per array)
-        ocs = jax.device_get([d[2] for d in dispatches])
-        trimmed = [
-            d[1][:, : max(1, int(o.max(initial=0)))] for d, o in zip(dispatches, ocs)
-        ]
-        outs = jax.device_get(trimmed)
-        for (batch, _, _), oc, out in zip(dispatches, ocs, outs):
+        # phase 2: ONE pipelined fetch of all counts + max deltas, then one
+        # wire-packed fetch of all result prefixes (each device_get issues
+        # every async copy before blocking — sequential np.asarray would pay
+        # the tunnel RPC per array; the delta packing halves/quarters the
+        # second, dominant fetch)
+        ocs, mds = (
+            jax.device_get(
+                ([d[2] for d in dispatches], [d[3] for d in dispatches])
+            ) if dispatches else ([], [])
+        )
+        outs = self._wire_fetch(dispatches, ocs, mds)
+        for (batch, _, _, _), oc, out in zip(dispatches, ocs, outs):
             for j, qi in enumerate(batch):
                 results[qi] = out[j, : oc[j]].copy()
         # queries beyond the largest class (pathological): process singly at
@@ -2360,16 +2441,28 @@ class QueryEngine:
 
     def read_range(self, min_term: Optional[bytes] = None, max_term: Optional[bytes] = None):
         """Sorted (term, values) stream over [min,max] inclusive from the
-        frozen snapshot pair — device range resolution (two key searches),
-        term bytes reconstructed from the key matrix, postings
-        device-decoded in chunks. Matches InvertedIndex.read() semantics on
-        the frozen state; with a delta live, the two tiers merge-join by
-        term (values union on ties — types.go:14-22 semantics)."""
-        main = self._read_range_on(self.snap, min_term, max_term)
+        frozen snapshot pair — range resolution (two key searches), term
+        bytes reconstructed from the key matrix, postings decoded in
+        chunks. Matches InvertedIndex.read() semantics on the frozen state;
+        with a delta live, the two tiers merge-join by term (values union
+        on ties — types.go:14-22 semantics).
+
+        Range reads are pure output (no set algebra for a device to add
+        value to): with retained tables (host_ready) the stream serves
+        entirely HOST-side — native decode, zero round trips; otherwise
+        postings device-decode and fetch per chunk."""
+        host = self.host_ready()
+        main = (
+            self._read_range_on_tables(self.tables, min_term, max_term)
+            if host else self._read_range_on(self.snap, min_term, max_term)
+        )
         if self.delta is None:
             yield from main
             return
-        dl = self._read_range_on(self.delta, min_term, max_term)
+        dl = (
+            self._read_range_on_tables(self.delta_tables, min_term, max_term)
+            if host else self._read_range_on(self.delta, min_term, max_term)
+        )
         a = next(main, None)
         b = next(dl, None)
         while a is not None or b is not None:
@@ -2411,20 +2504,73 @@ class QueryEngine:
                     vals[voffs[j] : voffs[j + 1]],
                 )
 
+    def _read_range_on_tables(self, t: HostTables, min_term, max_term):
+        """read_range served from the retained tables: host key search +
+        native block decode, no device involvement."""
+        if t.n_terms == 0:
+            return
+        lo = 0 if min_term is None else int(
+            keys_mod.searchsorted_rows(
+                t.keys, keys_mod.pack_terms([min_term], width=t.width)
+            )[0]
+        )
+        hi = t.n_terms if max_term is None else int(
+            keys_mod.searchsorted_rows(
+                t.keys, keys_mod.pack_terms([max_term], width=t.width),
+                side="right",
+            )[0]
+        )
+        for c0 in range(lo, hi, self._RANGE_CHUNK):
+            c1 = min(c0 + self._RANGE_CHUNK, hi)
+            blob, offs = keys_mod.unpack_keys(t.keys[c0:c1])
+            vals, voffs = self._host_decode(t, np.arange(c0, c1))
+            for j in range(c1 - c0):
+                yield (
+                    blob[offs[j] : offs[j + 1]].tobytes(),
+                    vals[voffs[j] : voffs[j + 1]],
+                )
+
     # -- prefix search --------------------------------------------------------------
 
     def prefix_search(self, prefixes: Sequence[bytes]) -> Dict[bytes, np.ndarray]:
-        """Device range resolution + vectorized union of device-decoded rows.
+        """Range resolution + vectorized union of decoded rows.
 
         Parity with InvertedIndex.prefix_search (inverted_index.go:192-295):
         unmatched prefixes absent; values sorted unique. With a delta live,
-        results union across both tiers.
-        """
-        out = self._prefix_on(self.snap, prefixes)
+        results union across both tiers. Output-bound like read_range, so
+        retained tables (host_ready) serve it host-side."""
+        host = self.host_ready()
+        on = self._prefix_on_tables if host else self._prefix_on
+        out = on(self.tables if host else self.snap, prefixes)
         if self.delta is None:
             return out
-        for p, v in self._prefix_on(self.delta, prefixes).items():
+        for p, v in on(
+            self.delta_tables if host else self.delta, prefixes
+        ).items():
             out[p] = np.union1d(out[p], v) if p in out else v
+        return out
+
+    def _prefix_on_tables(self, t: HostTables, prefixes) -> Dict[bytes, np.ndarray]:
+        if t.n_terms == 0 or not prefixes:
+            return {}
+        lo_k, hi_k = keys_mod.prefix_bounds(list(prefixes), t.width)
+        lo = keys_mod.searchsorted_rows(t.keys, lo_k)
+        hi = keys_mod.searchsorted_rows(t.keys, hi_k)
+        spans = [
+            (p, int(lo[i]), int(hi[i]))
+            for i, p in enumerate(prefixes)
+            if hi[i] > lo[i]
+        ]
+        if not spans:
+            return {}
+        all_idx = np.concatenate([np.arange(a, b) for _, a, b in spans])
+        vals, voffs = self._host_decode(t, all_idx)
+        out: Dict[bytes, np.ndarray] = {}
+        k0 = 0
+        for p, a, b in spans:
+            k1 = k0 + (b - a)
+            out[p] = np.unique(vals[voffs[k0] : voffs[k1]])
+            k0 = k1
         return out
 
     def _prefix_on(self, s: IndexSnapshot, prefixes) -> Dict[bytes, np.ndarray]:

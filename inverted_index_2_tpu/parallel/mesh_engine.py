@@ -249,7 +249,9 @@ class MeshQueryEngine:
         )
         if filter_removed:
             vals, n = self._filter(vals, n)
-        found, vals, n, raw = jax.device_get((found, vals, n, raw))
+        md = qe._JIT_WIRE_META(vals, n)
+        found, n, raw, md = jax.device_get((found, n, raw, md))
+        vals = self._fetch_trimmed(vals, n, md)
         out: List[Optional[np.ndarray]] = [None] * len(terms)
         long_idx = []
         for i in range(len(terms)):
@@ -273,13 +275,26 @@ class MeshQueryEngine:
             )
             if filter_removed:
                 v2, n2 = self._filter(v2, n2)
-            n2 = np.asarray(n2)
-            v2 = np.asarray(v2[:, : max(1, int(n2.max(initial=0)))])
+            md2 = qe._JIT_WIRE_META(v2, n2)
+            n2, md2 = jax.device_get((n2, md2))
+            v2 = self._fetch_trimmed(v2, n2, md2)
             for j, i in enumerate(batch):
                 out[i] = v2[j, : n2[j]].copy()
         return out
 
     # -- boolean -----------------------------------------------------------
+
+    def _fetch_trimmed(self, out, oc_h, md_h) -> np.ndarray:
+        """Result-matrix fetch through the wire codec (see the codec notes
+        above qe._JIT_WIRE_META): ship (first u32, delta plane u8/u16) when
+        the dispatch's masked max delta fits, raw u32 trim otherwise."""
+        maxc = int(oc_h.max(initial=0))
+        if maxc <= 1:
+            return np.asarray(out[:, :1])
+        if int(md_h) < (1 << 16):
+            f, dd = qe._JIT_WIRE_PACK(out, bits=8 if int(md_h) < 256 else 16)
+            return qe._wire_unpack(*jax.device_get((f, dd[:, : maxc - 1])))
+        return np.asarray(out[:, :maxc])
 
     def _boolean_dispatch(self, lv: int, qk: np.ndarray, kv, op: str):
         """One device pass at pad lv over main (+delta when live). The
@@ -328,8 +343,9 @@ class MeshQueryEngine:
         out, oc, need = self._boolean_dispatch(self.L, qk, kv_d, op)
         if filter_removed:
             out, oc = self._filter(out, oc)
-        oc, need = jax.device_get((oc, need))
-        out = np.asarray(out[:, : max(1, int(oc.max(initial=0)))])
+        md = qe._JIT_WIRE_META(out, oc)
+        oc, need, md = jax.device_get((oc, need, md))
+        out = self._fetch_trimmed(out, oc, md)
         results: List[Optional[np.ndarray]] = [None] * len(queries)
         long_idx = sorted(
             (i for i in range(len(queries)) if need[i] > self.L),
@@ -350,8 +366,9 @@ class MeshQueryEngine:
             o2, c2, _ = self._boolean_dispatch(lv, bq, jnp.asarray(bkv), op)
             if filter_removed:
                 o2, c2 = self._filter(o2, c2)
-            c2 = np.asarray(c2)
-            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
+            md2 = qe._JIT_WIRE_META(o2, c2)
+            c2, md2 = jax.device_get((c2, md2))
+            o2 = self._fetch_trimmed(o2, c2, md2)
             for j, i in enumerate(batch):
                 results[i] = o2[j, : c2[j]].copy()
         return results
@@ -385,9 +402,9 @@ class MeshQueryEngine:
         pend = deque()
 
         def harvest(item):
-            bi, nq, qk, kv, out, oc, need = item
-            oc_h, need_h = jax.device_get((oc, need))
-            out_h = np.asarray(out[:, : max(1, int(oc_h[:nq].max(initial=0)))])
+            bi, nq, qk, kv, out, oc, need, md = item
+            oc_h, need_h, md_h = jax.device_get((oc, need, md))
+            out_h = self._fetch_trimmed(out, oc_h[:nq], md_h)
             fetched[bi] = (nq, out_h, oc_h)
             for i in np.nonzero(need_h[:nq] > self.L)[0]:
                 longs.append((bi, int(i), qk[i], int(kv[i]), int(need_h[i])))
@@ -416,9 +433,10 @@ class MeshQueryEngine:
             )
             if filter_removed:
                 out, oc = self._filter(out, oc)
-            for a in (oc, need):
+            md = qe._JIT_WIRE_META(out, oc)
+            for a in (oc, need, md):
                 a.copy_to_host_async()
-            pend.append((bi, len(queries), qk, kv, out, oc, need))
+            pend.append((bi, len(queries), qk, kv, out, oc, need, md))
             if len(pend) > depth:
                 harvest(pend.popleft())
         while pend:
@@ -441,8 +459,9 @@ class MeshQueryEngine:
             o2, c2, _ = self._boolean_dispatch(lv, bq, jnp.asarray(bkv), op)
             if filter_removed:
                 o2, c2 = self._filter(o2, c2)
-            c2 = np.asarray(c2)
-            o2 = np.asarray(o2[:, : max(1, int(c2.max(initial=0)))])
+            md2 = qe._JIT_WIRE_META(o2, c2)
+            c2, md2 = jax.device_get((c2, md2))
+            o2 = self._fetch_trimmed(o2, c2, md2)
             for j, t in enumerate(batch):
                 overrides.setdefault(t[0], {})[t[1]] = o2[j, : c2[j]].copy()
 

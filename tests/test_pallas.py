@@ -248,8 +248,11 @@ def test_engine_fused_single_term_batch(rng, monkeypatch):
     assert len(got[2]) == 0
 
 
-def test_engine_fused_unaligned_L_falls_back(rng, monkeypatch):
-    """L not a multiple of 128 must not route into the fused kernel."""
+def test_engine_unaligned_L_normalizes(rng, monkeypatch):
+    """The constructor rounds L up to the 128-value block contract (every
+    decode path works in 128-blocks; an unaligned L used to crash only on
+    the first dual-tier dispatch). Results stay exact — L is only the
+    fast-path pad."""
     from inverted_index_2_tpu.models.query_engine import QueryEngine
 
     monkeypatch.setenv("TPI_FUSED_AND", "interp")
@@ -257,7 +260,8 @@ def test_engine_fused_unaligned_L_falls_back(rng, monkeypatch):
              for _ in range(3)]
     snap = _snap(lists, rng)
     eng = QueryEngine(snap, L=1000, q_bucket=8)
-    assert not eng._use_fused()
+    assert eng.L == 1024
+    assert QueryEngine(snap, L=64, q_bucket=8).L == 128
     terms = [f"t{i:05d}".encode() for i in range(len(lists))]
     got = eng.boolean([[terms[0], terms[1]]], "and")
     assert np.array_equal(got[0], np.intersect1d(lists[0], lists[1]))

@@ -837,3 +837,60 @@ def test_lookup_staged_host_route_with_delta(tmp_path, rng):
         row = got[0][got[1][qi]: got[1][qi + 1]]
         exp = want[qi] if want[qi] is not None else np.zeros(0, np.uint32)
         assert np.array_equal(row, exp), t
+
+
+def test_result_wire_codec_boundary_deltas(tmp_path):
+    """Full-result fetches delta-pack on the wire (u8/u16 planes chosen per
+    dispatch from the masked max delta, raw u32 fallback otherwise). Pin the
+    boundary cases: deltas exactly 255/256/65535/65536, huge first values,
+    single-value rows, and pad garbage past the row count."""
+    ii = InvertedIndex(str(tmp_path))
+    lists = {
+        b"u8-edge": [10, 10 + 255, 10 + 255 + 255],
+        b"u16-lo": [0, 256, 512],
+        b"u16-edge": [7, 7 + 65535],
+        b"u32-fb": [1, 1 + 65536, 2**32 - 2],
+        b"huge-first": [2**32 - 3, 2**32 - 2],
+        b"single": [42],
+    }
+    for t, vs in lists.items():
+        for v in vs:
+            ii.put([t], v)
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, keep_tables=False)
+    terms = list(lists)
+    # single-term ORs through the staged concat stream exercise every width
+    got = eng.boolean_staged([[[t] for t in terms]], "or")[0]
+    for qi, t in enumerate(terms):
+        assert got[qi].tolist() == lists[t], t
+    # the non-staged concat path shares the wire fetch
+    got2 = eng.boolean([[t] for t in terms], "or")
+    for qi, t in enumerate(terms):
+        assert got2[qi].tolist() == lists[t], t
+    # mixed-width dispatch in ONE class: same SB class, different deltas
+    mix = eng.boolean([[b"u8-edge"], [b"u32-fb"], [b"u16-edge"]], "or")
+    assert mix[0].tolist() == lists[b"u8-edge"]
+    assert mix[1].tolist() == lists[b"u32-fb"]
+    assert mix[2].tolist() == lists[b"u16-edge"]
+
+
+def test_read_range_prefix_host_routes(tmp_path, rng):
+    """read_range / prefix_search over retained tables (host route) match
+    the device route bit-for-bit, including across a live delta tier."""
+    ii, truth = build_index(tmp_path, rng, n_docs=35)
+    host_eng = QueryEngine.from_index(ii, L=128)
+    dev_eng = QueryEngine.from_index(ii, L=128, keep_tables=False)
+    ii.put([b"term000", b"fresh-range"], 777)
+    assert host_eng.refresh(ii) and dev_eng.refresh(ii)
+    assert host_eng.delta is not None and host_eng.host_ready()
+    for mn, mx in [(None, None), (b"term005", b"term030"), (b"z", None)]:
+        a = list(host_eng.read_range(mn, mx))
+        b = list(dev_eng.read_range(mn, mx))
+        assert len(a) == len(b), (mn, mx)
+        for (ta, va), (tb, vb) in zip(a, b):
+            assert ta == tb and np.array_equal(va, vb), ta
+    prefs = [b"term0", b"fresh", b"nope", b"", b"\xff"]
+    pa = host_eng.prefix_search(prefs)
+    pb = dev_eng.prefix_search(prefs)
+    assert set(pa) == set(pb)
+    for k in pa:
+        assert np.array_equal(pa[k], pb[k]), k
