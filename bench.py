@@ -693,13 +693,17 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
         _reps(lambda: eng.boolean_staged(stream, "and", columnar=True,
                                          depth=3)),
     )
-    # staged OR: the depth-pipelined concat-class stream. OR unions are
-    # O(total postings) per query, so FULL-result serving is fetch-volume
-    # bound on any link (this tunnel: ~33 MB/s); the pagination mode
-    # (prefix_p: true counts + first-P values, one bounded fetch) is the
-    # deployment shape for large-result ops — both are reported.
-    or_stream = [b[:2048] for b in stream[:2]]  # full unions: bounded fetch
-    eng.boolean_staged(or_stream, "or", columnar=True)  # warm compile
+    # staged OR, FULL results: unions are O(total postings) of OUTPUT, so
+    # with tables retained the engine's transport-aware route serves this
+    # HOST-side on a slow link (~10x the device fetch path on this
+    # ~33 MB/s tunnel: 12,994 vs 1,317 QPS measured at config-3) and
+    # device-side on a fast one; the pagination mode (prefix_p: true
+    # counts + first-P values, one bounded device fetch) is the
+    # large-result deployment shape — both are reported.
+    or_stream = stream[:2] if tables is not None else [
+        b[:2048] for b in stream[:2]
+    ]
+    eng.boolean_staged(or_stream, "or", columnar=True)  # warm compile/probe
     out[f"{name}_staged_or_qps"] = _qps_stat(
         f"{name}_staged_or_qps", sum(len(b) for b in or_stream),
         _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),

@@ -38,6 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
+import math
 import os
 import threading
 
@@ -748,6 +749,40 @@ def _wire_unpack(first: np.ndarray, deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(out, axis=1, dtype=np.uint32)
 
 
+_LINK_MBPS: Optional[float] = None
+
+
+def _link_mbps() -> float:
+    """Measured host<->device DOWNLOAD bandwidth (MB/s), probed once per
+    process: device_put + device_get of a 4 MB and a 4 KB array (pure
+    transfers — deliberately NO jit programs: remote compiles on tunneled
+    devices are erratically slow), latency-corrected by the small probe,
+    best-of-2 each to ride out RPC bursts. Drives transport-aware serving
+    routes (_host_boolean_route); TPI_LINK_MBPS pins it for tests/ops."""
+    global _LINK_MBPS
+    if _LINK_MBPS is None:
+        pinned = os.environ.get("TPI_LINK_MBPS")
+        if pinned is not None:
+            _LINK_MBPS = float(pinned)
+            return _LINK_MBPS
+        import time as _time
+
+        big = jax.device_put(np.zeros(1 << 20, dtype=np.uint32))
+        small = jax.device_put(np.zeros(1 << 10, dtype=np.uint32))
+
+        def best(arr):
+            t = math.inf
+            for _ in range(2):
+                t0 = _time.monotonic()
+                jax.device_get(arr)
+                t = min(t, _time.monotonic() - t0)
+            return t
+
+        dt = max(best(big) - best(small), 1e-6)
+        _LINK_MBPS = (big.nbytes - small.nbytes) / dt / 2**20
+    return _LINK_MBPS
+
+
 def _index_fingerprint(index, apply_removed: bool):
     """Cheap identity of the index's visible state (segment keys + tombstone
     batch counts per shard) for refresh no-op detection. Tombstone counts are
@@ -1454,6 +1489,114 @@ class QueryEngine:
                 ])
         return out
 
+    def boolean_host(
+        self, queries: Sequence[Sequence[bytes]], op: str,
+        filter_removed: bool = False,
+    ) -> List[np.ndarray]:
+        """boolean() served entirely on host from the retained tables —
+        zero device round trips, exact at any posting length (no ladder).
+        Same contract as boolean(): sorted-unique arrays; a missing term
+        empties an AND and contributes nothing to an OR; delta-tier rows
+        union per term before the set op (boolean_step_dual semantics).
+
+        This is the right route when the op is OUTPUT-bound: a full-result
+        OR ships O(sum of posting lengths) no matter who computes it, so on
+        a bandwidth-bound host<->device link the fetch dominates any device
+        compute advantage and not crossing the link wins. AND results are
+        tiny (intersections) and stay device-routed by default — see
+        _host_boolean_route."""
+        if op not in ("and", "or"):
+            raise ValueError(f"op must be 'and' or 'or', got {op!r}")
+        if not self.host_ready():
+            raise RuntimeError(
+                "host serving needs retained tables (keep_tables=True)"
+            )
+        if not queries:
+            return []
+        rem = self._host_removed() if filter_removed else None
+        flat_terms = [t for q in queries for t in q]
+        koffs = np.zeros(len(queries) + 1, dtype=np.int64)
+        np.cumsum([len(q) for q in queries], out=koffs[1:])
+        if not flat_terms:
+            return [np.zeros(0, np.uint32) for _ in queries]
+        qk = keys_mod.pack_terms(flat_terms, width=self._host_q_width())
+        # resolve+decode each tier ONCE for the whole batch (columnar);
+        # tombstones filter the per-query RESULT, not the inputs — same
+        # outcome, less volume (matches the device filter-after-set-op)
+        found, values, voffs = self._host_tier_columnar(
+            self.tables, qk, None
+        )
+        dual = self.delta is not None
+        if dual:
+            f2, v2, o2 = self._host_tier_columnar(self.delta_tables, qk, None)
+        out: List[np.ndarray] = []
+        empty = np.zeros(0, np.uint32)
+        for qi in range(len(queries)):
+            rows = []
+            miss = koffs[qi] == koffs[qi + 1]
+            for j in range(koffs[qi], koffs[qi + 1]):
+                a = values[voffs[j] : voffs[j + 1]] if found[j] else None
+                if dual and f2[j]:
+                    d = v2[o2[j] : o2[j + 1]]
+                    a = d if a is None else np.union1d(a, d)
+                if a is None:
+                    miss = True
+                    if op == "and":
+                        break
+                else:
+                    rows.append(a)
+            if op == "and":
+                if miss or not rows:
+                    res = empty
+                else:
+                    rows.sort(key=len)  # smallest-first: early exit on empty
+                    res = rows[0]
+                    for r in rows[1:]:
+                        if len(res) == 0:
+                            break
+                        res = np.intersect1d(res, r, assume_unique=True)
+            else:
+                if not rows:
+                    res = empty
+                elif len(rows) == 1:
+                    res = rows[0]
+                else:
+                    res = np.unique(np.concatenate(rows))
+            if rem is not None and len(rem) and len(res):
+                pos = np.searchsorted(rem, res)
+                hit = rem[np.minimum(pos, len(rem) - 1)] == res
+                res = res[~hit]
+            if res.base is not None:  # don't hand out views of the
+                res = res.copy()      # batch-wide columnar buffer
+            out.append(res)
+        return out
+
+    # measured breakeven for full-result OR at config-3: host route 13.0k
+    # QPS; the device route is min(kernel 70.7k, link_bytes/s / ~20 KB per
+    # query) -> the device wins once the link moves ~13.0k * 20 KB ≈
+    # 260 MB/s. PCIe-local chips (~10 GB/s) clear it hugely; the axon
+    # tunnel (~33 MB/s) is 8x under it.
+    _HOST_ROUTE_LINK_MBPS = 256.0
+
+    def _host_boolean_route(self, op: str, prefix_p: int = 0) -> bool:
+        """Full-result OR routes host-side when the tables are retained and
+        the device link is SLOW: the union IS the output (O(sum of posting
+        lengths) ships no matter who computes it), so on a bandwidth-bound
+        link not crossing it wins — measured 12,994 host vs 1,317 device
+        QPS at config-3 on the ~33 MB/s tunnel. On a fast local link the
+        device concat kernel (70.7k) wins and stays the route; the decision
+        is one measured link probe per process (_link_mbps). AND results
+        are tiny (intersections) and the fused device kernel wins at any
+        bandwidth — device stays its default. Pagination (prefix_p) stays
+        on the device: its fetch is already bounded.
+        TPI_HOST_BOOL=or|and|all|0|auto overrides the policy."""
+        if prefix_p or not self.host_ready():
+            return False
+        mode = os.environ.get("TPI_HOST_BOOL", "auto")
+        if mode == "auto":
+            return op == "or" and _link_mbps() < self._HOST_ROUTE_LINK_MBPS
+        return mode == "all" or mode == op
+
     # -- boolean queries ---------------------------------------------------------
 
     def _pack_boolean(self, queries):
@@ -1538,6 +1681,10 @@ class QueryEngine:
         """
         if not queries:
             return []
+        if self._host_boolean_route(op):
+            # output-bound op with tables retained: serve host-side, zero
+            # round trips (see boolean_host)
+            return self.boolean_host(queries, op, filter_removed)
         s = self.snap
         qk, kv = self._pack_boolean(queries)
         if s.n_terms == 0 and self.delta is None:
@@ -1904,6 +2051,16 @@ class QueryEngine:
         batches = list(batches)
         if prefix_p and not columnar:
             raise ValueError("prefix_p requires columnar=True")
+        if self._host_boolean_route(op, prefix_p):
+            # output-bound op with tables retained: the host route has no
+            # round trips to pipeline — serve each batch directly
+            out = []
+            for b in batches:
+                rows = self.boolean_host(
+                    _batch_as_lists(b), op, filter_removed
+                )
+                out.append(_rows_to_columnar(rows) if columnar else rows)
+            return out
         removed = self._removed if filter_removed else None
         if self.delta is not None:
             # delta window: the padded DUAL formulation, still pipelined
@@ -2295,14 +2452,17 @@ class QueryEngine:
         delta-packed plane at the width its masked max delta allows
         (u8/u16 — see the wire codec above _JIT_WIRE_META), or the raw u32
         trim when deltas exceed 16 bits. One device_get covers every
-        dispatch. dispatches rows are (query indices, out, oc, maxdelta)."""
+        dispatch. dispatches rows are (query indices, out, oc, maxdelta).
+        TPI_WIRE=0 forces the raw trim (operational escape hatch; also the
+        A/B lever the codec's win is measured with)."""
+        packed = os.environ.get("TPI_WIRE", "1") != "0"
         fetches, wire = [], []
         for (_, o, _, _), oc_h, md_h in zip(dispatches, ocs, mds):
             maxc = int(oc_h.max(initial=0))
             if maxc <= 1:
                 fetches.append(o[:, :1])
                 wire.append(False)
-            elif int(md_h) < (1 << 16):
+            elif packed and int(md_h) < (1 << 16):
                 f, dd = _JIT_WIRE_PACK(o, bits=8 if int(md_h) < 256 else 16)
                 fetches.append((f, dd[:, : maxc - 1]))
                 wire.append(True)

@@ -23,6 +23,7 @@ imbalance is transient and vanishes at the next promotion/full rebuild.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -287,11 +288,12 @@ class MeshQueryEngine:
     def _fetch_trimmed(self, out, oc_h, md_h) -> np.ndarray:
         """Result-matrix fetch through the wire codec (see the codec notes
         above qe._JIT_WIRE_META): ship (first u32, delta plane u8/u16) when
-        the dispatch's masked max delta fits, raw u32 trim otherwise."""
+        the dispatch's masked max delta fits, raw u32 trim otherwise
+        (TPI_WIRE=0 forces the trim — same escape hatch as QueryEngine)."""
         maxc = int(oc_h.max(initial=0))
         if maxc <= 1:
             return np.asarray(out[:, :1])
-        if int(md_h) < (1 << 16):
+        if os.environ.get("TPI_WIRE", "1") != "0" and int(md_h) < (1 << 16):
             f, dd = qe._JIT_WIRE_PACK(out, bits=8 if int(md_h) < 256 else 16)
             return qe._wire_unpack(*jax.device_get((f, dd[:, : maxc - 1])))
         return np.asarray(out[:, :maxc])

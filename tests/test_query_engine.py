@@ -7,6 +7,7 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from inverted_index_2_tpu import InvertedIndex, to_slice
+from inverted_index_2_tpu.models import query_engine as qe_mod
 from inverted_index_2_tpu.models.query_engine import QueryEngine, snapshot_index
 
 
@@ -894,3 +895,95 @@ def test_read_range_prefix_host_routes(tmp_path, rng):
     assert set(pa) == set(pb)
     for k in pa:
         assert np.array_equal(pa[k], pb[k]), k
+
+
+def test_boolean_host_route_matches_device(tmp_path, rng, monkeypatch):
+    """boolean_host (retained-tables serving) is bit-identical to the
+    device paths for BOTH ops, across misses, a live delta tier, and
+    tombstone filtering; boolean() routes OR host-side by default and
+    TPI_HOST_BOOL overrides the policy."""
+    ii, truth = build_index(tmp_path, rng, n_docs=80)
+    big = b"big-list"
+    for v in range(700):  # spans re-serve ladders on the device path
+        ii.put([big], 5_000 + v)
+    truth[big] = set(range(5_000, 5_700))
+    host_eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    dev_eng = QueryEngine.from_index(ii, L=128, q_bucket=8, keep_tables=False)
+    ii.put([b"term001", b"delta-only"], 9_999)
+    truth.setdefault(b"term001", set()).add(9_999)
+    truth[b"delta-only"] = {9_999}
+    assert host_eng.refresh(ii) and dev_eng.refresh(ii)
+    assert host_eng.host_ready() and host_eng.delta is not None
+    queries = [
+        [b"term001", b"term002"],
+        [big, b"term003"],
+        [b"missing", b"term004"],
+        [b"delta-only"],
+        [b"term005"],
+        [big],
+        [b"", b"a"],
+    ]
+    for op in ("and", "or"):
+        hh = host_eng.boolean_host(queries, op)
+        monkeypatch.setenv("TPI_HOST_BOOL", "0")
+        dd = dev_eng.boolean(queries, op)
+        monkeypatch.delenv("TPI_HOST_BOOL")
+        for q, a, b in zip(queries, hh, dd):
+            assert a.dtype == np.uint32 and np.array_equal(a, b), (op, q)
+    # routing policy: auto = full-result OR host-side iff the measured
+    # device link is slow (TPI_LINK_MBPS pins the probe); knob overrides
+    calls = []
+    orig = QueryEngine.boolean_host
+    monkeypatch.setattr(
+        QueryEngine, "boolean_host",
+        lambda self, *a, **k: calls.append(a[1]) or orig(self, *a, **k),
+    )
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")  # tunnel-like: host route
+    host_eng.boolean([[b"term001"]], "or")
+    host_eng.boolean([[b"term001", b"term002"]], "and")
+    assert calls == ["or"]
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "10000")  # PCIe-like: device route
+    host_eng.boolean([[b"term001"]], "or")
+    assert calls == ["or"]
+    monkeypatch.setenv("TPI_HOST_BOOL", "all")
+    host_eng.boolean([[b"term001", b"term002"]], "and")
+    assert calls == ["or", "and"]
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")
+    host_eng.boolean([[b"term001"]], "or")
+    assert calls == ["or", "and"]
+
+
+def test_boolean_host_tombstones_and_staged(tmp_path, rng, monkeypatch):
+    """Host-route tombstone filtering matches the device filter; the staged
+    stream's host route returns the same shapes as the device stream."""
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")  # slow link: OR routes host
+    ii, truth = build_index(tmp_path, rng, n_docs=60)
+    removed = [2, 5, 9]
+    ii.put_removed(removed)
+    host_eng = QueryEngine.from_index(ii, L=128, q_bucket=8, apply_removed=True)
+    dev_eng = QueryEngine.from_index(
+        ii, L=128, q_bucket=8, apply_removed=True, keep_tables=False
+    )
+    queries = [[b"term001", b"term002"], [b"term003"], [b"missing"]]
+    for op in ("and", "or"):
+        a = host_eng.boolean_host(queries, op, filter_removed=True)
+        b = dev_eng.boolean(queries, op, filter_removed=True)
+        for q, x, y in zip(queries, a, b):
+            assert np.array_equal(x, y), (op, q)
+            assert not set(x.tolist()) & set(removed)
+    # staged host route: per-batch results and columnar form both match
+    stream = [queries, queries[:2]]
+    sh = host_eng.boolean_staged(stream, "or")
+    sd = dev_eng.boolean_staged(stream, "or")
+    assert len(sh) == len(sd)
+    for bh, bd in zip(sh, sd):
+        for x, y in zip(bh, bd):
+            assert np.array_equal(x, y)
+    ch = host_eng.boolean_staged(stream, "or", columnar=True)
+    for (vals, voffs), bd in zip(ch, sd):
+        assert voffs[0] == 0 and voffs[-1] == len(vals)
+        for i, y in enumerate(bd):
+            assert np.array_equal(vals[voffs[i] : voffs[i + 1]], y)
