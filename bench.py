@@ -665,10 +665,27 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
     for qs in batches:  # warm pass: compile every size-class program hit
         eng.boolean(qs, op="and")
     out = {}
+    # production-policy number: on this tunnel the transport-aware route
+    # serves one-shot AND host-side (fused native serve, tpi_boolean_serve:
+    # count-ordered block-skip streaming intersection — 171k QPS at
+    # config-3 vs ~10k dispatch-latency-bound device); a PCIe deployment
+    # would stay device-routed here
     out[f"{name}_and_qps"] = _qps_stat(
         f"{name}_and_qps", Q * iters,
         _reps(lambda: [eng.boolean(qs, op="and") for qs in batches]),
     )
+    if tables is not None:
+        # pinned device route: continuity with prior rounds' and_qps and
+        # the A/B lever for the routing policy itself
+        os.environ["TPI_HOST_BOOL"] = "0"
+        try:
+            out[f"{name}_and_dev_qps"] = _qps_stat(
+                f"{name}_and_dev_qps", Q * iters,
+                _reps(lambda: [eng.boolean(qs, op="and") for qs in batches],
+                      reps=3),
+            )
+        finally:
+            del os.environ["TPI_HOST_BOOL"]
     # pipelined stream serving with COLUMNAR results (values+offsets per
     # batch, zero per-query host work): dispatch batch i+`depth` before
     # downloading batch i — the steady-state rate a serving deployment
@@ -695,11 +712,11 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
     )
     # staged OR, FULL results: unions are O(total postings) of OUTPUT, so
     # with tables retained the engine's transport-aware route serves this
-    # HOST-side on a slow link (~10x the device fetch path on this
-    # ~33 MB/s tunnel: 12,994 vs 1,317 QPS measured at config-3) and
-    # device-side on a fast one; the pagination mode (prefix_p: true
-    # counts + first-P values, one bounded device fetch) is the
-    # large-result deployment shape — both are reported.
+    # HOST-side on a slow link (fused native serve ~16.9k QPS at config-3
+    # vs 1.3k device fetch path on this ~33 MB/s tunnel) and device-side
+    # on a fast one; the pagination mode (prefix_p: true counts + first-P
+    # values, one bounded device fetch) is the large-result deployment
+    # shape — both are reported.
     or_stream = stream[:2] if tables is not None else [
         b[:2048] for b in stream[:2]
     ]

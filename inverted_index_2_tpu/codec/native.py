@@ -107,6 +107,18 @@ def _bind(lib):
         lib.tpi_sort_key_rows.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64, i32p]
         lib.tpi_pack_keys.restype = None
         lib.tpi_pack_keys.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u32p]
+        lib.tpi_boolean_host.restype = ctypes.c_int64
+        lib.tpi_boolean_host.argtypes = [
+            u32p, i64p, u8p, u32p, i64p, u8p, ctypes.c_int32,
+            i64p, ctypes.c_int64, u32p, ctypes.c_int64, ctypes.c_int32,
+            u32p, i64p,
+        ]
+        lib.tpi_boolean_serve.restype = ctypes.c_int64
+        lib.tpi_boolean_serve.argtypes = [
+            u32p, ctypes.c_int64, i64p, u32p, ctypes.c_int64, i64p,
+            ctypes.c_int32, i64p, ctypes.c_int64, u32p, ctypes.c_int64,
+            ctypes.c_int32, u32p, i64p,
+        ]
     except AttributeError:
         # stale shared object (symbol set changed): fall back to numpy
         return None
@@ -286,6 +298,96 @@ def merge_pairs(vals: np.ndarray, groups: np.ndarray, removed: np.ndarray):
         return out_vals[:0], out_groups[:0]
     m = lib.tpi_merge_pairs(vals, groups, V, removed, len(removed), out_vals, out_groups)
     return out_vals[:m], out_groups[:m]
+
+
+def boolean_host(
+    v1: np.ndarray, o1: np.ndarray, f1: np.ndarray,
+    v2, o2, f2,
+    koffs: np.ndarray, removed, is_or: bool,
+):
+    """Batched AND/OR over two columnar posting tiers (see codec.cpp
+    tpi_boolean_host — the host serving route's set-op core). Tier 2 may be
+    None (no delta window). Returns (out_vals uint32, out_offs int64 (Q+1,)),
+    the kept prefix only; results are fresh memory, never views of the
+    inputs."""
+    lib = _load()
+    assert lib is not None
+    v1 = np.ascontiguousarray(v1, dtype=np.uint32)
+    o1 = np.ascontiguousarray(o1, dtype=np.int64)
+    f1 = np.ascontiguousarray(f1, dtype=np.uint8)
+    koffs = np.ascontiguousarray(koffs, dtype=np.int64)
+    dual = 1 if v2 is not None else 0
+    if dual:
+        v2 = np.ascontiguousarray(v2, dtype=np.uint32)
+        o2 = np.ascontiguousarray(o2, dtype=np.int64)
+        f2 = np.ascontiguousarray(f2, dtype=np.uint8)
+    else:
+        v2 = np.zeros(0, dtype=np.uint32)
+        o2 = np.zeros(len(o1), dtype=np.int64)
+        f2 = np.zeros(len(f1), dtype=np.uint8)
+    if removed is None:
+        removed = np.zeros(0, dtype=np.uint32)
+    removed = np.ascontiguousarray(removed, dtype=np.uint32)
+    Q = len(koffs) - 1
+    total = len(v1) + len(v2)
+    out_vals = np.empty(max(total, 1), dtype=np.uint32)
+    out_offs = np.zeros(Q + 1, dtype=np.int64)
+    if Q:
+        n = lib.tpi_boolean_host(
+            v1, o1, f1, v2, o2, f2, dual, koffs, Q,
+            removed, len(removed), 1 if is_or else 0, out_vals, out_offs,
+        )
+        out_vals = out_vals[:n]
+    else:
+        out_vals = out_vals[:0]
+    return out_vals, out_offs
+
+
+def boolean_serve(
+    w1: np.ndarray, s1: np.ndarray, w2, s2,
+    koffs: np.ndarray, removed, is_or: bool,
+):
+    """Fused batched AND/OR directly from the compressed posting streams
+    (see codec.cpp tpi_boolean_serve): decode + set op + tombstone filter in
+    one pass per query. s1/s2 are per-flat-term count-word offsets (-1 =
+    miss in that tier); tier 2 (w2, s2) may be None. Returns
+    (out_vals uint32, out_offs int64 (Q+1,)) — fresh memory."""
+    lib = _load()
+    assert lib is not None
+    w1 = np.ascontiguousarray(w1, dtype=np.uint32)
+    s1 = np.ascontiguousarray(s1, dtype=np.int64)
+    koffs = np.ascontiguousarray(koffs, dtype=np.int64)
+    dual = 1 if w2 is not None else 0
+    if dual:
+        w2 = np.ascontiguousarray(w2, dtype=np.uint32)
+        s2 = np.ascontiguousarray(s2, dtype=np.int64)
+    else:
+        w2 = np.zeros(0, dtype=np.uint32)
+        s2 = np.full(len(s1), -1, dtype=np.int64)
+    if removed is None:
+        removed = np.zeros(0, dtype=np.uint32)
+    removed = np.ascontiguousarray(removed, dtype=np.uint32)
+    Q = len(koffs) - 1
+    # out bound = the referenced lists' total count (results only shrink);
+    # count words sit at the start offsets
+    total = 0
+    if len(s1) and len(w1):
+        total += int(w1[np.maximum(s1, 0)][s1 >= 0].astype(np.int64).sum())
+    if dual and len(s2) and len(w2):
+        total += int(w2[np.maximum(s2, 0)][s2 >= 0].astype(np.int64).sum())
+    out_vals = np.empty(max(total, 1), dtype=np.uint32)
+    out_offs = np.zeros(Q + 1, dtype=np.int64)
+    if Q:
+        n = lib.tpi_boolean_serve(
+            w1, len(w1), s1, w2, len(w2), s2, dual, koffs, Q,
+            removed, len(removed), 1 if is_or else 0, out_vals, out_offs,
+        )
+        if n < 0:
+            raise ValueError("native serve: malformed posting block")
+        out_vals = out_vals[:n]
+    else:
+        out_vals = out_vals[:0]
+    return out_vals, out_offs
 
 
 def gather_bytes(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

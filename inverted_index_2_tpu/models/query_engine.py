@@ -49,6 +49,7 @@ import jax.numpy as jnp
 
 from ..codec import hashing
 from ..codec import keys as keys_mod
+from ..codec import native as _native
 from ..codec import packing
 from ..ops import decode as dec
 from ..ops import dict_search as ds
@@ -1405,6 +1406,23 @@ class QueryEngine:
             self._removed_host = np.asarray(self._removed)
         return self._removed_host
 
+    def _host_tier_starts(self, t: HostTables, qk: np.ndarray) -> np.ndarray:
+        """Per-flat-term count-word offsets into t.words (-1 = miss) — the
+        resolve half of _host_decode, kept columnar for the fused native
+        serve (tpi_boolean_serve decodes from these directly)."""
+        nq = qk.shape[0]
+        if t.n_terms == 0:
+            return np.full(nq, -1, np.int64)
+        idx = hashing.probe_rows_np(
+            t.slots, t.max_probes, t.keys, _narrow_keys(qk, t.width)
+        )
+        starts = (
+            t.flat[t.tbs[:-1].astype(np.int64)[np.maximum(idx, 0)]]
+            .astype(np.int64) - 1
+        )
+        starts[idx < 0] = -1
+        return starts
+
     def lookup_host(
         self, terms: Sequence[bytes], filter_removed: bool = False
     ) -> List[Optional[np.ndarray]]:
@@ -1499,12 +1517,12 @@ class QueryEngine:
         empties an AND and contributes nothing to an OR; delta-tier rows
         union per term before the set op (boolean_step_dual semantics).
 
-        This is the right route when the op is OUTPUT-bound: a full-result
+        This is the right route when the op is OUTPUT-bound (a full-result
         OR ships O(sum of posting lengths) no matter who computes it, so on
-        a bandwidth-bound host<->device link the fetch dominates any device
-        compute advantage and not crossing the link wins. AND results are
-        tiny (intersections) and stay device-routed by default — see
-        _host_boolean_route."""
+        a bandwidth-bound host<->device link not crossing it wins) and for
+        one-shot dispatch-latency-bound calls on a slow link (non-staged
+        AND). The staged AND stream stays device-routed by default — see
+        _host_boolean_route for the measured policy."""
         if op not in ("and", "or"):
             raise ValueError(f"op must be 'and' or 'or', got {op!r}")
         if not self.host_ready():
@@ -1513,20 +1531,51 @@ class QueryEngine:
             )
         if not queries:
             return []
+        values, voffs = self._boolean_host_columnar(
+            queries, op, filter_removed
+        )
+        return [
+            values[voffs[i] : voffs[i + 1]].copy()
+            for i in range(len(queries))
+        ]
+
+    def _boolean_host_columnar(self, queries, op: str, filter_removed: bool):
+        """boolean_host's columnar core: (values, voffs) over one batch.
+        The set-op sweep runs in the native codec (tpi_boolean_host: linear
+        merge unions / galloping intersections over the batch-decoded runs —
+        the reference's streaming-iterator composition, types.go:14-22, as
+        one C++ pass) with the numpy loop kept as the bit-identical fallback
+        oracle (tests force it via TPI_DISABLE_NATIVE)."""
         rem = self._host_removed() if filter_removed else None
         flat_terms = [t for q in queries for t in q]
         koffs = np.zeros(len(queries) + 1, dtype=np.int64)
         np.cumsum([len(q) for q in queries], out=koffs[1:])
         if not flat_terms:
-            return [np.zeros(0, np.uint32) for _ in queries]
+            return np.zeros(0, np.uint32), koffs * 0
         qk = keys_mod.pack_terms(flat_terms, width=self._host_q_width())
-        # resolve+decode each tier ONCE for the whole batch (columnar);
-        # tombstones filter the per-query RESULT, not the inputs — same
-        # outcome, less volume (matches the device filter-after-set-op)
+        dual = self.delta is not None
+        if _native.available():
+            # fused native serve: decode + set op + tombstone filter run in
+            # one pass per query DIRECTLY on the compressed streams — no
+            # batch-wide decode ever materializes, AND walks lists smallest-
+            # first with block-skip streaming intersection + early exit
+            s1 = self._host_tier_starts(self.tables, qk)
+            if dual:
+                s2 = self._host_tier_starts(self.delta_tables, qk)
+                return _native.boolean_serve(
+                    self.tables.words, s1, self.delta_tables.words, s2,
+                    koffs, rem, op == "or",
+                )
+            return _native.boolean_serve(
+                self.tables.words, s1, None, None, koffs, rem, op == "or"
+            )
+        # numpy fallback: resolve+decode each tier ONCE for the whole batch
+        # (columnar); tombstones filter the per-query RESULT, not the
+        # inputs — same outcome, less volume (matches the device
+        # filter-after-set-op)
         found, values, voffs = self._host_tier_columnar(
             self.tables, qk, None
         )
-        dual = self.delta is not None
         if dual:
             f2, v2, o2 = self._host_tier_columnar(self.delta_tables, qk, None)
         out: List[np.ndarray] = []
@@ -1566,35 +1615,46 @@ class QueryEngine:
                 pos = np.searchsorted(rem, res)
                 hit = rem[np.minimum(pos, len(rem) - 1)] == res
                 res = res[~hit]
-            if res.base is not None:  # don't hand out views of the
-                res = res.copy()      # batch-wide columnar buffer
             out.append(res)
-        return out
+        return _rows_to_columnar(out)
 
-    # measured breakeven for full-result OR at config-3: host route 13.0k
+    # measured breakeven for full-result OR at config-3: host route ~13-17k
     # QPS; the device route is min(kernel 70.7k, link_bytes/s / ~20 KB per
     # query) -> the device wins once the link moves ~13.0k * 20 KB ≈
     # 260 MB/s. PCIe-local chips (~10 GB/s) clear it hugely; the axon
     # tunnel (~33 MB/s) is 8x under it.
     _HOST_ROUTE_LINK_MBPS = 256.0
 
-    def _host_boolean_route(self, op: str, prefix_p: int = 0) -> bool:
-        """Full-result OR routes host-side when the tables are retained and
-        the device link is SLOW: the union IS the output (O(sum of posting
-        lengths) ships no matter who computes it), so on a bandwidth-bound
-        link not crossing it wins — measured 12,994 host vs 1,317 device
-        QPS at config-3 on the ~33 MB/s tunnel. On a fast local link the
-        device concat kernel (70.7k) wins and stays the route; the decision
-        is one measured link probe per process (_link_mbps). AND results
-        are tiny (intersections) and the fused device kernel wins at any
-        bandwidth — device stays its default. Pagination (prefix_p) stays
-        on the device: its fetch is already bounded.
-        TPI_HOST_BOOL=or|and|all|0|auto overrides the policy."""
+    def _host_boolean_route(
+        self, op: str, prefix_p: int = 0, staged: bool = False
+    ) -> bool:
+        """Transport-aware serving route (requires retained tables). On a
+        SLOW device link (under one measured probe per process, _link_mbps):
+
+        * full-result OR routes host-side ALWAYS: the union IS the output
+          (O(sum of posting lengths) ships no matter who computes it), so
+          on a bandwidth-bound link not crossing it wins — measured 16.9k
+          host vs 1.3k device QPS at config-3 on the ~33 MB/s tunnel.
+        * non-staged AND routes host-side too: one-shot boolean() is
+          dispatch-LATENCY bound on such a link (~10k device), while the
+          fused native serve (count-ordered block-skip streaming
+          intersection, tpi_boolean_serve) measured 171k QPS at config-3.
+        * STAGED AND stays on the device: the depth-pipelined fused-kernel
+          stream hides the RPC latency (127k e2e), scales with the chip
+          rather than the single host core, and leaves the host CPU free
+          for ingest/merge. TPI_HOST_BOOL=and/all flips it when the host
+          is the faster box.
+
+        On a fast local link (PCIe+) everything stays device-routed.
+        Pagination (prefix_p) stays on the device: its fetch is already
+        bounded. TPI_HOST_BOOL=or|and|all|0|auto overrides the policy."""
         if prefix_p or not self.host_ready():
             return False
         mode = os.environ.get("TPI_HOST_BOOL", "auto")
         if mode == "auto":
-            return op == "or" and _link_mbps() < self._HOST_ROUTE_LINK_MBPS
+            if _link_mbps() >= self._HOST_ROUTE_LINK_MBPS:
+                return False
+            return op == "or" or not staged
         return mode == "all" or mode == op
 
     # -- boolean queries ---------------------------------------------------------
@@ -2051,15 +2111,18 @@ class QueryEngine:
         batches = list(batches)
         if prefix_p and not columnar:
             raise ValueError("prefix_p requires columnar=True")
-        if self._host_boolean_route(op, prefix_p):
+        if self._host_boolean_route(op, prefix_p, staged=True):
             # output-bound op with tables retained: the host route has no
             # round trips to pipeline — serve each batch directly
             out = []
             for b in batches:
-                rows = self.boolean_host(
-                    _batch_as_lists(b), op, filter_removed
-                )
-                out.append(_rows_to_columnar(rows) if columnar else rows)
+                qs = _batch_as_lists(b)
+                if columnar:  # columnar core directly: no per-row copies
+                    out.append(
+                        self._boolean_host_columnar(qs, op, filter_removed)
+                    )
+                else:
+                    out.append(self.boolean_host(qs, op, filter_removed))
             return out
         removed = self._removed if filter_removed else None
         if self.delta is not None:

@@ -554,6 +554,555 @@ void tpi_gather_bytes(const uint8_t* src, const int64_t* starts,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Batched boolean set ops over decoded columnar tiers (the host serving
+// route, models/query_engine.py boolean_host). The reference serves booleans
+// by composing its streaming iterators on the CPU (types.go:14-22 union /
+// intersection semantics over reader.go posting streams); this is the same
+// architecture with the per-query iterator chain replaced by linear merges
+// over the batch-decoded columnar runs.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Merge-union of two sorted-unique runs into dst (sized na+nb). Returns the
+// written count. Inputs may share values (main/delta tier overlap).
+int64_t union2(const uint32_t* a, int64_t na, const uint32_t* b, int64_t nb,
+               uint32_t* dst) {
+  int64_t i = 0, j = 0, m = 0;
+  while (i < na && j < nb) {
+    const uint32_t x = a[i], y = b[j];
+    if (x < y) {
+      dst[m++] = x;
+      ++i;
+    } else if (y < x) {
+      dst[m++] = y;
+      ++j;
+    } else {
+      dst[m++] = x;
+      ++i;
+      ++j;
+    }
+  }
+  while (i < na) dst[m++] = a[i++];
+  while (j < nb) dst[m++] = b[j++];
+  return m;
+}
+
+// Intersection of two sorted-unique runs into dst (sized min(na, nb)).
+// Galloping (search the long run from a moving lower bound) when the
+// lengths are skewed; two-pointer otherwise.
+int64_t intersect2(const uint32_t* a, int64_t na, const uint32_t* b,
+                   int64_t nb, uint32_t* dst) {
+  if (na > nb) {
+    std::swap(a, b);
+    std::swap(na, nb);
+  }
+  int64_t m = 0;
+  if (nb > 8 * na) {
+    const uint32_t* lo = b;
+    const uint32_t* end = b + nb;
+    for (int64_t i = 0; i < na; ++i) {
+      lo = std::lower_bound(lo, end, a[i]);
+      if (lo == end) break;
+      if (*lo == a[i]) dst[m++] = a[i];
+    }
+  } else {
+    int64_t i = 0, j = 0;
+    while (i < na && j < nb) {
+      if (a[i] < b[j]) {
+        ++i;
+      } else if (b[j] < a[i]) {
+        ++j;
+      } else {
+        dst[m++] = a[i];
+        ++i;
+        ++j;
+      }
+    }
+  }
+  return m;
+}
+
+struct Run {
+  const uint32_t* p;
+  int64_t n;
+};
+
+// Decode ONE block at words[pos] into dst (capacity >= kBlock). Returns
+// n_blk and sets *next_pos, or -1 on malformed/truncated input. (The block
+// layout of codec/packing.py: [b | n_blk<<8][first][packed deltas].)
+inline int64_t decode_block(const uint32_t* words, int64_t wlen, int64_t pos,
+                            uint32_t* dst, int64_t* next_pos) {
+  if (pos + 2 > wlen) return -1;
+  const uint32_t header = words[pos];
+  const int b = header & 0xFF;
+  const int64_t n_blk = (header >> 8) & 0xFF;
+  if (n_blk <= 0 || n_blk > kBlock || b > 32) return -1;
+  const int64_t np = pos + 2 + packed_words(n_blk, b);
+  if (np > wlen) return -1;
+  uint32_t cur = words[pos + 1];
+  const uint32_t* packed = words + pos + 2;
+  dst[0] = cur;
+  if (b == 0) {
+    for (int64_t j = 1; j < n_blk; ++j) dst[j] = ++cur;
+  } else {
+    const uint64_t mask = (b == 32) ? 0xFFFFFFFFull : ((1ull << b) - 1);
+    int64_t bitpos = 0;
+    for (int64_t j = 1; j < n_blk; ++j, bitpos += b) {
+      const int64_t w0 = bitpos >> 5;
+      const int s = bitpos & 31;
+      uint64_t window = packed[w0];
+      if (s + b > 32) window |= static_cast<uint64_t>(packed[w0 + 1]) << 32;
+      cur += static_cast<uint32_t>((window >> s) & mask) + 1;
+      dst[j] = cur;
+    }
+  }
+  *next_pos = np;
+  return n_blk;
+}
+
+// Decode a whole list at words[start] ([count][blocks...]) into dst
+// (capacity >= words[start], pre-read by the caller). Returns the count,
+// or -1 on malformed input.
+inline int64_t decode_list(const uint32_t* words, int64_t wlen, int64_t start,
+                           uint32_t* dst) {
+  if (start < 0 || start >= wlen) return -1;
+  int64_t pos = start + 1;
+  const int64_t n = words[start];
+  int64_t produced = 0;
+  while (produced < n) {
+    const int64_t k = decode_block(words, wlen, pos, dst + produced, &pos);
+    if (k < 0 || produced + k > n) return -1;
+    produced += k;
+  }
+  return n;
+}
+
+// A posting list's block stream (for the streaming intersect).
+struct ListCursor {
+  const uint32_t* words;
+  int64_t wlen;
+  int64_t pos;        // next block's word offset
+  int64_t remaining;  // values not yet consumed
+};
+
+inline bool cursor_init(const uint32_t* words, int64_t wlen, int64_t start,
+                        ListCursor* c) {
+  if (start < 0 || start >= wlen) return false;
+  c->words = words;
+  c->wlen = wlen;
+  c->pos = start + 1;
+  c->remaining = words[start];
+  return true;
+}
+
+// cur (sorted unique) ∧ one block stream -> dst (capacity >= nc), WITHOUT
+// materializing the stream: a block decodes only if its value range can
+// intersect cur's remaining window. Block k's max is < block k+1's first
+// value (values ascend across blocks), so a whole block skips when the next
+// block's first <= cur's smallest unmatched value — and the walk stops at
+// the first block past cur's max (every later block starts higher). The
+// CPU mirror of the fused Pallas kernel's anchor pruning + early-exit walk
+// (ops/pallas_fused.py). Returns the match count, -1 on malformed input.
+inline int64_t intersect_stream(const uint32_t* cur, int64_t nc,
+                                ListCursor* c, uint32_t* dst,
+                                uint32_t* blockbuf) {
+  int64_t m = 0, i = 0;
+  if (nc == 0) return 0;
+  const uint32_t cur_max = cur[nc - 1];
+  while (c->remaining > 0 && i < nc) {
+    const int64_t pos = c->pos;
+    if (pos + 2 > c->wlen) return -1;
+    const uint32_t header = c->words[pos];
+    const int b = header & 0xFF;
+    const int64_t n_blk = (header >> 8) & 0xFF;
+    if (n_blk <= 0 || n_blk > kBlock || b > 32 || n_blk > c->remaining)
+      return -1;
+    const uint32_t first = c->words[pos + 1];
+    const int64_t next_pos = pos + 2 + packed_words(n_blk, b);
+    if (next_pos > c->wlen) return -1;
+    if (first > cur_max) break;  // all later blocks start higher still
+    if (c->remaining > n_blk) {
+      if (next_pos + 2 > c->wlen) return -1;
+      const uint32_t next_first = c->words[next_pos + 1];
+      if (next_first <= cur[i]) {  // whole block below the next needed value
+        c->pos = next_pos;
+        c->remaining -= n_blk;
+        continue;
+      }
+    }
+    int64_t ignored;
+    if (decode_block(c->words, c->wlen, pos, blockbuf, &ignored) != n_blk)
+      return -1;
+    c->pos = next_pos;
+    c->remaining -= n_blk;
+    // merge-join the decoded block with cur[i..): skipped cur elements can
+    // never match later blocks (those start above this block's values)
+    int64_t j = 0;
+    while (j < n_blk && i < nc) {
+      const uint32_t x = blockbuf[j], y = cur[i];
+      if (x < y) {
+        ++j;
+      } else if (y < x) {
+        ++i;
+      } else {
+        dst[m++] = x;
+        ++j;
+        ++i;
+      }
+    }
+  }
+  return m;
+}
+
+}  // namespace
+
+// Batched AND/OR over two columnar tiers. Per flat term j: tier presence
+// f*[j], postings v*[o*[j] .. o*[j+1]) (sorted unique). koffs[Q+1] maps each
+// query to its flat-term range. A term present in both tiers contributes the
+// union of its rows; a term present in neither empties an AND and
+// contributes nothing to an OR. removed (sorted, may be empty) filters the
+// per-query RESULT. is_or: 0 = intersection, 1 = union. Outputs land in
+// out_vals (caller-sized to o1[K] + o2[K], the total input volume — results
+// only shrink) with exclusive offsets out_offs[Q+1]. Returns the total
+// output count.
+int64_t tpi_boolean_host(const uint32_t* v1, const int64_t* o1,
+                         const uint8_t* f1, const uint32_t* v2,
+                         const int64_t* o2, const uint8_t* f2, int32_t dual,
+                         const int64_t* koffs, int64_t Q,
+                         const uint32_t* removed, int64_t R, int32_t is_or,
+                         uint32_t* out_vals, int64_t* out_offs) {
+  std::vector<Run> runs, next;
+  std::vector<uint32_t> scratch;  // tier-union staging (valid per query)
+  std::vector<uint32_t> ping, pong;  // set-op ping-pong buffers
+  int64_t w = 0;
+  out_offs[0] = 0;
+  for (int64_t q = 0; q < Q; ++q) {
+    const int64_t k0 = koffs[q], k1 = koffs[q + 1];
+    runs.clear();
+    bool miss = k0 == k1;  // an empty query is empty under both ops
+    int64_t total = 0;
+    for (int64_t j = k0; j < k1; ++j) {
+      total += (f1[j] ? o1[j + 1] - o1[j] : 0) +
+               (dual && f2[j] ? o2[j + 1] - o2[j] : 0);
+    }
+    if (static_cast<int64_t>(scratch.size()) < total) scratch.resize(total);
+    int64_t spos = 0;
+    for (int64_t j = k0; j < k1; ++j) {
+      const int64_t n1 = f1[j] ? o1[j + 1] - o1[j] : 0;
+      const int64_t n2 = dual && f2[j] ? o2[j + 1] - o2[j] : 0;
+      if (!f1[j] && !(dual && f2[j])) {
+        miss = true;  // term in neither tier
+        if (!is_or) break;
+        continue;
+      }
+      if (n1 > 0 && n2 > 0) {
+        const int64_t m =
+            union2(v1 + o1[j], n1, v2 + o2[j], n2, scratch.data() + spos);
+        runs.push_back({scratch.data() + spos, m});
+        spos += m;
+      } else if (n2 > 0) {
+        runs.push_back({v2 + o2[j], n2});
+      } else {
+        runs.push_back({v1 + o1[j], n1});  // n1 may be 0 (present, empty)
+      }
+    }
+    Run cur{nullptr, 0};
+    if (!is_or) {
+      if (!miss && !runs.empty()) {
+        std::sort(runs.begin(), runs.end(),
+                  [](const Run& a, const Run& b) { return a.n < b.n; });
+        cur = runs[0];
+        if (runs.size() > 1) {
+          if (static_cast<int64_t>(ping.size()) < cur.n) ping.resize(cur.n);
+          if (static_cast<int64_t>(pong.size()) < cur.n) pong.resize(cur.n);
+          uint32_t* dst = ping.data();
+          uint32_t* alt = pong.data();
+          for (size_t r = 1; r < runs.size() && cur.n > 0; ++r) {
+            cur.n = intersect2(cur.p, cur.n, runs[r].p, runs[r].n, dst);
+            cur.p = dst;
+            std::swap(dst, alt);
+          }
+        }
+      }
+    } else if (!runs.empty()) {
+      // bottom-up pairwise merge: O(total * log K) with K already-sorted runs
+      if (runs.size() == 1) {
+        cur = runs[0];
+      } else {
+        if (static_cast<int64_t>(ping.size()) < total) ping.resize(total);
+        if (static_cast<int64_t>(pong.size()) < total) pong.resize(total);
+        uint32_t* arena = ping.data();
+        uint32_t* alt = pong.data();
+        while (runs.size() > 1) {
+          next.clear();
+          int64_t pos = 0;
+          for (size_t r = 0; r + 1 < runs.size(); r += 2) {
+            const int64_t m = union2(runs[r].p, runs[r].n, runs[r + 1].p,
+                                     runs[r + 1].n, arena + pos);
+            next.push_back({arena + pos, m});
+            pos += m;
+          }
+          if (runs.size() & 1) {
+            // odd run out: copy into the arena so the next level's writes
+            // (into alt) can't alias it
+            const Run& last = runs.back();
+            std::memcpy(arena + pos, last.p,
+                        static_cast<size_t>(last.n) * 4);
+            next.push_back({arena + pos, last.n});
+            pos += last.n;
+          }
+          runs.swap(next);
+          std::swap(arena, alt);
+        }
+        cur = runs[0];
+      }
+    }
+    if (cur.n > 0) {
+      if (R == 0) {
+        std::memcpy(out_vals + w, cur.p, static_cast<size_t>(cur.n) * 4);
+        w += cur.n;
+      } else {
+        const uint32_t* rlo = removed;
+        const uint32_t* rend = removed + R;
+        for (int64_t i = 0; i < cur.n; ++i) {
+          const uint32_t v = cur.p[i];
+          rlo = std::lower_bound(rlo, rend, v);
+          if (rlo != rend && *rlo == v) continue;
+          out_vals[w++] = v;
+        }
+      }
+    }
+    out_offs[q + 1] = w;
+  }
+  return w;
+}
+
+// Fused batched boolean serving DIRECTLY from the compressed posting
+// streams (the retained-tables words arrays): resolve is done by the caller
+// (hash probe -> per-flat-term count-word offsets, -1 = miss per tier);
+// this routine decodes, set-ops, tombstone-filters, and writes columnar
+// results in one pass per query, never materializing a batch-wide decode.
+//
+// AND walks terms in ascending total-count order: the smallest list decodes
+// fully (both tiers union2-merged), every later list streams block-by-block
+// through intersect_stream — blocks that provably cannot intersect the
+// current candidate set are SKIPPED WITHOUT DECODING, the walk stops at the
+// first block past the candidates' max, and an empty intermediate result
+// skips every remaining list entirely. intersect(cur, union(t1, t2)) is
+// computed as union(intersect(cur, t1), intersect(cur, t2)) so probe tiers
+// never materialize either. This is the reference's streaming-iterator
+// intersection (types.go:14-22 over reader.go streams) rebuilt around the
+// block-anchor geometry of our codec.
+//
+// OR decodes every present run (the union IS the output; nothing to skip)
+// and bottom-up pairwise-merges, with the final merge level writing straight
+// into out_vals when no tombstone filter runs.
+//
+// is_or: 0 = AND, 1 = OR. removed (sorted, may be empty) filters results.
+// out_vals must hold the sum of all referenced list counts (results only
+// shrink). Returns the total output count, or -1 on malformed input.
+int64_t tpi_boolean_serve(const uint32_t* w1, int64_t wlen1,
+                          const int64_t* s1, const uint32_t* w2,
+                          int64_t wlen2, const int64_t* s2, int32_t dual,
+                          const int64_t* koffs, int64_t Q,
+                          const uint32_t* removed, int64_t R, int32_t is_or,
+                          uint32_t* out_vals, int64_t* out_offs) {
+  struct Term {
+    int64_t start1, start2;  // -1 = absent in that tier
+    int64_t n;               // total values across tiers
+  };
+  std::vector<Term> terms;
+  std::vector<Run> runs, next;
+  std::vector<uint32_t> arena;          // OR decode staging / AND base
+  std::vector<uint32_t> ping, pong, third;  // AND candidate buffers
+  uint32_t blockbuf[kBlock];
+  int64_t w = 0;
+  out_offs[0] = 0;
+  for (int64_t q = 0; q < Q; ++q) {
+    const int64_t k0 = koffs[q], k1 = koffs[q + 1];
+    terms.clear();
+    bool miss = k0 == k1;
+    int64_t total = 0;
+    for (int64_t j = k0; j < k1; ++j) {
+      Term t{s1[j], dual ? s2[j] : -1, 0};
+      if (t.start1 < 0 && t.start2 < 0) {
+        miss = true;
+        if (!is_or) break;
+        continue;
+      }
+      if (t.start1 >= 0) {
+        if (t.start1 >= wlen1 ||
+            static_cast<int64_t>(w1[t.start1]) >
+                (wlen1 - t.start1 - 1) * (kBlock / 2))
+          return -1;
+        t.n += w1[t.start1];
+      }
+      if (t.start2 >= 0) {
+        if (t.start2 >= wlen2 ||
+            static_cast<int64_t>(w2[t.start2]) >
+                (wlen2 - t.start2 - 1) * (kBlock / 2))
+          return -1;
+        t.n += w2[t.start2];
+      }
+      total += t.n;
+      terms.push_back(t);
+    }
+    Run cur{nullptr, 0};
+    if (!is_or) {
+      if (!miss && !terms.empty()) {
+        std::sort(terms.begin(), terms.end(),
+                  [](const Term& a, const Term& b) { return a.n < b.n; });
+        // base: full decode of the smallest term, tiers union2-merged
+        const Term& base = terms[0];
+        const int64_t bn = base.n;
+        if (static_cast<int64_t>(arena.size()) < 2 * bn)
+          arena.resize(2 * bn);
+        if (static_cast<int64_t>(ping.size()) < bn) ping.resize(bn);
+        if (static_cast<int64_t>(pong.size()) < bn) pong.resize(bn);
+        if (static_cast<int64_t>(third.size()) < bn) third.resize(bn);
+        if (base.start1 >= 0 && base.start2 >= 0) {
+          const int64_t n1 = decode_list(w1, wlen1, base.start1, arena.data());
+          const int64_t n2 =
+              decode_list(w2, wlen2, base.start2, arena.data() + n1);
+          if (n1 < 0 || n2 < 0) return -1;
+          cur.n = union2(arena.data(), n1, arena.data() + n1, n2, ping.data());
+          cur.p = ping.data();
+        } else {
+          const uint32_t* wv = base.start1 >= 0 ? w1 : w2;
+          const int64_t wl = base.start1 >= 0 ? wlen1 : wlen2;
+          const int64_t st = base.start1 >= 0 ? base.start1 : base.start2;
+          cur.n = decode_list(wv, wl, st, ping.data());
+          if (cur.n < 0) return -1;
+          cur.p = ping.data();
+        }
+        // probes, smallest-first: streaming intersect, early exit on empty
+        uint32_t* bufs[3] = {pong.data(), third.data(), ping.data()};
+        int nextbuf = 0;
+        for (size_t r = 1; r < terms.size() && cur.n > 0; ++r) {
+          const Term& t = terms[r];
+          uint32_t* dA = bufs[nextbuf];
+          int64_t mA = 0, mB = 0;
+          uint32_t* dB = nullptr;
+          ListCursor c;
+          if (t.start1 >= 0) {
+            if (!cursor_init(w1, wlen1, t.start1, &c)) return -1;
+            mA = intersect_stream(cur.p, cur.n, &c, dA, blockbuf);
+            if (mA < 0) return -1;
+          }
+          if (t.start2 >= 0) {
+            dB = bufs[(nextbuf + 1) % 3];
+            if (!cursor_init(w2, wlen2, t.start2, &c)) return -1;
+            mB = intersect_stream(cur.p, cur.n, &c, dB, blockbuf);
+            if (mB < 0) return -1;
+          }
+          if (dB != nullptr && mA > 0 && mB > 0) {
+            uint32_t* dC = bufs[(nextbuf + 2) % 3];
+            cur.n = union2(dA, mA, dB, mB, dC);
+            cur.p = dC;
+            // dC holds cur; rotate so the next probe writes elsewhere
+            nextbuf = (nextbuf + 2 + 1) % 3;
+          } else if (dB != nullptr && mB > 0) {
+            cur.p = dB;
+            cur.n = mB;
+            nextbuf = (nextbuf + 1 + 1) % 3;
+          } else {
+            cur.p = dA;
+            cur.n = mA;
+            nextbuf = (nextbuf + 1) % 3;
+          }
+        }
+      }
+      if (cur.n > 0) {
+        if (R == 0) {
+          std::memcpy(out_vals + w, cur.p, static_cast<size_t>(cur.n) * 4);
+          w += cur.n;
+        } else {
+          const uint32_t* rlo = removed;
+          const uint32_t* rend = removed + R;
+          for (int64_t i = 0; i < cur.n; ++i) {
+            const uint32_t v = cur.p[i];
+            rlo = std::lower_bound(rlo, rend, v);
+            if (rlo != rend && *rlo == v) continue;
+            out_vals[w++] = v;
+          }
+        }
+      }
+    } else if (!terms.empty()) {
+      // OR: decode every present run (tier rows join the merge directly —
+      // union across terms subsumes the per-term tier union)
+      if (static_cast<int64_t>(arena.size()) < total) arena.resize(total);
+      if (static_cast<int64_t>(ping.size()) < total) ping.resize(total);
+      runs.clear();
+      int64_t pos = 0;
+      for (const Term& t : terms) {
+        if (t.start1 >= 0) {
+          const int64_t n = decode_list(w1, wlen1, t.start1, arena.data() + pos);
+          if (n < 0) return -1;
+          if (n > 0) runs.push_back({arena.data() + pos, n});
+          pos += n;
+        }
+        if (t.start2 >= 0) {
+          const int64_t n = decode_list(w2, wlen2, t.start2, arena.data() + pos);
+          if (n < 0) return -1;
+          if (n > 0) runs.push_back({arena.data() + pos, n});
+          pos += n;
+        }
+      }
+      uint32_t* buf = ping.data();
+      uint32_t* alt = arena.data();  // after level 1, the arena is dead
+      while (runs.size() > 2) {
+        next.clear();
+        int64_t p2 = 0;
+        for (size_t r = 0; r + 1 < runs.size(); r += 2) {
+          const int64_t m = union2(runs[r].p, runs[r].n, runs[r + 1].p,
+                                   runs[r + 1].n, buf + p2);
+          next.push_back({buf + p2, m});
+          p2 += m;
+        }
+        if (runs.size() & 1) {
+          const Run& last = runs.back();
+          std::memcpy(buf + p2, last.p, static_cast<size_t>(last.n) * 4);
+          next.push_back({buf + p2, last.n});
+          p2 += last.n;
+        }
+        runs.swap(next);
+        std::swap(buf, alt);
+      }
+      // final level: merge straight into the output when unfiltered
+      if (!runs.empty()) {
+        if (R == 0) {
+          if (runs.size() == 2) {
+            w += union2(runs[0].p, runs[0].n, runs[1].p, runs[1].n,
+                        out_vals + w);
+          } else {
+            std::memcpy(out_vals + w, runs[0].p,
+                        static_cast<size_t>(runs[0].n) * 4);
+            w += runs[0].n;
+          }
+        } else {
+          Run fin = runs[0];
+          if (runs.size() == 2) {
+            fin.n = union2(runs[0].p, runs[0].n, runs[1].p, runs[1].n, buf);
+            fin.p = buf;
+          }
+          const uint32_t* rlo = removed;
+          const uint32_t* rend = removed + R;
+          for (int64_t i = 0; i < fin.n; ++i) {
+            const uint32_t v = fin.p[i];
+            rlo = std::lower_bound(rlo, rend, v);
+            if (rlo != rend && *rlo == v) continue;
+            out_vals[w++] = v;
+          }
+        }
+      }
+    }
+    out_offs[q + 1] = w;
+  }
+  return w;
+}
+
 // Robin Hood linear-probe hash table build: slots (size S, power of two)
 // pre-filled with -1. Displacement-balancing insertion minimizes the MAXIMUM
 // probe chain — which is exactly what the device lookup pays (its while_loop

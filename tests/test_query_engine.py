@@ -939,20 +939,25 @@ def test_boolean_host_route_matches_device(tmp_path, rng, monkeypatch):
         lambda self, *a, **k: calls.append(a[1]) or orig(self, *a, **k),
     )
     monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
-    monkeypatch.setenv("TPI_LINK_MBPS", "33")  # tunnel-like: host route
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")  # tunnel-like: host routes
     host_eng.boolean([[b"term001"]], "or")
-    host_eng.boolean([[b"term001", b"term002"]], "and")
-    assert calls == ["or"]
+    host_eng.boolean([[b"term001", b"term002"]], "and")  # non-staged: host
+    assert calls == ["or", "and"]
+    # staged AND stays on the device even on a slow link (the pipelined
+    # fused-kernel stream is the serving shape there)
+    assert not host_eng._host_boolean_route("and", staged=True)
+    assert host_eng._host_boolean_route("or", staged=True)
     monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
     monkeypatch.setenv("TPI_LINK_MBPS", "10000")  # PCIe-like: device route
     host_eng.boolean([[b"term001"]], "or")
-    assert calls == ["or"]
-    monkeypatch.setenv("TPI_HOST_BOOL", "all")
     host_eng.boolean([[b"term001", b"term002"]], "and")
     assert calls == ["or", "and"]
+    monkeypatch.setenv("TPI_HOST_BOOL", "all")
+    host_eng.boolean([[b"term001", b"term002"]], "and")
+    assert calls == ["or", "and", "and"]
     monkeypatch.setenv("TPI_HOST_BOOL", "0")
     host_eng.boolean([[b"term001"]], "or")
-    assert calls == ["or", "and"]
+    assert calls == ["or", "and", "and"]
 
 
 def test_boolean_host_tombstones_and_staged(tmp_path, rng, monkeypatch):
@@ -987,3 +992,38 @@ def test_boolean_host_tombstones_and_staged(tmp_path, rng, monkeypatch):
         assert voffs[0] == 0 and voffs[-1] == len(vals)
         for i, y in enumerate(bd):
             assert np.array_equal(vals[voffs[i] : voffs[i + 1]], y)
+
+
+def test_boolean_host_native_matches_numpy_oracle(tmp_path, rng, monkeypatch):
+    """The fused native serve (tpi_boolean_serve: decode + set op straight
+    from the compressed streams, block-skip AND walk) is bit-identical to
+    the pure-numpy fallback across misses, a live delta tier, tombstones,
+    empty queries, and >L lists."""
+    from inverted_index_2_tpu.codec import native
+
+    if not native.available():
+        pytest.skip("native codec not built")
+    ii, truth = build_index(tmp_path, rng, n_docs=70)
+    for v in range(600):
+        ii.put([b"long-list"], 4_000 + v)
+    ii.put_removed([4_001, 4_500, 2])
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, apply_removed=True)
+    ii.put([b"term002", b"only-delta"], 8_888)  # live delta tier
+    assert eng.refresh(ii)
+    queries = [
+        [b"term001", b"term002"],
+        [b"long-list", b"term003"],
+        [b"long-list"],
+        [b"only-delta", b"term002"],
+        [b"missing", b"term004"],
+        [],
+        [b"term005", b"term006", b"term007", b"term001"],
+    ]
+    for op in ("and", "or"):
+        for fr in (False, True):
+            nat = eng._boolean_host_columnar(queries, op, fr)
+            monkeypatch.setattr(qe_mod._native, "available", lambda: False)
+            ref = eng._boolean_host_columnar(queries, op, fr)
+            monkeypatch.undo()
+            assert np.array_equal(nat[0], ref[0]), (op, fr)
+            assert np.array_equal(nat[1], ref[1]), (op, fr)
