@@ -754,11 +754,15 @@ _LINK_MBPS: Optional[float] = None
 
 
 def _link_mbps() -> float:
-    """Measured host<->device DOWNLOAD bandwidth (MB/s), probed once per
-    process: device_put + device_get of a 4 MB and a 4 KB array (pure
-    transfers — deliberately NO jit programs: remote compiles on tunneled
-    devices are erratically slow), latency-corrected by the small probe,
-    best-of-2 each to ride out RPC bursts. Drives transport-aware serving
+    """Measured host<->device link bandwidth (MB/s, round-trip corrected),
+    probed once per process: device_put + device_get of a FRESH 4 MB and a
+    FRESH 4 KB array per rep (pure transfers — deliberately NO jit
+    programs: remote compiles on tunneled devices are erratically slow),
+    latency-corrected by the small probe, best-of-2 to ride out RPC
+    bursts. The array MUST be fresh each rep: once an array has been
+    device_get once, its host copy is cached and later gets return in ~0
+    (measured 211 ms then 0.1 ms on the axon tunnel — a reused-array probe
+    reads ~90 GB/s on a ~20 MB/s link). Drives transport-aware serving
     routes (_host_boolean_route); TPI_LINK_MBPS pins it for tests/ops."""
     global _LINK_MBPS
     if _LINK_MBPS is None:
@@ -768,19 +772,19 @@ def _link_mbps() -> float:
             return _LINK_MBPS
         import time as _time
 
-        big = jax.device_put(np.zeros(1 << 20, dtype=np.uint32))
-        small = jax.device_put(np.zeros(1 << 10, dtype=np.uint32))
-
-        def best(arr):
+        def best(nwords):
             t = math.inf
             for _ in range(2):
+                arr = np.zeros(nwords, dtype=np.uint32)
                 t0 = _time.monotonic()
-                jax.device_get(arr)
+                jax.device_get(jax.device_put(arr))
                 t = min(t, _time.monotonic() - t0)
             return t
 
-        dt = max(best(big) - best(small), 1e-6)
-        _LINK_MBPS = (big.nbytes - small.nbytes) / dt / 2**20
+        nbytes = (1 << 22) - (1 << 12)
+        dt = max(best(1 << 20) - best(1 << 10), 1e-6)
+        # bytes cross the link twice (up on the put, down on the get)
+        _LINK_MBPS = 2 * nbytes / dt / 2**20
     return _LINK_MBPS
 
 

@@ -566,23 +566,21 @@ void tpi_gather_bytes(const uint8_t* src, const int64_t* starts,
 namespace {
 
 // Merge-union of two sorted-unique runs into dst (sized na+nb). Returns the
-// written count. Inputs may share values (main/delta tier overlap).
+// written count. Inputs may share values (main/delta tier overlap; cross-run
+// duplicates emit once). BRANCHLESS inner loop: the three-way compare of a
+// textbook merge mispredicts ~50% on independent posting sets (measured to
+// dominate the OR serve); writing min(a, b) and advancing each side by its
+// own <= flag compiles to cmov/setcc with no data-dependent branch — and
+// advancing BOTH sides on equality is exactly the dedupe.
 int64_t union2(const uint32_t* a, int64_t na, const uint32_t* b, int64_t nb,
                uint32_t* dst) {
   int64_t i = 0, j = 0, m = 0;
   while (i < na && j < nb) {
     const uint32_t x = a[i], y = b[j];
-    if (x < y) {
-      dst[m++] = x;
-      ++i;
-    } else if (y < x) {
-      dst[m++] = y;
-      ++j;
-    } else {
-      dst[m++] = x;
-      ++i;
-      ++j;
-    }
+    const int64_t ta = x <= y, tb = y <= x;
+    dst[m++] = ta ? x : y;
+    i += ta;
+    j += tb;
   }
   while (i < na) dst[m++] = a[i++];
   while (j < nb) dst[m++] = b[j++];
@@ -608,17 +606,15 @@ int64_t intersect2(const uint32_t* a, int64_t na, const uint32_t* b,
       if (*lo == a[i]) dst[m++] = a[i];
     }
   } else {
+    // branchless two-pointer (see union2): unconditional store at m,
+    // m advances only on equality
     int64_t i = 0, j = 0;
     while (i < na && j < nb) {
-      if (a[i] < b[j]) {
-        ++i;
-      } else if (b[j] < a[i]) {
-        ++j;
-      } else {
-        dst[m++] = a[i];
-        ++i;
-        ++j;
-      }
+      const uint32_t x = a[i], y = b[j];
+      dst[m] = x;
+      m += x == y;
+      i += x <= y;
+      j += y <= x;
     }
   }
   return m;
@@ -738,19 +734,15 @@ inline int64_t intersect_stream(const uint32_t* cur, int64_t nc,
     c->pos = next_pos;
     c->remaining -= n_blk;
     // merge-join the decoded block with cur[i..): skipped cur elements can
-    // never match later blocks (those start above this block's values)
+    // never match later blocks (those start above this block's values).
+    // Branchless (see union2): store unconditionally, advance m on equality
     int64_t j = 0;
     while (j < n_blk && i < nc) {
       const uint32_t x = blockbuf[j], y = cur[i];
-      if (x < y) {
-        ++j;
-      } else if (y < x) {
-        ++i;
-      } else {
-        dst[m++] = x;
-        ++j;
-        ++i;
-      }
+      dst[m] = x;
+      m += x == y;
+      j += x <= y;
+      i += y <= x;
     }
   }
   return m;
