@@ -19,6 +19,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int64_t kBlock = 128;
@@ -45,6 +49,366 @@ inline int block_width(const uint32_t* v, int64_t n_blk, int32_t byte_align) {
     if (byte_align >= 2 && b == 24) b = 32;
   }
   return b;
+}
+
+}  // namespace
+
+// Shared set-op / block-stream helpers (used by the decode entry points
+// below and the batched boolean serving routines further down).
+namespace {
+
+// Merge-union of two sorted-unique runs into dst (sized na+nb). Returns the
+// written count. Inputs may share values (main/delta tier overlap; cross-run
+// duplicates emit once). BRANCHLESS inner loop: the three-way compare of a
+// textbook merge mispredicts ~50% on independent posting sets (measured to
+// dominate the OR serve); writing min(a, b) and advancing each side by its
+// own <= flag compiles to cmov/setcc with no data-dependent branch — and
+// advancing BOTH sides on equality is exactly the dedupe.
+int64_t union2(const uint32_t* a, int64_t na, const uint32_t* b, int64_t nb,
+               uint32_t* dst) {
+  int64_t i = 0, j = 0, m = 0;
+  while (i < na && j < nb) {
+    const uint32_t x = a[i], y = b[j];
+    const int64_t ta = x <= y, tb = y <= x;
+    dst[m++] = ta ? x : y;
+    i += ta;
+    j += tb;
+  }
+  while (i < na) dst[m++] = a[i++];
+  while (j < nb) dst[m++] = b[j++];
+  return m;
+}
+
+// Intersection of two sorted-unique runs into dst (sized min(na, nb)).
+// Galloping (search the long run from a moving lower bound) when the
+// lengths are skewed; two-pointer otherwise.
+int64_t intersect2(const uint32_t* a, int64_t na, const uint32_t* b,
+                   int64_t nb, uint32_t* dst) {
+  if (na > nb) {
+    std::swap(a, b);
+    std::swap(na, nb);
+  }
+  int64_t m = 0;
+  if (nb > 8 * na) {
+    const uint32_t* lo = b;
+    const uint32_t* end = b + nb;
+    for (int64_t i = 0; i < na; ++i) {
+      lo = std::lower_bound(lo, end, a[i]);
+      if (lo == end) break;
+      if (*lo == a[i]) dst[m++] = a[i];
+    }
+  } else {
+    // branchless two-pointer (see union2): unconditional store at m,
+    // m advances only on equality
+    int64_t i = 0, j = 0;
+    while (i < na && j < nb) {
+      const uint32_t x = a[i], y = b[j];
+      dst[m] = x;
+      m += x == y;
+      i += x <= y;
+      j += y <= x;
+    }
+  }
+  return m;
+}
+
+struct Run {
+  const uint32_t* p;
+  int64_t n;
+};
+
+#if defined(__AVX512F__)
+// Compare-exchange clean of a BITONIC 16-lane u32 sequence (4 stages,
+// stride 8/4/2/1): lane i keeps min when (i & stride) == 0, max otherwise.
+inline __m512i bitonic_clean16(__m512i v) {
+  static const __m512i i8 = _mm512_setr_epi32(8, 9, 10, 11, 12, 13, 14, 15,
+                                              0, 1, 2, 3, 4, 5, 6, 7);
+  static const __m512i i4 = _mm512_setr_epi32(4, 5, 6, 7, 0, 1, 2, 3,
+                                              12, 13, 14, 15, 8, 9, 10, 11);
+  static const __m512i i2 = _mm512_setr_epi32(2, 3, 0, 1, 6, 7, 4, 5,
+                                              10, 11, 8, 9, 14, 15, 12, 13);
+  static const __m512i i1 = _mm512_setr_epi32(1, 0, 3, 2, 5, 4, 7, 6,
+                                              9, 8, 11, 10, 13, 12, 15, 14);
+  __m512i p = _mm512_permutexvar_epi32(i8, v);
+  v = _mm512_mask_blend_epi32(0xFF00, _mm512_min_epu32(v, p),
+                              _mm512_max_epu32(v, p));
+  p = _mm512_permutexvar_epi32(i4, v);
+  v = _mm512_mask_blend_epi32(0xF0F0, _mm512_min_epu32(v, p),
+                              _mm512_max_epu32(v, p));
+  p = _mm512_permutexvar_epi32(i2, v);
+  v = _mm512_mask_blend_epi32(0xCCCC, _mm512_min_epu32(v, p),
+                              _mm512_max_epu32(v, p));
+  p = _mm512_permutexvar_epi32(i1, v);
+  v = _mm512_mask_blend_epi32(0xAAAA, _mm512_min_epu32(v, p),
+                              _mm512_max_epu32(v, p));
+  return v;
+}
+#endif
+
+// Duplicate-KEEPING merge of two sorted runs (each may itself contain
+// duplicates) — the OR reduction's level merge. Cross-run dedupe is
+// deferred to the single output pass (measured: config-3 unions are ~0.1%
+// duplicates, so carrying them is free and the merge core stays branch-
+// free). AVX-512 path: classic 16-lane bitonic merge network — reverse one
+// register, min/max gives the bitonic halves, clean each (the emitted low
+// half is provably <= every unloaded element: all 16 loaded from the other
+// run would have to be smaller, and they are already loaded). Scalar
+// fallback/tails: branchless two-pointer emitting one side on ties.
+int64_t merge2_dups(const uint32_t* a, int64_t na, const uint32_t* b,
+                    int64_t nb, uint32_t* dst) {
+  int64_t i = 0, j = 0, m = 0;
+#if defined(__AVX512F__)
+  if (na >= 16 && nb >= 16) {
+    static const __m512i rev = _mm512_setr_epi32(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    __m512i va = _mm512_loadu_si512(a);
+    __m512i vb = _mm512_loadu_si512(b);
+    i = 16;
+    j = 16;
+    while (true) {
+      const __m512i br = _mm512_permutexvar_epi32(rev, vb);
+      const __m512i lo = bitonic_clean16(_mm512_min_epu32(va, br));
+      const __m512i hi = bitonic_clean16(_mm512_max_epu32(va, br));
+      _mm512_storeu_si512(dst + m, lo);
+      m += 16;
+      va = hi;
+      if (i + 16 <= na && j + 16 <= nb) {
+        if (a[i] <= b[j]) {
+          vb = _mm512_loadu_si512(a + i);
+          i += 16;
+        } else {
+          vb = _mm512_loadu_si512(b + j);
+          j += 16;
+        }
+      } else {
+        break;
+      }
+    }
+    // spill the held register and three-way merge it with both tails
+    alignas(64) uint32_t vbuf[16];
+    _mm512_storeu_si512(vbuf, va);
+    int64_t x = 0;
+    while (x < 16 && i < na && j < nb) {
+      const uint32_t vx = vbuf[x], ya = a[i], yb = b[j];
+      if (vx <= ya && vx <= yb) {
+        dst[m++] = vx;
+        ++x;
+      } else if (ya <= yb) {
+        dst[m++] = ya;
+        ++i;
+      } else {
+        dst[m++] = yb;
+        ++j;
+      }
+    }
+    while (x < 16 && i < na) {
+      const uint32_t vx = vbuf[x], ya = a[i];
+      const int64_t t = vx <= ya;
+      dst[m++] = t ? vx : ya;
+      x += t;
+      i += !t;
+    }
+    while (x < 16 && j < nb) {
+      const uint32_t vx = vbuf[x], yb = b[j];
+      const int64_t t = vx <= yb;
+      dst[m++] = t ? vx : yb;
+      x += t;
+      j += !t;
+    }
+    while (x < 16) dst[m++] = vbuf[x++];
+  }
+#endif
+  while (i < na && j < nb) {
+    const uint32_t x = a[i], y = b[j];
+    const int64_t ta = x <= y;
+    dst[m++] = ta ? x : y;
+    i += ta;
+    j += !ta;
+  }
+  while (i < na) dst[m++] = a[i++];
+  while (j < nb) dst[m++] = b[j++];
+  return m;
+}
+
+#if defined(__AVX512F__)
+// In-register inclusive prefix sum of 16 u32 lanes (4 shift-up + add steps).
+inline __m512i scan16_epi32(__m512i x) {
+  const __m512i z = _mm512_setzero_si512();
+  x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 16 - 1));
+  x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 16 - 2));
+  x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 16 - 4));
+  x = _mm512_add_epi32(x, _mm512_alignr_epi32(x, z, 16 - 8));
+  return x;
+}
+#endif
+
+// Decode ONE block at words[pos] into dst (capacity >= kBlock). Returns
+// n_blk and sets *next_pos, or -1 on malformed/truncated input. (The block
+// layout of codec/packing.py: [b | n_blk<<8][first][packed deltas].)
+//
+// Byte-aligned widths (8/16/32 — ALL blocks of the retained serving tables,
+// encode_bulk(byte_align=2)) take an AVX-512 path when available: 16 deltas
+// zero-extend into one zmm, +1, in-register prefix scan, +running base —
+// ~10 instructions per 16 values vs ~6 scalar ops per value. Exact-width
+// disk blocks (any b) keep the scalar shift/mask loop.
+inline int64_t decode_block(const uint32_t* words, int64_t wlen, int64_t pos,
+                            uint32_t* dst, int64_t* next_pos) {
+  if (pos + 2 > wlen) return -1;
+  const uint32_t header = words[pos];
+  const int b = header & 0xFF;
+  const int64_t n_blk = (header >> 8) & 0xFF;
+  if (n_blk <= 0 || n_blk > kBlock || b > 32) return -1;
+  const int64_t np = pos + 2 + packed_words(n_blk, b);
+  if (np > wlen) return -1;
+  uint32_t cur = words[pos + 1];
+  const uint32_t* packed = words + pos + 2;
+  dst[0] = cur;
+  const int64_t nd = n_blk - 1;
+  int64_t j = 0;
+  if (b == 0) {
+    for (; j < nd; ++j) dst[1 + j] = ++cur;
+    *next_pos = np;
+    return n_blk;
+  }
+#if defined(__AVX512F__)
+  if (b == 8 || b == 16 || b == 32) {
+    // SIMD loads stay inside the packed plane: it is allocated in whole
+    // words, so ceil(nd*b/32)*4 bytes >= the nd*(b/8) bytes read below
+    const __m512i one = _mm512_set1_epi32(1);
+    for (; j + 16 <= nd; j += 16) {
+      __m512i d;
+      if (b == 8) {
+        d = _mm512_cvtepu8_epi32(_mm_loadu_si128(reinterpret_cast<const __m128i*>(
+            reinterpret_cast<const uint8_t*>(packed) + j)));
+      } else if (b == 16) {
+        d = _mm512_cvtepu16_epi32(_mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(
+                reinterpret_cast<const uint16_t*>(packed) + j)));
+      } else {
+        d = _mm512_loadu_si512(packed + j);
+      }
+      const __m512i s = scan16_epi32(_mm512_add_epi32(d, one));
+      _mm512_storeu_si512(dst + 1 + j,
+                          _mm512_add_epi32(s, _mm512_set1_epi32(cur)));
+      cur = dst[16 + j];
+    }
+    if (b == 8) {
+      const uint8_t* src = reinterpret_cast<const uint8_t*>(packed);
+      for (; j < nd; ++j) dst[1 + j] = cur += src[j] + 1u;
+    } else if (b == 16) {
+      const uint16_t* src = reinterpret_cast<const uint16_t*>(packed);
+      for (; j < nd; ++j) dst[1 + j] = cur += src[j] + 1u;
+    } else {
+      for (; j < nd; ++j) dst[1 + j] = cur += packed[j] + 1u;
+    }
+    *next_pos = np;
+    return n_blk;
+  }
+#endif
+  {
+    const uint64_t mask = (b == 32) ? 0xFFFFFFFFull : ((1ull << b) - 1);
+    int64_t bitpos = static_cast<int64_t>(j) * b;
+    for (; j < nd; ++j, bitpos += b) {
+      const int64_t w0 = bitpos >> 5;
+      const int s = bitpos & 31;
+      uint64_t window = packed[w0];
+      if (s + b > 32) window |= static_cast<uint64_t>(packed[w0 + 1]) << 32;
+      cur += static_cast<uint32_t>((window >> s) & mask) + 1;
+      dst[1 + j] = cur;
+    }
+  }
+  *next_pos = np;
+  return n_blk;
+}
+
+// Decode a whole list at words[start] ([count][blocks...]) into dst
+// (capacity >= words[start], pre-read by the caller). Returns the count,
+// or -1 on malformed input.
+inline int64_t decode_list(const uint32_t* words, int64_t wlen, int64_t start,
+                           uint32_t* dst) {
+  if (start < 0 || start >= wlen) return -1;
+  int64_t pos = start + 1;
+  const int64_t n = words[start];
+  int64_t produced = 0;
+  while (produced < n) {
+    const int64_t k = decode_block(words, wlen, pos, dst + produced, &pos);
+    if (k < 0 || produced + k > n) return -1;
+    produced += k;
+  }
+  return n;
+}
+
+// A posting list's block stream (for the streaming intersect).
+struct ListCursor {
+  const uint32_t* words;
+  int64_t wlen;
+  int64_t pos;        // next block's word offset
+  int64_t remaining;  // values not yet consumed
+};
+
+inline bool cursor_init(const uint32_t* words, int64_t wlen, int64_t start,
+                        ListCursor* c) {
+  if (start < 0 || start >= wlen) return false;
+  c->words = words;
+  c->wlen = wlen;
+  c->pos = start + 1;
+  c->remaining = words[start];
+  return true;
+}
+
+// cur (sorted unique) ∧ one block stream -> dst (capacity >= nc), WITHOUT
+// materializing the stream: a block decodes only if its value range can
+// intersect cur's remaining window. Block k's max is < block k+1's first
+// value (values ascend across blocks), so a whole block skips when the next
+// block's first <= cur's smallest unmatched value — and the walk stops at
+// the first block past cur's max (every later block starts higher). The
+// CPU mirror of the fused Pallas kernel's anchor pruning + early-exit walk
+// (ops/pallas_fused.py). Returns the match count, -1 on malformed input.
+inline int64_t intersect_stream(const uint32_t* cur, int64_t nc,
+                                ListCursor* c, uint32_t* dst,
+                                uint32_t* blockbuf) {
+  int64_t m = 0, i = 0;
+  if (nc == 0) return 0;
+  const uint32_t cur_max = cur[nc - 1];
+  while (c->remaining > 0 && i < nc) {
+    const int64_t pos = c->pos;
+    if (pos + 2 > c->wlen) return -1;
+    const uint32_t header = c->words[pos];
+    const int b = header & 0xFF;
+    const int64_t n_blk = (header >> 8) & 0xFF;
+    if (n_blk <= 0 || n_blk > kBlock || b > 32 || n_blk > c->remaining)
+      return -1;
+    const uint32_t first = c->words[pos + 1];
+    const int64_t next_pos = pos + 2 + packed_words(n_blk, b);
+    if (next_pos > c->wlen) return -1;
+    if (first > cur_max) break;  // all later blocks start higher still
+    if (c->remaining > n_blk) {
+      if (next_pos + 2 > c->wlen) return -1;
+      const uint32_t next_first = c->words[next_pos + 1];
+      if (next_first <= cur[i]) {  // whole block below the next needed value
+        c->pos = next_pos;
+        c->remaining -= n_blk;
+        continue;
+      }
+    }
+    int64_t ignored;
+    if (decode_block(c->words, c->wlen, pos, blockbuf, &ignored) != n_blk)
+      return -1;
+    c->pos = next_pos;
+    c->remaining -= n_blk;
+    // merge-join the decoded block with cur[i..): skipped cur elements can
+    // never match later blocks (those start above this block's values).
+    // Branchless (see union2): store unconditionally, advance m on equality
+    int64_t j = 0;
+    while (j < n_blk && i < nc) {
+      const uint32_t x = blockbuf[j], y = cur[i];
+      dst[m] = x;
+      m += x == y;
+      j += x <= y;
+      i += y <= x;
+    }
+  }
+  return m;
 }
 
 }  // namespace
@@ -120,44 +484,15 @@ int32_t tpi_decode_counts_v2(const uint32_t* words, int64_t words_len,
 }
 
 // Pass 2 of decode: fill out_values at out_voffs (exclusive prefix sums of
-// counts). words_len bounds all reads (decode consumes UNTRUSTED disk bytes).
-// Returns 0 on success, -1 on a malformed/truncated block.
+// counts). words_len bounds all reads (decode consumes UNTRUSTED disk bytes;
+// decode_list validates every header and extent). Byte-aligned blocks take
+// decode_block's SIMD path. Returns 0 on success, -1 on a malformed block.
 int32_t tpi_decode_bulk(const uint32_t* words, int64_t words_len,
                         const int64_t* outs, int64_t T,
                         uint32_t* out_values, const int64_t* out_voffs) {
   for (int64_t t = 0; t < T; ++t) {
-    int64_t pos = outs[t];
-    if (pos < 0 || pos >= words_len) return -1;
-    const int64_t n = words[pos++];
-    uint32_t* dst = out_values + out_voffs[t];
-    int64_t produced = 0;
-    while (produced < n) {
-      if (pos + 2 > words_len) return -1;
-      const uint32_t header = words[pos];
-      const int b = header & 0xFF;
-      const int64_t n_blk = (header >> 8) & 0xFF;
-      if (n_blk <= 0 || n_blk > kBlock || produced + n_blk > n || b > 32) return -1;
-      if (pos + 2 + packed_words(n_blk, b) > words_len) return -1;
-      uint32_t cur = words[pos + 1];
-      const uint32_t* packed = words + pos + 2;
-      dst[produced++] = cur;
-      if (b == 0) {
-        for (int64_t j = 1; j < n_blk; ++j) dst[produced++] = ++cur;
-      } else {
-        const uint64_t mask = (b == 32) ? 0xFFFFFFFFull : ((1ull << b) - 1);
-        int64_t bitpos = 0;
-        for (int64_t j = 1; j < n_blk; ++j, bitpos += b) {
-          const int64_t w0 = bitpos >> 5;
-          const int s = bitpos & 31;
-          uint64_t window = packed[w0];
-          if (s + b > 32) window |= static_cast<uint64_t>(packed[w0 + 1]) << 32;
-          const uint32_t d = static_cast<uint32_t>((window >> s) & mask);
-          cur += d + 1;
-          dst[produced++] = cur;
-        }
-      }
-      pos += 2 + packed_words(n_blk, b);
-    }
+    if (decode_list(words, words_len, outs[t], out_values + out_voffs[t]) < 0)
+      return -1;
   }
   return 0;
 }
@@ -563,192 +898,6 @@ void tpi_gather_bytes(const uint8_t* src, const int64_t* starts,
 // over the batch-decoded columnar runs.
 // ---------------------------------------------------------------------------
 
-namespace {
-
-// Merge-union of two sorted-unique runs into dst (sized na+nb). Returns the
-// written count. Inputs may share values (main/delta tier overlap; cross-run
-// duplicates emit once). BRANCHLESS inner loop: the three-way compare of a
-// textbook merge mispredicts ~50% on independent posting sets (measured to
-// dominate the OR serve); writing min(a, b) and advancing each side by its
-// own <= flag compiles to cmov/setcc with no data-dependent branch — and
-// advancing BOTH sides on equality is exactly the dedupe.
-int64_t union2(const uint32_t* a, int64_t na, const uint32_t* b, int64_t nb,
-               uint32_t* dst) {
-  int64_t i = 0, j = 0, m = 0;
-  while (i < na && j < nb) {
-    const uint32_t x = a[i], y = b[j];
-    const int64_t ta = x <= y, tb = y <= x;
-    dst[m++] = ta ? x : y;
-    i += ta;
-    j += tb;
-  }
-  while (i < na) dst[m++] = a[i++];
-  while (j < nb) dst[m++] = b[j++];
-  return m;
-}
-
-// Intersection of two sorted-unique runs into dst (sized min(na, nb)).
-// Galloping (search the long run from a moving lower bound) when the
-// lengths are skewed; two-pointer otherwise.
-int64_t intersect2(const uint32_t* a, int64_t na, const uint32_t* b,
-                   int64_t nb, uint32_t* dst) {
-  if (na > nb) {
-    std::swap(a, b);
-    std::swap(na, nb);
-  }
-  int64_t m = 0;
-  if (nb > 8 * na) {
-    const uint32_t* lo = b;
-    const uint32_t* end = b + nb;
-    for (int64_t i = 0; i < na; ++i) {
-      lo = std::lower_bound(lo, end, a[i]);
-      if (lo == end) break;
-      if (*lo == a[i]) dst[m++] = a[i];
-    }
-  } else {
-    // branchless two-pointer (see union2): unconditional store at m,
-    // m advances only on equality
-    int64_t i = 0, j = 0;
-    while (i < na && j < nb) {
-      const uint32_t x = a[i], y = b[j];
-      dst[m] = x;
-      m += x == y;
-      i += x <= y;
-      j += y <= x;
-    }
-  }
-  return m;
-}
-
-struct Run {
-  const uint32_t* p;
-  int64_t n;
-};
-
-// Decode ONE block at words[pos] into dst (capacity >= kBlock). Returns
-// n_blk and sets *next_pos, or -1 on malformed/truncated input. (The block
-// layout of codec/packing.py: [b | n_blk<<8][first][packed deltas].)
-inline int64_t decode_block(const uint32_t* words, int64_t wlen, int64_t pos,
-                            uint32_t* dst, int64_t* next_pos) {
-  if (pos + 2 > wlen) return -1;
-  const uint32_t header = words[pos];
-  const int b = header & 0xFF;
-  const int64_t n_blk = (header >> 8) & 0xFF;
-  if (n_blk <= 0 || n_blk > kBlock || b > 32) return -1;
-  const int64_t np = pos + 2 + packed_words(n_blk, b);
-  if (np > wlen) return -1;
-  uint32_t cur = words[pos + 1];
-  const uint32_t* packed = words + pos + 2;
-  dst[0] = cur;
-  if (b == 0) {
-    for (int64_t j = 1; j < n_blk; ++j) dst[j] = ++cur;
-  } else {
-    const uint64_t mask = (b == 32) ? 0xFFFFFFFFull : ((1ull << b) - 1);
-    int64_t bitpos = 0;
-    for (int64_t j = 1; j < n_blk; ++j, bitpos += b) {
-      const int64_t w0 = bitpos >> 5;
-      const int s = bitpos & 31;
-      uint64_t window = packed[w0];
-      if (s + b > 32) window |= static_cast<uint64_t>(packed[w0 + 1]) << 32;
-      cur += static_cast<uint32_t>((window >> s) & mask) + 1;
-      dst[j] = cur;
-    }
-  }
-  *next_pos = np;
-  return n_blk;
-}
-
-// Decode a whole list at words[start] ([count][blocks...]) into dst
-// (capacity >= words[start], pre-read by the caller). Returns the count,
-// or -1 on malformed input.
-inline int64_t decode_list(const uint32_t* words, int64_t wlen, int64_t start,
-                           uint32_t* dst) {
-  if (start < 0 || start >= wlen) return -1;
-  int64_t pos = start + 1;
-  const int64_t n = words[start];
-  int64_t produced = 0;
-  while (produced < n) {
-    const int64_t k = decode_block(words, wlen, pos, dst + produced, &pos);
-    if (k < 0 || produced + k > n) return -1;
-    produced += k;
-  }
-  return n;
-}
-
-// A posting list's block stream (for the streaming intersect).
-struct ListCursor {
-  const uint32_t* words;
-  int64_t wlen;
-  int64_t pos;        // next block's word offset
-  int64_t remaining;  // values not yet consumed
-};
-
-inline bool cursor_init(const uint32_t* words, int64_t wlen, int64_t start,
-                        ListCursor* c) {
-  if (start < 0 || start >= wlen) return false;
-  c->words = words;
-  c->wlen = wlen;
-  c->pos = start + 1;
-  c->remaining = words[start];
-  return true;
-}
-
-// cur (sorted unique) ∧ one block stream -> dst (capacity >= nc), WITHOUT
-// materializing the stream: a block decodes only if its value range can
-// intersect cur's remaining window. Block k's max is < block k+1's first
-// value (values ascend across blocks), so a whole block skips when the next
-// block's first <= cur's smallest unmatched value — and the walk stops at
-// the first block past cur's max (every later block starts higher). The
-// CPU mirror of the fused Pallas kernel's anchor pruning + early-exit walk
-// (ops/pallas_fused.py). Returns the match count, -1 on malformed input.
-inline int64_t intersect_stream(const uint32_t* cur, int64_t nc,
-                                ListCursor* c, uint32_t* dst,
-                                uint32_t* blockbuf) {
-  int64_t m = 0, i = 0;
-  if (nc == 0) return 0;
-  const uint32_t cur_max = cur[nc - 1];
-  while (c->remaining > 0 && i < nc) {
-    const int64_t pos = c->pos;
-    if (pos + 2 > c->wlen) return -1;
-    const uint32_t header = c->words[pos];
-    const int b = header & 0xFF;
-    const int64_t n_blk = (header >> 8) & 0xFF;
-    if (n_blk <= 0 || n_blk > kBlock || b > 32 || n_blk > c->remaining)
-      return -1;
-    const uint32_t first = c->words[pos + 1];
-    const int64_t next_pos = pos + 2 + packed_words(n_blk, b);
-    if (next_pos > c->wlen) return -1;
-    if (first > cur_max) break;  // all later blocks start higher still
-    if (c->remaining > n_blk) {
-      if (next_pos + 2 > c->wlen) return -1;
-      const uint32_t next_first = c->words[next_pos + 1];
-      if (next_first <= cur[i]) {  // whole block below the next needed value
-        c->pos = next_pos;
-        c->remaining -= n_blk;
-        continue;
-      }
-    }
-    int64_t ignored;
-    if (decode_block(c->words, c->wlen, pos, blockbuf, &ignored) != n_blk)
-      return -1;
-    c->pos = next_pos;
-    c->remaining -= n_blk;
-    // merge-join the decoded block with cur[i..): skipped cur elements can
-    // never match later blocks (those start above this block's values).
-    // Branchless (see union2): store unconditionally, advance m on equality
-    int64_t j = 0;
-    while (j < n_blk && i < nc) {
-      const uint32_t x = blockbuf[j], y = cur[i];
-      dst[m] = x;
-      m += x == y;
-      j += x <= y;
-      i += y <= x;
-    }
-  }
-  return m;
-}
-
-}  // namespace
 
 // Batched AND/OR over two columnar tiers. Per flat term j: tier presence
 // f*[j], postings v*[o*[j] .. o*[j+1]) (sorted unique). koffs[Q+1] maps each
@@ -819,7 +968,8 @@ int64_t tpi_boolean_host(const uint32_t* v1, const int64_t* o1,
         }
       }
     } else if (!runs.empty()) {
-      // bottom-up pairwise merge: O(total * log K) with K already-sorted runs
+      // bottom-up pairwise dup-KEEPING SIMD merges (see merge2_dups);
+      // cross-run duplicates survive to the dedupe output pass below
       if (runs.size() == 1) {
         cur = runs[0];
       } else {
@@ -831,8 +981,9 @@ int64_t tpi_boolean_host(const uint32_t* v1, const int64_t* o1,
           next.clear();
           int64_t pos = 0;
           for (size_t r = 0; r + 1 < runs.size(); r += 2) {
-            const int64_t m = union2(runs[r].p, runs[r].n, runs[r + 1].p,
-                                     runs[r + 1].n, arena + pos);
+            const int64_t m = merge2_dups(runs[r].p, runs[r].n,
+                                          runs[r + 1].p, runs[r + 1].n,
+                                          arena + pos);
             next.push_back({arena + pos, m});
             pos += m;
           }
@@ -852,14 +1003,23 @@ int64_t tpi_boolean_host(const uint32_t* v1, const int64_t* o1,
       }
     }
     if (cur.n > 0) {
+      // one output pass: dedupe (a no-op for AND's already-unique results)
+      // + tombstone filter
+      uint32_t prev = ~cur.p[0];  // != first element
       if (R == 0) {
-        std::memcpy(out_vals + w, cur.p, static_cast<size_t>(cur.n) * 4);
-        w += cur.n;
+        for (int64_t i = 0; i < cur.n; ++i) {
+          const uint32_t v = cur.p[i];
+          if (v == prev) continue;
+          prev = v;
+          out_vals[w++] = v;
+        }
       } else {
         const uint32_t* rlo = removed;
         const uint32_t* rend = removed + R;
         for (int64_t i = 0; i < cur.n; ++i) {
           const uint32_t v = cur.p[i];
+          if (v == prev) continue;
+          prev = v;
           rlo = std::lower_bound(rlo, rend, v);
           if (rlo != rend && *rlo == v) continue;
           out_vals[w++] = v;
@@ -1042,14 +1202,17 @@ int64_t tpi_boolean_serve(const uint32_t* w1, int64_t wlen1,
           pos += n;
         }
       }
+      // reduce to ONE run with dup-KEEPING SIMD merges (cross-run dups —
+      // shared doc ids and carried level dups — survive until the single
+      // dedupe+filter output pass below)
       uint32_t* buf = ping.data();
       uint32_t* alt = arena.data();  // after level 1, the arena is dead
-      while (runs.size() > 2) {
+      while (runs.size() > 1) {
         next.clear();
         int64_t p2 = 0;
         for (size_t r = 0; r + 1 < runs.size(); r += 2) {
-          const int64_t m = union2(runs[r].p, runs[r].n, runs[r + 1].p,
-                                   runs[r + 1].n, buf + p2);
+          const int64_t m = merge2_dups(runs[r].p, runs[r].n, runs[r + 1].p,
+                                        runs[r + 1].n, buf + p2);
           next.push_back({buf + p2, m});
           p2 += m;
         }
@@ -1062,27 +1225,23 @@ int64_t tpi_boolean_serve(const uint32_t* w1, int64_t wlen1,
         runs.swap(next);
         std::swap(buf, alt);
       }
-      // final level: merge straight into the output when unfiltered
       if (!runs.empty()) {
+        const Run fin = runs[0];
+        uint32_t prev = fin.n ? ~fin.p[0] : 0u;  // != first element
         if (R == 0) {
-          if (runs.size() == 2) {
-            w += union2(runs[0].p, runs[0].n, runs[1].p, runs[1].n,
-                        out_vals + w);
-          } else {
-            std::memcpy(out_vals + w, runs[0].p,
-                        static_cast<size_t>(runs[0].n) * 4);
-            w += runs[0].n;
+          for (int64_t i = 0; i < fin.n; ++i) {
+            const uint32_t v = fin.p[i];
+            if (v == prev) continue;
+            prev = v;
+            out_vals[w++] = v;
           }
         } else {
-          Run fin = runs[0];
-          if (runs.size() == 2) {
-            fin.n = union2(runs[0].p, runs[0].n, runs[1].p, runs[1].n, buf);
-            fin.p = buf;
-          }
           const uint32_t* rlo = removed;
           const uint32_t* rend = removed + R;
           for (int64_t i = 0; i < fin.n; ++i) {
             const uint32_t v = fin.p[i];
+            if (v == prev) continue;
+            prev = v;
             rlo = std::lower_bound(rlo, rend, v);
             if (rlo != rend && *rlo == v) continue;
             out_vals[w++] = v;
