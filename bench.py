@@ -705,11 +705,26 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
     for c0 in range(0, nb * sq, sq):
         stream.append(flat[c0 : c0 + sq])
     eng.boolean_staged(stream, "and", columnar=True, depth=3)
+    # production-policy number: on this tunnel the auto route serves the
+    # staged AND stream HOST-side too (fused native serve, 271k wire-form /
+    # ~121-160k list-input at config-3, burst-immune) — a PCIe deployment
+    # keeps the device pipeline here
     out[f"{name}_staged_and_qps"] = _qps_stat(
         f"{name}_staged_and_qps", nb * sq,
         _reps(lambda: eng.boolean_staged(stream, "and", columnar=True,
                                          depth=3)),
     )
+    if tables is not None:
+        os.environ["TPI_HOST_BOOL"] = "0"  # pinned device pipeline
+        try:
+            eng.boolean_staged(stream[:2], "and", columnar=True)  # warm
+            out[f"{name}_staged_and_dev_qps"] = _qps_stat(
+                f"{name}_staged_and_dev_qps", nb * sq,
+                _reps(lambda: eng.boolean_staged(
+                    stream, "and", columnar=True, depth=3), reps=3),
+            )
+        finally:
+            del os.environ["TPI_HOST_BOOL"]
     # staged OR, FULL results: unions are O(total postings) of OUTPUT, so
     # with tables retained the engine's transport-aware route serves this
     # HOST-side on a slow link (fused native serve ~16.9k QPS at config-3

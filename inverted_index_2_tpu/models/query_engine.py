@@ -1074,14 +1074,18 @@ class QueryEngine:
 
     @classmethod
     def from_index(cls, index, L: int = 1024, apply_removed: bool = False,
-                   keep_tables: bool = True, **kw):
+                   keep_tables: bool = True, stride_align: Optional[int] = None,
+                   **kw):
         """Freeze `index` and serve it. keep_tables=True (default) retains
         the compact host tables already built by the freeze — enabling
         host-side full-result lookups (lookup_host) for the cost of holding
-        the compressed postings in host RAM; pass False to drop them."""
+        the compressed postings in host RAM; pass False to drop them.
+        stride_align passes through to upload_tables (None = auto: 128 on
+        a TPU backend for the fused-kernel arena)."""
         fp = _index_fingerprint(index, apply_removed)
         t = snapshot_tables(index, apply_removed=apply_removed)
-        eng = cls(upload_tables(t), L=L, tables=t if keep_tables else None, **kw)
+        eng = cls(upload_tables(t, stride_align=stride_align), L=L,
+                  tables=t if keep_tables else None, **kw)
         eng._fingerprint = fp
         eng._main_fp = fp
         eng._save_ckpt(t, fp)
@@ -1551,12 +1555,28 @@ class QueryEngine:
         one C++ pass) with the numpy loop kept as the bit-identical fallback
         oracle (tests force it via TPI_DISABLE_NATIVE)."""
         rem = self._host_removed() if filter_removed else None
-        flat_terms = [t for q in queries for t in q]
-        koffs = np.zeros(len(queries) + 1, dtype=np.int64)
-        np.cumsum([len(q) for q in queries], out=koffs[1:])
-        if not flat_terms:
-            return np.zeros(0, np.uint32), koffs * 0
-        qk = keys_mod.pack_terms(flat_terms, width=self._host_q_width())
+        if isinstance(queries, tuple) and len(queries) == 3:
+            # columnar (blob, offsets, qoffs) batch: pack straight off the
+            # wire form — no per-query Python lists (same fast path as
+            # _pack_boolean_cols on the device side)
+            blob, offsets, qoffs = queries
+            blob8 = (
+                np.frombuffer(blob, dtype=np.uint8)
+                if isinstance(blob, (bytes, bytearray))
+                else np.asarray(blob, dtype=np.uint8)
+            )
+            offsets = np.asarray(offsets, dtype=np.int64)
+            koffs = np.asarray(qoffs, dtype=np.int64)
+            if len(offsets) <= 1:
+                return np.zeros(0, np.uint32), koffs.astype(np.int64) * 0
+            qk = keys_mod.pack_blob(blob8, offsets, self._host_q_width())
+        else:
+            flat_terms = [t for q in queries for t in q]
+            koffs = np.zeros(len(queries) + 1, dtype=np.int64)
+            np.cumsum([len(q) for q in queries], out=koffs[1:])
+            if not flat_terms:
+                return np.zeros(0, np.uint32), koffs * 0
+            qk = keys_mod.pack_terms(flat_terms, width=self._host_q_width())
         dual = self.delta is not None
         if _native.available():
             # fused native serve: decode + set op + tombstone filter run in
@@ -1584,7 +1604,7 @@ class QueryEngine:
             f2, v2, o2 = self._host_tier_columnar(self.delta_tables, qk, None)
         out: List[np.ndarray] = []
         empty = np.zeros(0, np.uint32)
-        for qi in range(len(queries)):
+        for qi in range(len(koffs) - 1):
             rows = []
             miss = koffs[qi] == koffs[qi + 1]
             for j in range(koffs[qi], koffs[qi + 1]):
@@ -1622,44 +1642,74 @@ class QueryEngine:
             out.append(res)
         return _rows_to_columnar(out)
 
-    # measured breakeven for full-result OR at config-3: host route ~13-17k
-    # QPS; the device route is min(kernel 70.7k, link_bytes/s / ~20 KB per
-    # query) -> the device wins once the link moves ~13.0k * 20 KB ≈
-    # 260 MB/s. PCIe-local chips (~10 GB/s) clear it hugely; the axon
-    # tunnel (~33 MB/s) is 8x under it.
+    # measured breakevens at config-3. Full-result OR: the device route is
+    # min(kernel 70.7k, link_bytes_per_s / ~20 KB per query of output) and
+    # the SIMD host serve measured 61.3k QPS with ZERO link bytes -> the
+    # device only wins once the link moves ~61k * 20 KB ≈ 1.2 GB/s
+    # (PCIe-local chips clear it; network-attached/tunneled ones do not).
+    # Non-staged AND: host serve ~280k vs a dispatch-latency-bound device
+    # round trip — kept at a conservative 256 MB/s (a proxy for "remote
+    # link"), since a fast local link makes the one-shot device path
+    # competitive and keeps the host core free.
     _HOST_ROUTE_LINK_MBPS = 256.0
+    _HOST_ROUTE_OR_LINK_MBPS = 1024.0
 
     def _host_boolean_route(
         self, op: str, prefix_p: int = 0, staged: bool = False
     ) -> bool:
-        """Transport-aware serving route (requires retained tables). On a
-        SLOW device link (under one measured probe per process, _link_mbps):
+        """Transport-aware serving route (requires retained tables), per-op
+        thresholds against one measured link probe per process (_link_mbps):
 
-        * full-result OR routes host-side ALWAYS: the union IS the output
-          (O(sum of posting lengths) ships no matter who computes it), so
-          on a bandwidth-bound link not crossing it wins — measured 16.9k
-          host vs 1.3k device QPS at config-3 on the ~33 MB/s tunnel.
-        * non-staged AND routes host-side too: one-shot boolean() is
-          dispatch-LATENCY bound on such a link (~10k device), while the
+        * full-result OR routes host-side below ~1.2 GB/s: the union IS the
+          output (O(sum of posting lengths) ships no matter who computes
+          it) and the SIMD host serve (61.3k QPS at config-3, zero link
+          bytes) beats the fetch-bound device route on anything slower
+          than PCIe-class links — on this ~33 MB/s tunnel it is 47x
+          (61.3k vs 1.3k).
+        * AND (one-shot AND staged) routes host-side below 256 MB/s: the
           fused native serve (count-ordered block-skip streaming
-          intersection, tpi_boolean_serve) measured 171k QPS at config-3.
-        * STAGED AND stays on the device: the depth-pipelined fused-kernel
-          stream hides the RPC latency (127k e2e), scales with the chip
-          rather than the single host core, and leaves the host CPU free
-          for ingest/merge. TPI_HOST_BOOL=and/all flips it when the host
-          is the faster box.
+          intersection, tpi_boolean_serve) measured 271k QPS on wire-form
+          8192-query staged batches with a TIGHT spread — vs the device's
+          ~10k one-shot (dispatch-latency bound) and 97-145k staged
+          (pipelined, but any tunnel RPC burst strands its in-flight
+          fetches). TPI_HYBRID=1 opts the staged stream into the hybrid
+          host+device work-stealing mode instead (see _hybrid_staged).
 
-        On a fast local link (PCIe+) everything stays device-routed.
         Pagination (prefix_p) stays on the device: its fetch is already
         bounded. TPI_HOST_BOOL=or|and|all|0|auto overrides the policy."""
         if prefix_p or not self.host_ready():
             return False
         mode = os.environ.get("TPI_HOST_BOOL", "auto")
         if mode == "auto":
-            if _link_mbps() >= self._HOST_ROUTE_LINK_MBPS:
-                return False
-            return op == "or" or not staged
+            if op == "or":
+                return _link_mbps() < self._HOST_ROUTE_OR_LINK_MBPS
+            if staged and os.environ.get("TPI_HYBRID") == "1":
+                return False  # explicit hybrid opt-in: see _hybrid_staged
+            return _link_mbps() < self._HOST_ROUTE_LINK_MBPS
         return mode == "all" or mode == op
+
+    def _hybrid_staged(self, op: str) -> bool:
+        """EXPLICIT opt-in (TPI_HYBRID=1) hybrid host+device staged stream:
+        the device pipeline claims batches from the head while a host
+        thread serves from the tail through the fused native serve (GIL
+        released in C), stealing back unharvested device batches when its
+        tail runs dry — the two throughputs add WHEN THE LINK IS HEALTHY
+        (measured 153k vs 97k device-only in one window at config-3).
+
+        Not the default because a tunnel RPC burst strands the device's
+        in-flight fetches — device_get cannot be abandoned, so the stream's
+        wall time inherits the burst no matter what the host finished
+        (measured collapse to ~12k during burst weather, while host-only
+        served a steady 271k). The auto policy therefore routes staged AND
+        host-only on slow links; hybrid is for deployments whose link is
+        reliable but whose host core is the scarcer resource."""
+        if op != "and" or not self.host_ready() or self.delta is not None:
+            return False
+        if os.environ.get("TPI_HYBRID") != "1":
+            return False
+        if os.environ.get("TPI_HOST_BOOL", "auto") != "auto":
+            return False
+        return _link_mbps() < self._HOST_ROUTE_LINK_MBPS
 
     # -- boolean queries ---------------------------------------------------------
 
@@ -2120,13 +2170,14 @@ class QueryEngine:
             # round trips to pipeline — serve each batch directly
             out = []
             for b in batches:
-                qs = _batch_as_lists(b)
-                if columnar:  # columnar core directly: no per-row copies
-                    out.append(
-                        self._boolean_host_columnar(qs, op, filter_removed)
+                if columnar:  # columnar core directly: no per-row copies,
+                    out.append(  # and wire-form batches pack vectorized
+                        self._boolean_host_columnar(b, op, filter_removed)
                     )
                 else:
-                    out.append(self.boolean_host(qs, op, filter_removed))
+                    out.append(self.boolean_host(
+                        _batch_as_lists(b), op, filter_removed
+                    ))
             return out
         removed = self._removed if filter_removed else None
         if self.delta is not None:
@@ -2189,9 +2240,61 @@ class QueryEngine:
                 else:
                     overs.append(((bi, int(i)), qk[i], int(kv[i])))
 
+        # hybrid work-stealing (see _hybrid_staged): the device pipeline
+        # claims batches from the HEAD, a host thread serves batches from
+        # the TAIL via the fused native serve — both claim as fast as they
+        # finish, so the split self-balances to their relative rates
+        host_res: Dict[int, tuple] = {}
+        cursor = {"head": 0, "tail": len(batches) - 1}
+        clock = threading.Lock()
+
+        def claim(dev_side: bool):
+            with clock:
+                if cursor["head"] > cursor["tail"]:
+                    return None
+                if dev_side:
+                    bi = cursor["head"]
+                    cursor["head"] += 1
+                else:
+                    bi = cursor["tail"]
+                    cursor["tail"] -= 1
+                return bi
+
+        worker = None
+        if len(batches) > 1 and self._hybrid_staged(op):
+            if filter_removed:
+                self._host_removed()  # materialize the tombstone array on
+                # THIS thread (one jax.device_get) before the worker starts
+
+            def host_worker():
+                while True:
+                    hbi = claim(False)
+                    if hbi is None:
+                        break
+                    host_res[hbi] = self._boolean_host_columnar(
+                        batches[hbi], op, filter_removed
+                    )
+                # steal-back: an RPC burst strands the device's in-flight
+                # batches (the main thread is blocked in device_get) — with
+                # the tail exhausted, re-serve any batch the device claimed
+                # but has not harvested yet, most recent dispatch first.
+                # Assembly prefers the host copy; results are bit-identical
+                # either way, so a racing harvest is only duplicated work.
+                for hbi in range(len(batches) - 1, -1, -1):
+                    if fetched[hbi] is None and hbi not in host_res:
+                        host_res[hbi] = self._boolean_host_columnar(
+                            batches[hbi], op, filter_removed
+                        )
+
+            worker = threading.Thread(target=host_worker, daemon=True)
+            worker.start()
+
         pend = deque()
-        for bi, queries in enumerate(batches):
-            nq, qk, kv = self._batch_pack(queries)
+        while True:
+            bi = claim(True)
+            if bi is None:
+                break
+            nq, qk, kv = self._batch_pack(batches[bi])
             if nq == 0:
                 fetched[bi] = (0, None)
                 continue
@@ -2207,6 +2310,8 @@ class QueryEngine:
                 harvest(pend.popleft())
         while pend:
             harvest(pend.popleft())
+        if worker is not None:
+            worker.join()
 
         overrides: Dict[int, Dict[int, np.ndarray]] = {}
 
@@ -2217,6 +2322,13 @@ class QueryEngine:
 
         out = []
         for bi in range(len(batches)):
+            if bi in host_res:  # hybrid: host-served, already final
+                vals, voffs = host_res[bi]
+                out.append((vals, voffs) if columnar else [
+                    vals[voffs[i] : voffs[i + 1]].copy()
+                    for i in range(len(voffs) - 1)
+                ])
+                continue
             nq, f = fetched[bi]
             ovr = overrides.get(bi, {})
             if nq == 0:

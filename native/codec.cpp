@@ -324,6 +324,12 @@ inline int64_t decode_block(const uint32_t* words, int64_t wlen, int64_t pos,
 // Decode a whole list at words[start] ([count][blocks...]) into dst
 // (capacity >= words[start], pre-read by the caller). Returns the count,
 // or -1 on malformed input.
+//
+// The n_blk-vs-remaining check MUST happen BEFORE decode_block writes
+// (decode consumes UNTRUSTED disk bytes; a corrupt stream whose blocks
+// overrun the count word would otherwise scribble up to kBlock-1 values
+// past dst's allocation before any post-hoc check could reject it —
+// heap corruption that surfaced as a later abort inside XLA's compiler).
 inline int64_t decode_list(const uint32_t* words, int64_t wlen, int64_t start,
                            uint32_t* dst) {
   if (start < 0 || start >= wlen) return -1;
@@ -331,8 +337,11 @@ inline int64_t decode_list(const uint32_t* words, int64_t wlen, int64_t start,
   const int64_t n = words[start];
   int64_t produced = 0;
   while (produced < n) {
+    if (pos < 0 || pos >= wlen) return -1;
+    const int64_t n_blk = (words[pos] >> 8) & 0xFF;
+    if (produced + n_blk > n) return -1;
     const int64_t k = decode_block(words, wlen, pos, dst + produced, &pos);
-    if (k < 0 || produced + k > n) return -1;
+    if (k < 0) return -1;
     produced += k;
   }
   return n;

@@ -78,6 +78,25 @@ def test_decode_rejects_truncated_buffer():
         native.decode_bulk(bad, np.array([0], dtype=np.int64))
 
 
+def test_decode_rejects_blocks_overrunning_count():
+    """A corrupt stream whose blocks claim MORE values than the count word
+    must be rejected BEFORE anything is written past the count-sized output
+    buffer (regression: the overrun check ran after the block decode, so
+    fuzzed segments scribbled up to 127 values past the allocation — heap
+    corruption that surfaced as an abort in a later XLA compile)."""
+    good = packing.encode_postings(np.arange(128, dtype=np.uint32))
+    bad = good.copy()
+    bad[0] = 3  # count says 3; the single block still claims n_blk=128
+    with pytest.raises(ValueError):
+        native.decode_bulk(bad, np.array([0], dtype=np.int64))
+    # same stream through the fused serve path
+    with pytest.raises(ValueError):
+        native.boolean_serve(
+            bad, np.array([0], dtype=np.int64), None, None,
+            np.array([0, 1], dtype=np.int64), None, True,
+        )
+
+
 def test_scan_rejects_zero_nblk():
     # n=256 with an n_blk=0 header would loop forever without validation
     bad = np.array([256, 0 | (0 << 8), 5, 0, 0], dtype=np.uint32)

@@ -943,10 +943,14 @@ def test_boolean_host_route_matches_device(tmp_path, rng, monkeypatch):
     host_eng.boolean([[b"term001"]], "or")
     host_eng.boolean([[b"term001", b"term002"]], "and")  # non-staged: host
     assert calls == ["or", "and"]
-    # staged AND stays on the device even on a slow link (the pipelined
-    # fused-kernel stream is the serving shape there)
-    assert not host_eng._host_boolean_route("and", staged=True)
+    # staged routes host-side too on a slow link (host serve is faster AND
+    # burst-immune); TPI_HYBRID=1 opts the staged AND into the hybrid mode
+    assert host_eng._host_boolean_route("and", staged=True)
     assert host_eng._host_boolean_route("or", staged=True)
+    monkeypatch.setenv("TPI_HYBRID", "1")
+    assert not host_eng._host_boolean_route("and", staged=True)
+    assert host_eng._host_boolean_route("and", staged=False)
+    monkeypatch.delenv("TPI_HYBRID")
     monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
     monkeypatch.setenv("TPI_LINK_MBPS", "10000")  # PCIe-like: device route
     host_eng.boolean([[b"term001"]], "or")
@@ -1027,3 +1031,64 @@ def test_boolean_host_native_matches_numpy_oracle(tmp_path, rng, monkeypatch):
             monkeypatch.undo()
             assert np.array_equal(nat[0], ref[0]), (op, fr)
             assert np.array_equal(nat[1], ref[1]), (op, fr)
+
+
+def test_boolean_staged_hybrid_matches_device(tmp_path, rng, monkeypatch):
+    """Hybrid work-stealing staged AND (device pipeline from the head, a
+    host thread through the fused native serve from the tail; explicit
+    TPI_HYBRID=1 opt-in) is bit-identical to the device-only stream,
+    including tombstone filtering and columnar wire-form batches."""
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")     # slow link
+    monkeypatch.setenv("TPI_HYBRID", "1")          # hybrid opt-in
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")  # fused path off-TPU
+    ii, truth = build_index(tmp_path, rng, n_docs=80)
+    ii.put_removed([4, 11])
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, stride_align=128)
+    assert eng._use_fused() and eng._hybrid_staged("and")
+    vocab = sorted(truth.keys())
+    rng2 = np.random.default_rng(3)
+    batches = []
+    for _ in range(6):
+        batches.append([
+            [vocab[i] for i in rng2.choice(
+                len(vocab), size=int(rng2.integers(2, 5)), replace=False)]
+            for _ in range(16)
+        ])
+    calls = []
+    orig = QueryEngine._boolean_host_columnar
+    monkeypatch.setattr(
+        QueryEngine, "_boolean_host_columnar",
+        lambda self, *a, **k: calls.append(1) or orig(self, *a, **k),
+    )
+    for fr in (False, True):
+        hyb = eng.boolean_staged(batches, "and", columnar=True,
+                                 filter_removed=fr)
+        rows_h = eng.boolean_staged(batches, "and", filter_removed=fr)
+        monkeypatch.setenv("TPI_HOST_BOOL", "0")  # pure device baseline
+        dev = eng.boolean_staged(batches, "and", columnar=True,
+                                 filter_removed=fr)
+        rows_d = eng.boolean_staged(batches, "and", filter_removed=fr)
+        monkeypatch.delenv("TPI_HOST_BOOL")
+        for (va, oa), (vb, ob) in zip(hyb, dev):
+            assert np.array_equal(va, vb) and np.array_equal(oa, ob)
+        for ba, bb in zip(rows_h, rows_d):
+            for x, y in zip(ba, bb):
+                assert np.array_equal(x, y)
+    assert calls  # the host thread actually served batches
+    # columnar wire-form batches through the hybrid stream
+    def to_cols(qs):
+        terms = [t for q in qs for t in q]
+        blob = b"".join(terms)
+        offs = np.zeros(len(terms) + 1, np.int64)
+        np.cumsum([len(t) for t in terms], out=offs[1:])
+        qoffs = np.zeros(len(qs) + 1, np.int64)
+        np.cumsum([len(q) for q in qs], out=qoffs[1:])
+        return (blob, offs, qoffs)
+    cols = [to_cols(b) for b in batches]
+    a = eng.boolean_staged(cols, "and", columnar=True)
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")
+    b = eng.boolean_staged(batches, "and", columnar=True)
+    monkeypatch.delenv("TPI_HOST_BOOL")
+    for (va, oa), (vb, ob) in zip(a, b):
+        assert np.array_equal(va, vb) and np.array_equal(oa, ob)
