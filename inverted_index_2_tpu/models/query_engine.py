@@ -1055,9 +1055,20 @@ class QueryEngine:
                 n += 1
         return n
 
+    @staticmethod
+    def _tables_bytes(t: Optional[HostTables]) -> int:
+        if t is None:
+            return 0
+        return int(sum(
+            a.nbytes for a in (t.keys, t.words, t.flat, t.tbs, t.counts,
+                               t.removed, t.slots)
+        ))
+
     def stats(self) -> Dict[str, int]:
-        """Memory/meta counters for the frozen snapshot (no host mirrors —
-        host_counts is the only host-resident array)."""
+        """Memory/meta counters for the frozen snapshot. host_bytes counts
+        the per-term count vector (always resident); tables_bytes the
+        OPTIONAL retained compact tables (keep_tables — ~compressed-index
+        size, what host-side serving reads from; 0 when dropped)."""
         s = self.snap
         d = self.delta
         return {
@@ -1066,10 +1077,15 @@ class QueryEngine:
             "max_posting_len": s.max_count,
             "device_bytes": s.device_bytes(),
             "host_bytes": int(s.host_counts.nbytes) if s.host_counts is not None else 0,
+            "tables_bytes": (
+                self._tables_bytes(self.tables)
+                + self._tables_bytes(self.delta_tables)
+            ),
             "delta_terms": 0 if d is None else d.n_terms,
             "delta_device_bytes": 0 if d is None else d.device_bytes(),
             "ladder": self._levels(),
             "fused_and": self._use_fused(),
+            "host_serving": self.host_ready(),
         }
 
     @classmethod

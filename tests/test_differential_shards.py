@@ -284,6 +284,32 @@ def test_hostile_terms_differential(tmp_path, seed):
                     sets = [data[t] for t in q]
                     want = set.intersection(*sets) if op == "and" else set.union(*sets)
                     assert set(g.tolist()) == want, ("staged", op, q)
+        # host serving routes against the same oracle: hostile terms driven
+        # through pack_blob -> hash probe -> the fused native serve
+        # (tpi_boolean_serve) and the host lookup decode
+        heng = QueryEngine.from_index(ii, L=256, q_bucket=8)
+        if heng.host_ready() and data:
+            terms_all = sorted(data.keys())
+            for t, g in zip(terms_all, heng.lookup_host(terms_all)):
+                assert g is not None and g.tolist() == sorted(data[t]), t
+            assert heng.lookup_host([b"definitely-not-a-term"]) == [None]
+            qs2 = [
+                [terms_all[i] for i in rng.choice(
+                    len(terms_all), size=int(rng.integers(1, 4)),
+                    replace=False)]
+                for _ in range(8)
+            ] + [[b"not-a-term", terms_all[0]], []]
+            for op in ("and", "or"):
+                res = heng.boolean_host(qs2, op)
+                for q, g in zip(qs2, res):
+                    sets = [data.get(t) for t in q]
+                    if op == "and":
+                        want = (set() if not sets or any(s is None for s in sets)
+                                else set.intersection(*sets))
+                    else:
+                        present = [s for s in sets if s is not None]
+                        want = set().union(*present) if present else set()
+                    assert g.tolist() == sorted(want), ("host", op, q)
     finally:
         os.environ.pop("TPI_FUSED_AND", None)
         os.environ.pop("TPI_PALLAS_AND", None)

@@ -276,6 +276,9 @@ def test_ladder_multi_level_and_no_host_mirror(tmp_path):
     # memory accounting exists and is host-mirror-free
     st = eng.stats()
     assert st["host_bytes"] <= 4 * st["n_terms"]
+    # retained tables (host serving) are reported, and dropping them zeroes
+    # the counter and disables the host route
+    assert st["host_serving"] and st["tables_bytes"] > 0
 
 
 def test_incremental_refresh_delta(tmp_path):
