@@ -51,11 +51,18 @@ while ii.merge(2, 100, concurrency=4) > 0:
 print("after purge:", {tv.term: tv.values.tolist() for tv in tpi.to_slice(ii.read(b"apple", b"banana"))})
 print("stats:", ii.stats())
 
-# --- device snapshot: batched serving ----------------------------------------
+# --- frozen snapshot: batched serving -----------------------------------------
+# serving is TRANSPORT-AWARE: the engine probes the host<->device link once
+# and routes each op to whichever side wins — output-bound ops (full-result
+# OR, lookups) and latency-bound one-shot calls serve from the retained
+# host tables via the fused native serve; bandwidth-rich deployments keep
+# the device kernels. TPI_HOST_BOOL / TPI_LINK_MBPS override; results are
+# bit-identical either way.
 eng = QueryEngine.from_index(ii, L=128)
 print("batched lookup:", [None if g is None else g.tolist() for g in eng.lookup([b"banana", b"nope"])])
 print("AND:", [g.tolist() for g in eng.boolean([[b"apple", b"banana"]], op="and")])
 print("OR: ", [g.tolist() for g in eng.boolean([[b"cherry", b"date"]], op="or")])
+print("serving stats:", {k: eng.stats()[k] for k in ("host_serving", "tables_bytes", "device_bytes")})
 
 # pipelined stream serving: batch i+1 dispatches before batch i downloads;
 # columnar=True returns (values, voffs) per batch with zero per-query work
