@@ -2277,30 +2277,37 @@ class QueryEngine:
                 return bi
 
         worker = None
+        host_err: List[BaseException] = []
         if len(batches) > 1 and self._hybrid_staged(op):
             if filter_removed:
                 self._host_removed()  # materialize the tombstone array on
                 # THIS thread (one jax.device_get) before the worker starts
 
             def host_worker():
-                while True:
-                    hbi = claim(False)
-                    if hbi is None:
-                        break
-                    host_res[hbi] = self._boolean_host_columnar(
-                        batches[hbi], op, filter_removed
-                    )
-                # steal-back: an RPC burst strands the device's in-flight
-                # batches (the main thread is blocked in device_get) — with
-                # the tail exhausted, re-serve any batch the device claimed
-                # but has not harvested yet, most recent dispatch first.
-                # Assembly prefers the host copy; results are bit-identical
-                # either way, so a racing harvest is only duplicated work.
-                for hbi in range(len(batches) - 1, -1, -1):
-                    if fetched[hbi] is None and hbi not in host_res:
+                try:
+                    while True:
+                        hbi = claim(False)
+                        if hbi is None:
+                            break
                         host_res[hbi] = self._boolean_host_columnar(
                             batches[hbi], op, filter_removed
                         )
+                    # steal-back: an RPC burst strands the device's
+                    # in-flight batches (the main thread is blocked in
+                    # device_get) — with the tail exhausted, re-serve any
+                    # batch the device claimed but has not harvested yet,
+                    # most recent dispatch first. Assembly prefers the host
+                    # copy; results are bit-identical either way, so a
+                    # racing harvest is only duplicated work.
+                    for hbi in range(len(batches) - 1, -1, -1):
+                        if fetched[hbi] is None and hbi not in host_res:
+                            host_res[hbi] = self._boolean_host_columnar(
+                                batches[hbi], op, filter_removed
+                            )
+                except BaseException as e:  # surfaced after join() — a
+                    host_err.append(e)      # swallowed thread death would
+                    # otherwise strand its claimed batches as a confusing
+                    # None-unpack in the assembly loop
 
             worker = threading.Thread(target=host_worker, daemon=True)
             worker.start()
@@ -2328,6 +2335,8 @@ class QueryEngine:
             harvest(pend.popleft())
         if worker is not None:
             worker.join()
+            if host_err:
+                raise host_err[0]
 
         overrides: Dict[int, Dict[int, np.ndarray]] = {}
 

@@ -1095,3 +1095,25 @@ def test_boolean_staged_hybrid_matches_device(tmp_path, rng, monkeypatch):
     monkeypatch.delenv("TPI_HOST_BOOL")
     for (va, oa), (vb, ob) in zip(a, b):
         assert np.array_equal(va, vb) and np.array_equal(oa, ob)
+
+
+def test_boolean_staged_hybrid_worker_error_propagates(tmp_path, rng,
+                                                       monkeypatch):
+    """An exception in the hybrid host worker must surface from
+    boolean_staged, not die in the thread and strand its claimed batches."""
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")
+    monkeypatch.setenv("TPI_HYBRID", "1")
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    ii, truth = build_index(tmp_path, rng, n_docs=30)
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, stride_align=128)
+    assert eng._hybrid_staged("and")
+    vocab = sorted(truth.keys())
+    batches = [[[vocab[0], vocab[1]]] for _ in range(4)]
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected host-serve failure")
+
+    monkeypatch.setattr(QueryEngine, "_boolean_host_columnar", boom)
+    with pytest.raises(RuntimeError, match="injected host-serve failure"):
+        eng.boolean_staged(batches, "and", columnar=True)
