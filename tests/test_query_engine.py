@@ -273,12 +273,17 @@ def test_ladder_multi_level_and_no_host_mirror(tmp_path):
     rr = {t: v.tolist() for t, v in eng.read_range(None, None)}
     assert rr[b"w8k"] == list(range(1, 4322))
     assert rr[b"w128"] == list(range(1, 101))
-    # memory accounting exists and is host-mirror-free
+    # memory accounting exists and is host-mirror-free: a bare-snapshot
+    # engine holds NO retained tables, so host serving reports unavailable
     st = eng.stats()
     assert st["host_bytes"] <= 4 * st["n_terms"]
-    # retained tables (host serving) are reported, and dropping them zeroes
-    # the counter and disables the host route
-    assert st["host_serving"] and st["tables_bytes"] > 0
+    assert not st["host_serving"] and st["tables_bytes"] == 0
+    # retained tables (from_index keep_tables default) are reported, and
+    # building without them zeroes the counter and disables the host route
+    st2 = QueryEngine.from_index(ii, L=128).stats()
+    assert st2["host_serving"] and st2["tables_bytes"] > 0
+    st3 = QueryEngine.from_index(ii, L=128, keep_tables=False).stats()
+    assert not st3["host_serving"] and st3["tables_bytes"] == 0
 
 
 def test_incremental_refresh_delta(tmp_path):
