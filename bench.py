@@ -925,13 +925,7 @@ def main():
     # than crash or hang — the driver records whatever this prints.
     if not _device_preflight():
         details["error"] = "device_unavailable: tunnel preflight failed"
-        print(json.dumps({
-            "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,
-            "value": 0.0,
-            "unit": "queries/sec",
-            "vs_baseline": 0.0,
-            "details": details,
-        }))
+        _emit(details, Q)
         return
     with trace_cm:
         try:
@@ -991,18 +985,103 @@ def main():
             soft_phase("api", bench_api, blob, offsets, values, voffs)
         )
 
-    details["spreads"] = _SPREADS  # [min, median, max] per metric, 5 reps
-    lookup_qps = details.get("lookup_qps", 0.0)
     if "lookup_qps" not in details:
         details.setdefault("error", "query phase failed after retry")
-    out = {
+    _emit(details, Q)
+
+
+# Keys promoted from `details` into the single compact headline line the
+# driver parses (everything else lives in the BENCH_DETAILS.json sidecar).
+# Ordered by priority: if the line ever exceeds the driver's parse window,
+# keys are dropped from the END of this tuple first.
+_HEADLINE_KEYS = (
+    # BASELINE configs 1-2: ingest / compaction / compression
+    "ingest_terms_per_s", "ingest_put_many_docs_per_s",
+    "compaction_postings_per_s", "ratio",
+    # headline device-kernel numbers (config 1 serving)
+    "lookup_qps", "and_qps", "or_qps", "intersect_gbps",
+    # BASELINE config 3 (postlen=1k boolean): kernel + end-to-end API, with
+    # the DEVICE route pinned variants the judge tracks
+    "and_qps_postlen1k", "or_qps_postlen1k",
+    "api_postlen1k_staged_and_dev_qps", "api_postlen1k_staged_and_qps",
+    "api_postlen1k_staged_or_prefix_qps", "api_postlen1k_staged_or_qps",
+    "api_postlen1k_and_qps", "api_postlen1k_and_dev_qps",
+    "api_postlen1k_staged_lookup_qps",
+    # BASELINE config 5 scale (10M terms / 100M postings), device staged
+    "scale_staged_and_dev_qps", "scale_staged_or_prefix_dev_qps",
+    "scale_staged_lookup_dev_qps", "scale_terms", "scale_postings_m",
+    # mesh + host-contention + checkpoint diagnostics
+    "mesh_overhead_x", "mesh_lookup_qps",
+    "host_contended_and_qps", "host_contended_or_qps",
+    "checkpoint_warm_start_s", "checkpoint_cold_build_s",
+)
+
+# Bar metrics whose 5-rep MIN matters (burst resistance): the headline line
+# carries `<key>_min` so the round artifact records the floor, not only the
+# median.
+_FLOOR_KEYS = (
+    "api_postlen1k_staged_and_dev_qps",
+    "or_qps_postlen1k",
+    "api_postlen1k_staged_or_prefix_qps",
+)
+
+_MAX_LINE = 1500  # driver tail window is 2000 chars; leave headroom
+
+
+def _emit(details, Q):
+    """Print ONE compact JSON headline line (driver-parsable) and write the
+    full details + per-metric spreads to the BENCH_DETAILS.json sidecar.
+
+    VERDICT r3 #2: r03's single line outgrew the driver's 2000-char tail
+    window and the round artifact lost every metric. The sidecar holds
+    everything; the stdout line holds only the BASELINE-config headline
+    numbers plus a `noisy` array flagging metrics whose 5-rep [min,max]
+    strays >25% from the median.
+    """
+    import sys
+
+    details = dict(details)
+    details["spreads"] = dict(_SPREADS)
+    noisy = sorted(
+        k for k, (lo, med, hi) in _SPREADS.items()
+        if med and max(med - lo, hi - med) > 0.25 * med
+    )
+    details["noisy"] = noisy
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(details, f, indent=1, default=float)
+    except OSError as e:  # pragma: no cover - read-only fs fallback
+        print(f"[bench] sidecar write failed: {e!r}", file=sys.stderr)
+        sidecar = None
+    lookup_qps = details.get("lookup_qps", 0.0)
+    head = {
         "metric": "batched term-lookup QPS (device snapshot, Q=%d batches)" % Q,
         "value": lookup_qps,
         "unit": "queries/sec",
         "vs_baseline": round(lookup_qps / 100_000, 3),
-        "details": details,
     }
-    print(json.dumps(out))
+    if "error" in details:
+        head["error"] = str(details["error"])[:160]
+    kept = [k for k in _HEADLINE_KEYS if k in details]
+    for k in kept:
+        head[k] = details[k]
+    for k in _FLOOR_KEYS:
+        if k in _SPREADS:
+            head[k + "_min"] = _SPREADS[k][0]
+    head["noisy"] = noisy
+    head["details_file"] = "BENCH_DETAILS.json" if sidecar else None
+
+    def _line():
+        return json.dumps(head, separators=(",", ":"), default=float)
+
+    # hard guard: shed noisy list first, then lowest-priority keys
+    if len(_line()) > _MAX_LINE:
+        head["noisy"] = ["+%d metrics, see sidecar" % len(noisy)]
+    while len(_line()) > _MAX_LINE and kept:
+        head.pop(kept.pop(), None)
+    print(_line())
 
 
 if __name__ == "__main__":
