@@ -437,6 +437,7 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
     from inverted_index_2_tpu.models.query_engine import (
         boolean_fused_step,
         boolean_step,
+        build_snapshot_arrays,
     )
 
     blob, offsets, values, voffs = corpus
@@ -505,6 +506,65 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
     if not snap.arena_aligned:
         out["and_qps_postlen1k"] = out["and_qps_postlen1k_sort"]
         out["postlen1k_reserve_frac"] = out["postlen1k_reserve_frac_sort"]
+    elif "and_qps_postlen1k" in out:
+        # ---- fused-AND roofline (VERDICT r3 #6) ----
+        # Model the kernel's ACTUAL HBM traffic per query from the corpus
+        # stats and the kernel's DMA grouping: the base (smallest) list is
+        # DMA'd at pad L (C = L/128 rows), every probe list is walked to
+        # its FULL length in GP-row groups (ceil(nb/GP)*GP rows — the last
+        # group ships whole). Pruned/early-exited groups make this an
+        # UPPER bound on real traffic. Compare against v5e's ~819 GB/s
+        # HBM: the ratio says whether the kernel is bandwidth-bound (then
+        # wider DMAs help) or op-issue/latency-bound (then they don't —
+        # consistent with the GP=16 and TQ=16 sweeps LOSING, see
+        # ops/pallas_fused.py docstring).
+        from inverted_index_2_tpu.ops.pallas_fused import GP as _GP
+
+        hc64_r = snap.host_counts.astype(np.int64)
+        cnts = np.where(
+            np.arange(K)[None, None, :] < kvs[:, :, None],
+            hc64_r[bidx], 0,
+        )  # (iters, Q, K) true counts, 0 beyond kv
+        nb = -(-cnts // 128)  # blocks per term
+        base_nb = np.where(cnts > 0, nb, 1 << 30).min(axis=2)
+        probe_rows = (-(-nb // _GP) * _GP).sum(axis=2) - (
+            -(-base_nb // _GP) * _GP
+        )  # all terms as probes minus the base's own grouping
+        C_rows = L // 128
+        stride_b = int(snap.blocks.shape[1]) * 4
+        bytes_q = float((probe_rows + C_rows).mean()) * stride_b
+        out["fused_dma_bytes_per_q"] = round(bytes_q)
+        out["fused_dma_gbps"] = round(
+            out["and_qps_postlen1k"] * bytes_q / 1e9, 2
+        )
+        out["fused_dma_frac_hbm"] = round(
+            out["fused_dma_gbps"] / 819.0, 4
+        )
+        # per-query fixed overhead: the SAME program shape over a
+        # tiny-lists corpus of equal term count (every list 1 block, so
+        # DMA volume ~vanishes) — what remains is grid + decode + compare
+        # issue cost, the candidate hard bound
+        tiny = gen_corpus(n, 2, seed=seed + 7)
+        tsnap = build_snapshot_arrays(*tiny, stride_align=128)
+        _fence(tsnap.counts[-1:])
+        tn = tsnap.n_terms
+        tstaged = jnp.asarray(np.asarray(tsnap.keys)[bidx % tn])
+        ttables = (tsnap.keys, tsnap.blocks, tsnap.term_block_start,
+                   tsnap.counts)
+
+        def tiny_rep():
+            return scan_bool(
+                *ttables, tsnap.hash_slots, tstaged, kvs_d, L,
+                tsnap.max_probes, "fused_and",
+            )
+
+        _fence(tiny_rep()[0])
+        tiny_qps = _qps_stat(
+            "fused_tiny_qps", Q * iters,
+            _reps(lambda: _fence(tiny_rep()[0]), reps=3),
+        )
+        out["fused_overhead_us_per_q"] = round(1e6 / tiny_qps, 2)
+        del tsnap, tstaged, ttables
 
     # PRODUCTION OR path: concat-decode sized by each query's REAL total
     # postings (boolean() routes op="or" through ops/concat_bool.py —
@@ -717,11 +777,19 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
     if tables is not None:
         os.environ["TPI_HOST_BOOL"] = "0"  # pinned device pipeline
         try:
-            eng.boolean_staged(stream[:2], "and", columnar=True)  # warm
+            # burst-resistant measurement (VERDICT r3 #1): warm the FULL
+            # stream once (every size-class program + the staged trace at
+            # the serve shape), then time a 2x-longer stream at depth=4
+            # with 5 reps — a fixed-length tunnel RPC burst is half the
+            # fraction of each rep, and the deeper pipeline keeps more
+            # fetches in flight across it. The median is the headline;
+            # the min rep lands in spreads (and the headline *_min key).
+            dev_stream = stream + stream
+            eng.boolean_staged(stream, "and", columnar=True, depth=4)
             out[f"{name}_staged_and_dev_qps"] = _qps_stat(
-                f"{name}_staged_and_dev_qps", nb * sq,
+                f"{name}_staged_and_dev_qps", len(dev_stream) * sq,
                 _reps(lambda: eng.boolean_staged(
-                    stream, "and", columnar=True, depth=3), reps=3),
+                    dev_stream, "and", columnar=True, depth=4), reps=5),
             )
         finally:
             del os.environ["TPI_HOST_BOOL"]
@@ -759,6 +827,159 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
         _reps(lambda: eng.lookup_staged(lk_stream, columnar=True, depth=3),
               reps=3),
     )
+    return out
+
+
+def _sample_terms(snap, cap=50_000):
+    """Reconstruct a term sample from a snapshot's key matrix."""
+    from inverted_index_2_tpu.codec.keys import unpack_keys
+
+    kb, ko = unpack_keys(
+        np.asarray(snap.keys[:: max(1, snap.n_terms // cap)])
+    )
+    return [kb[ko[i]: ko[i + 1]].tobytes() for i in range(len(ko) - 1)]
+
+
+def _boolean_stream(terms, nb, Q, seed=23, k_lo=2, k_hi=9):
+    rng = np.random.default_rng(seed)
+    stream = []
+    for _ in range(nb):
+        stream.append([
+            [terms[i] for i in rng.choice(
+                len(terms), size=int(rng.integers(k_lo, k_hi)),
+                replace=False)]
+            for _ in range(Q)
+        ])
+    return stream
+
+
+def bench_host_contended(snap1k, tables1k, Q=8192, nb=6):
+    """Host-route staged boolean throughput WHILE the same host core runs
+    ingest+merge (VERDICT r3 #7). The transport-aware router's rationale
+    for device-routing staged AND is 'leaves the host CPU free'; this
+    measures what the host route actually sustains when it is NOT free —
+    the number the load-aware fallback (query_engine._host_busy) is
+    calibrated against. Reports idle same-shape baselines too, so the
+    collapse factor is same-process."""
+    import threading
+
+    from inverted_index_2_tpu import InvertedIndex
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    eng = QueryEngine(snap1k, L=2048, q_bucket=Q, tables=tables1k)
+    stream = _boolean_stream(_sample_terms(snap1k), nb, Q)
+    or_stream = stream[:2]
+    out = {}
+    stop = threading.Event()
+
+    def contender():
+        ii = InvertedIndex(_bench_dir("contend"))
+        vocab = [f"c{i:05d}".encode() for i in range(2000)]
+        r2 = np.random.default_rng(5)
+        doc = 0
+        while not stop.is_set():
+            doc += 1
+            ii.put([vocab[i] for i in r2.integers(0, 2000, size=30)], doc)
+            if doc % 50 == 0:
+                ii.merge(2, 10_000, 1)
+
+    os.environ["TPI_HOST_BOOL"] = "all"  # pin the host route for the A/B
+    th = threading.Thread(target=contender, daemon=True)
+    try:
+        eng.boolean_staged(stream[:1], "and", columnar=True)  # warm
+        out["host_idle_and_qps"] = _qps_stat(
+            "host_idle_and_qps", nb * Q,
+            _reps(lambda: eng.boolean_staged(stream, "and", columnar=True),
+                  reps=3),
+        )
+        out["host_idle_or_qps"] = _qps_stat(
+            "host_idle_or_qps", len(or_stream) * Q,
+            _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
+                  reps=3),
+        )
+        th.start()
+        time.sleep(1.0)  # let the contender ramp up
+        out["host_contended_and_qps"] = _qps_stat(
+            "host_contended_and_qps", nb * Q,
+            _reps(lambda: eng.boolean_staged(stream, "and", columnar=True),
+                  reps=3),
+        )
+        out["host_contended_or_qps"] = _qps_stat(
+            "host_contended_or_qps", len(or_stream) * Q,
+            _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
+                  reps=3),
+        )
+    finally:
+        stop.set()
+        del os.environ["TPI_HOST_BOOL"]
+    th.join(timeout=60)
+    return out
+
+
+def bench_scale(Q=8192, nb=6, L=128):
+    """BASELINE config 5 shape on one chip: 10M unique terms / ~100M
+    postings, 8k-query batches — the staged DEVICE-route stream at scale
+    (VERDICT r3 #8; r03 proved the host route at 180-186k here but shipped
+    only one-shot device numbers). The device engine is built WITHOUT
+    retained tables, so every staged metric below is device-route by
+    construction; one host-route AND number is kept for continuity."""
+    from inverted_index_2_tpu.models.query_engine import (
+        QueryEngine,
+        build_host_tables,
+        upload_tables,
+    )
+
+    n_terms = int(os.environ.get("BENCH_SCALE_TERMS", 10_000_000))
+    blob, offsets, values, voffs = gen_corpus(n_terms, 10, seed=29)
+    t0 = time.monotonic()
+    tables = build_host_tables(blob, offsets, values, voffs)
+    tables_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    snap = upload_tables(tables)
+    _fence(snap.counts[-1:])
+    upload_s = time.monotonic() - t0
+    out = {
+        "scale_terms": int(tables.n_terms),
+        "scale_postings_m": round(float(voffs[-1]) / 1e6, 1),
+        "scale_tables_build_s": round(tables_s, 1),
+        "scale_upload_s": round(upload_s, 1),
+        "scale_hbm_gb": round(snap.device_bytes() / 1e9, 2),
+    }
+    dev_eng = QueryEngine(snap, L=L, q_bucket=Q)  # no tables: pure device
+    terms = _sample_terms(snap)
+    stream = _boolean_stream(terms, nb, Q, seed=29)
+    lk_stream = [[q[0] for q in b] for b in stream[:4]]
+    dev_eng.warmup(k_max=8)
+    dev_eng.boolean_staged(stream[:1], "and", columnar=True)  # warm trace
+    out["scale_staged_and_dev_qps"] = _qps_stat(
+        "scale_staged_and_dev_qps", nb * Q,
+        _reps(lambda: dev_eng.boolean_staged(
+            stream, "and", columnar=True, depth=4), reps=3),
+    )
+    dev_eng.boolean_staged(stream[:1], "or", columnar=True, prefix_p=32)
+    out["scale_staged_or_prefix_dev_qps"] = _qps_stat(
+        "scale_staged_or_prefix_dev_qps", nb * Q,
+        _reps(lambda: dev_eng.boolean_staged(
+            stream, "or", columnar=True, prefix_p=32, depth=4), reps=3),
+    )
+    dev_eng.lookup_staged(lk_stream[:1], columnar=True)
+    out["scale_staged_lookup_dev_qps"] = _qps_stat(
+        "scale_staged_lookup_dev_qps", len(lk_stream) * Q,
+        _reps(lambda: dev_eng.lookup_staged(
+            lk_stream, columnar=True, depth=4), reps=3),
+    )
+    # host-route continuity number (r03's scale proof shape)
+    host_eng = QueryEngine(snap, L=L, q_bucket=Q, tables=tables)
+    os.environ["TPI_HOST_BOOL"] = "all"
+    try:
+        host_eng.boolean_staged(stream[:1], "and", columnar=True)
+        out["scale_staged_and_host_qps"] = _qps_stat(
+            "scale_staged_and_host_qps", nb * Q,
+            _reps(lambda: host_eng.boolean_staged(
+                stream, "and", columnar=True), reps=3),
+        )
+    finally:
+        del os.environ["TPI_HOST_BOOL"]
     return out
 
 
@@ -808,6 +1029,42 @@ def bench_mesh(blob, offsets, values, voffs, Q=10_000, iters=8, L=128):
             f, v, c, _raw = lookup(snap.keys, snap.blocks, snap.term_block_start, snap.counts, qk)
         _fence(jnp.sum(c))
         out[name] = round(Q * iters / (time.monotonic() - t0))
+    # same-process, same-shape PLAIN lookup A/B (VERDICT r3 #5): identical
+    # per-dispatch loop, same Q/L/queries/fence, jit lookup_step over an
+    # UNSHARDED upload of the same tables. mesh_overhead_x is what
+    # shard_map adds (leading device axis layout + psum) at THIS shape —
+    # the scan-based headline lookup_qps is a different program (one
+    # dispatch per `iters` batches, on-device checksum reduction) and must
+    # not be compared against the mesh loop directly.
+    from inverted_index_2_tpu.models.query_engine import (
+        lookup_step,
+        upload_tables,
+    )
+
+    psnap = upload_tables(tables)
+    plain1 = jax.jit(lookup_step, static_argnames=("L", "max_probes"))
+    qk1 = jnp.asarray(np.asarray(qk))  # unsharded copy of the same queries
+
+    def plain_rep():
+        f, v, c, _raw = plain1(
+            psnap.keys, psnap.blocks, psnap.term_block_start, psnap.counts,
+            qk1, L, psnap.hash_slots, max_probes=psnap.max_probes,
+        )
+        return jnp.sum(c)
+
+    _fence(plain_rep())
+    t0 = time.monotonic()
+    for _ in range(iters):
+        c = plain_rep()
+    _fence(c)
+    out["plain_lookup_same_shape_qps"] = round(
+        Q * iters / (time.monotonic() - t0)
+    )
+    out["mesh_overhead_x"] = round(
+        out["plain_lookup_same_shape_qps"] / max(1, out["mesh_lookup_rs_qps"]),
+        2,
+    )
+    del psnap
     # mesh boolean AND on real hardware (the engine's reduce-scatter serving
     # form: decode fan-out + psum_scatter, set op query-sharded)
     Qb, Kb = 2048, 4
@@ -963,6 +1220,12 @@ def main():
                 tables=tables1k,
             )
         )
+    if snap1k is not None and not over_budget("host_contended"):
+        # host route under ingest/merge contention (VERDICT r3 #7)
+        details.update(
+            soft_phase("host_contended", bench_host_contended,
+                       snap1k, tables1k)
+        )
     if not over_budget("checkpoint"):
         # warm-start economics scale with corpus size (the payload is the
         # COMPACT tables): measure at the 1M-term main corpus, where the
@@ -984,6 +1247,11 @@ def main():
         details.update(
             soft_phase("api", bench_api, blob, offsets, values, voffs)
         )
+    # config-5 scale (10M terms / 100M postings) — the big corpus frees
+    # the main one first; BENCH_SCALE=0 skips
+    if os.environ.get("BENCH_SCALE", "1") != "0" and not over_budget("scale"):
+        del blob, offsets, values, voffs
+        details.update(soft_phase("scale", bench_scale))
 
     if "lookup_qps" not in details:
         details.setdefault("error", "query phase failed after retry")

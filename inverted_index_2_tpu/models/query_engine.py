@@ -879,6 +879,83 @@ def _ladder(L: int, max_count: int, step: int = 4) -> List[int]:
     return levels
 
 
+class ServingState:
+    """One immutable bundle of everything a serve path reads: the snapshot
+    tier pair, the tombstone arrays, the retained host tables, and the
+    freeze fingerprints. refresh() publishes a complete new bundle with a
+    SINGLE reference assignment (atomic under the GIL), and every serve
+    entry point captures one local reference up front — a concurrent
+    reader therefore sees either the whole old state or the whole new one,
+    never a new main paired with a stale delta or stale tombstones (the
+    reference's copy-on-read snapshot protocol, segments.go:25-53 +
+    inverted_index.go's shard-list copies)."""
+
+    __slots__ = ("snap", "delta", "removed", "tables", "delta_tables",
+                 "fingerprint", "main_fp", "_removed_host")
+
+    def __init__(self, snap: IndexSnapshot,
+                 delta: Optional[IndexSnapshot] = None,
+                 removed=None,
+                 tables: Optional[HostTables] = None,
+                 delta_tables: Optional[HostTables] = None,
+                 fingerprint=None, main_fp=None,
+                 removed_host: Optional[np.ndarray] = None):
+        self.snap = snap
+        self.delta = delta
+        self.removed = removed
+        self.tables = tables
+        self.delta_tables = delta_tables
+        self.fingerprint = fingerprint
+        self.main_fp = main_fp
+        self._removed_host = removed_host
+
+    def replace(self, **kw) -> "ServingState":
+        """A copy with the given fields replaced (the rest shared)."""
+        args = {
+            "delta": self.delta, "removed": self.removed,
+            "tables": self.tables, "delta_tables": self.delta_tables,
+            "fingerprint": self.fingerprint, "main_fp": self.main_fp,
+            "removed_host": self._removed_host,
+        }
+        snap = kw.pop("snap", self.snap)
+        args.update(kw)
+        return ServingState(snap, **args)
+
+    def removed_host(self) -> Optional[np.ndarray]:
+        """Host mirror of the serving tombstone array (lazy; idempotent —
+        racing computations produce the same value)."""
+        rh = self._removed_host
+        if rh is None and self.removed is not None:
+            rh = np.asarray(self.removed)
+            self._removed_host = rh
+        return rh
+
+    def host_ready(self) -> bool:
+        """Host-side serving covers this state's tier pair."""
+        return self.tables is not None and (
+            self.delta is None or self.delta_tables is not None
+        )
+
+    def max_count(self) -> int:
+        m = self.snap.max_count
+        if self.delta is not None:
+            m += self.delta.max_count  # a term's tier union can reach the sum
+        return m
+
+    def width(self) -> int:
+        """Query key width across the live tier pair (device snapshots)."""
+        w = self.snap.width
+        if self.delta is not None:
+            w = max(w, self.delta.width)
+        return w
+
+    def host_q_width(self) -> int:
+        w = self.tables.width
+        if self.delta_tables is not None:
+            w = max(w, self.delta_tables.width)
+        return w
+
+
 class QueryEngine:
     """Batched query serving over a frozen IndexSnapshot.
 
@@ -898,20 +975,20 @@ class QueryEngine:
     def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256,
                  checkpoint_path: Optional[str] = None, checkpoint_async: bool = True,
                  tables: Optional[HostTables] = None):
-        self.snap = snapshot
-        self.delta: Optional[IndexSnapshot] = None  # incremental-refresh tier
-        self._removed = snapshot.removed
-        # table retention: with the compact host tables kept (`tables`,
+        # ALL serving state lives in one immutable bundle; see ServingState.
+        # Table retention: with the compact host tables kept (`tables`,
         # auto via from_index/from_checkpoint keep_tables=True), full-result
         # lookups serve ENTIRELY host-side (lookup_host — hash probe +
         # native block decode from the compressed stream, zero device round
         # trips), the reference's mmap-read architecture (reader.go:33-103).
         # Costs host RAM ~= the compressed index; refresh keeps them current.
-        self.tables: Optional[HostTables] = tables
-        self.delta_tables: Optional[HostTables] = None
-        self._removed_host: Optional[np.ndarray] = (
-            tables.removed if tables is not None else None
+        self._state = ServingState(
+            snapshot, removed=snapshot.removed, tables=tables,
+            removed_host=tables.removed if tables is not None else None,
         )
+        # writers (refresh/promotion) serialize here; serve paths never
+        # take it — they read self._state once and run on that bundle
+        self._refresh_lock = threading.Lock()
         # L is only the fast-path pad (lists over it re-serve exactly), and
         # every decode path works in 128-value blocks — normalize rather
         # than crash deep in the first dual-tier dispatch
@@ -931,6 +1008,46 @@ class QueryEngine:
         self._lookup = _JIT_LOOKUP
         self._boolean = _JIT_BOOLEAN
         self._prefix = _JIT_PREFIX
+
+    # -- serving-state access -------------------------------------------------
+    #
+    # Read-only views of the current ServingState for introspection and
+    # tests. Serve paths do NOT use these: each entry point captures
+    # `st = self._state` ONCE and threads it through, so one call always
+    # runs against one consistent bundle.
+
+    @property
+    def snap(self) -> IndexSnapshot:
+        return self._state.snap
+
+    @property
+    def delta(self) -> Optional[IndexSnapshot]:
+        return self._state.delta
+
+    @property
+    def tables(self) -> Optional[HostTables]:
+        return self._state.tables
+
+    @property
+    def delta_tables(self) -> Optional[HostTables]:
+        return self._state.delta_tables
+
+    @property
+    def _removed(self):
+        return self._state.removed
+
+    @property
+    def _fingerprint(self):
+        return self._state.fingerprint
+
+    @property
+    def _main_fp(self):
+        return self._state.main_fp
+
+    def _publish(self, st: ServingState) -> None:
+        """Swap the serving state: ONE reference assignment — atomic under
+        the GIL, so mid-flight readers see whole-old or whole-new."""
+        self._state = st
 
     def _save_ckpt(self, tables: HostTables, fp) -> None:
         """Persist `tables` at checkpoint_path (async by default — the npz
@@ -961,17 +1078,14 @@ class QueryEngine:
         if t is not None:
             t.join()
 
-    def _max_count(self) -> int:
-        m = self.snap.max_count
-        if self.delta is not None:
-            m += self.delta.max_count  # union of a term's rows can reach the sum
-        return m
+    def _levels(self, st: Optional[ServingState] = None) -> List[int]:
+        # serve paths ALWAYS pass their captured st; the default is for
+        # introspection (stats/tests) only
+        st = st if st is not None else self._state
+        return _ladder(self.L, st.max_count())
 
-    def _levels(self) -> List[int]:
-        return _ladder(self.L, self._max_count())
-
-    def _level_for(self, need: int) -> int:
-        for lv in self._levels():
+    def _level_for(self, need: int, st: Optional[ServingState] = None) -> int:
+        for lv in self._levels(st):
             if lv >= need:
                 return lv
         return _round_up(need, 128)
@@ -982,12 +1096,13 @@ class QueryEngine:
         tunnel). Compiles the lookup step, the resolve step, and every
         boolean size class a corpus of this shape can hit, at one query
         bucket each. Returns the number of programs compiled."""
-        s = self.snap
+        st = self._state
+        s = st.snap
         if s.n_terms == 0:
             return 0
         n = 0
         qk = jnp.zeros((self.q_bucket, s.width + 1), dtype=jnp.uint32)
-        jax.block_until_ready(self._lookup_on(s, qk, False)[0])
+        jax.block_until_ready(self._lookup_on(s, qk, None)[0])
         n += 1
         bqk = jnp.zeros((8, k_max, s.width + 1), dtype=jnp.uint32)
         kv = jnp.zeros((8,), dtype=jnp.int32)
@@ -1008,7 +1123,7 @@ class QueryEngine:
                 n += 1
             if SB >= max_blocks:
                 break
-        if "and" in ops and self._use_fused():
+        if "and" in ops and self._use_fused(st):
             # the fused Pallas program's cold compile over a remote-compile
             # tunnel has measured MINUTES at its worst — precompile the
             # base-L program at the EXACT serve-time shape: K padded to
@@ -1026,8 +1141,8 @@ class QueryEngine:
             # filter_removed=True program is structurally different and
             # would otherwise pay its cold compile at serve time
             rem_variants = [None]
-            if self._removed is not None and self._removed.shape[0] > 0:
-                rem_variants.append(self._removed)
+            if st.removed is not None and st.removed.shape[0] > 0:
+                rem_variants.append(st.removed)
             for rem in rem_variants:
                 # small_p is the serve-time MAIN-pass shape (_boolean_fused
                 # dispatches small_p=_FUSED_SMALL_P; the small_p=0 sort
@@ -1047,7 +1162,7 @@ class QueryEngine:
                 jax.block_until_ready(
                     _JIT_BOOLEAN_FUSED_STAGED(
                         s.keys, s.blocks, s.term_block_start, s.counts,
-                        bqk_full, kv_full, self.L, self._staged_levels(),
+                        bqk_full, kv_full, self.L, self._staged_levels(st),
                         rem, s.hash_slots, s.max_probes, interp,
                         self._STAGED_SMALL_P,
                     )[1]
@@ -1069,8 +1184,8 @@ class QueryEngine:
         the per-term count vector (always resident); tables_bytes the
         OPTIONAL retained compact tables (keep_tables — ~compressed-index
         size, what host-side serving reads from; 0 when dropped)."""
-        s = self.snap
-        d = self.delta
+        st = self._state
+        s, d = st.snap, st.delta
         return {
             "n_terms": s.n_terms,
             "n_postings": int(s.host_counts.sum()) if s.host_counts is not None else 0,
@@ -1078,14 +1193,14 @@ class QueryEngine:
             "device_bytes": s.device_bytes(),
             "host_bytes": int(s.host_counts.nbytes) if s.host_counts is not None else 0,
             "tables_bytes": (
-                self._tables_bytes(self.tables)
-                + self._tables_bytes(self.delta_tables)
+                self._tables_bytes(st.tables)
+                + self._tables_bytes(st.delta_tables)
             ),
             "delta_terms": 0 if d is None else d.n_terms,
             "delta_device_bytes": 0 if d is None else d.device_bytes(),
-            "ladder": self._levels(),
-            "fused_and": self._use_fused(),
-            "host_serving": self.host_ready(),
+            "ladder": self._levels(st),
+            "fused_and": self._use_fused(st),
+            "host_serving": st.host_ready(),
         }
 
     @classmethod
@@ -1102,8 +1217,7 @@ class QueryEngine:
         t = snapshot_tables(index, apply_removed=apply_removed)
         eng = cls(upload_tables(t, stride_align=stride_align), L=L,
                   tables=t if keep_tables else None, **kw)
-        eng._fingerprint = fp
-        eng._main_fp = fp
+        eng._publish(eng._state.replace(fingerprint=fp, main_fp=fp))
         eng._save_ckpt(t, fp)
         return eng
 
@@ -1130,8 +1244,7 @@ class QueryEngine:
         t, meta = load_checkpoint(path)
         eng = cls(upload_tables(t), L=L, tables=t if keep_tables else None, **kw)
         fp = load_fingerprint(meta)
-        eng._fingerprint = fp
-        eng._main_fp = fp
+        eng._publish(eng._state.replace(fingerprint=fp, main_fp=fp))
         if index is not None:
             eng.refresh(index, apply_removed=bool(meta["apply_removed"]))
         return eng
@@ -1163,37 +1276,33 @@ class QueryEngine:
         re-derived from the new corpus on full rebuilds: forcing the old
         width would truncate terms that grew longer (aliasing distinct
         terms)."""
-        fp = _index_fingerprint(index, apply_removed)
-        if fp == getattr(self, "_fingerprint", None):
-            return False
-        if getattr(self, "_fingerprint", None) is not None and self._try_delta_refresh(index, fp, apply_removed):
-            self._fingerprint = fp
+        with self._refresh_lock:
+            base = self._state
+            fp = _index_fingerprint(index, apply_removed)
+            if fp == base.fingerprint:
+                return False
+            if base.fingerprint is not None and self._try_delta_refresh(
+                index, fp, apply_removed
+            ):
+                return True
+            t = snapshot_tables(index, apply_removed=apply_removed)
+            snap = upload_tables(t)
+            keep = base.tables is not None
+            self._publish(ServingState(
+                snap, removed=snap.removed,
+                tables=t if keep else None,
+                removed_host=t.removed if keep else None,
+                fingerprint=fp, main_fp=fp,
+            ))
+            self._save_ckpt(t, fp)
             return True
-        t = snapshot_tables(index, apply_removed=apply_removed)
-        self.snap = upload_tables(t)
-        self.delta = None
-        self._removed = self.snap.removed
-        self._adopt_tables(t, None)
-        self._fingerprint = fp
-        self._main_fp = fp
-        self._save_ckpt(t, fp)
-        return True
-
-    def _adopt_tables(self, main: Optional[HostTables],
-                      delta: Optional[HostTables]) -> None:
-        """Swap the retained host tables on a refresh (no-op when the engine
-        was built without table retention). The host tombstone mirror tracks
-        `_removed` — the SERVING set, which delta refreshes advance past
-        tables.removed."""
-        if self.tables is None:
-            return
-        if main is not None:
-            self.tables = main
-            self._removed_host = main.removed
-        self.delta_tables = delta
 
     def _try_delta_refresh(self, index, fp, apply_removed: bool) -> bool:
-        main_fp = getattr(self, "_main_fp", None)
+        """Attempt the O(delta) incremental tier; publishes the new state
+        (fingerprint included) and returns True on success. Runs under
+        _refresh_lock (refresh is the only caller)."""
+        base = self._state
+        main_fp = base.main_fp
         if main_fp is None or main_fp[0] != apply_removed:
             return False
         main_shards = {k: (segs, rl) for k, segs, rl in main_fp[1]}
@@ -1208,27 +1317,28 @@ class QueryEngine:
         # delta against the SAME (unchanged — checked above) tombstone set,
         # so the pair is bit-identical to a full purged rebuild
         rem = _collect_removed(index) if apply_removed else None
-        keep = self.tables is not None
+        keep = base.tables is not None
         built = snapshot_new_segments(index, base_map, removed=rem,
                                       with_tables=keep)
         if built is None:
             # nothing new on disk (e.g. only tombstones, not applied) —
             # still refresh the tombstone array below
-            delta, dt = self.delta, self.delta_tables
+            delta, dt = base.delta, base.delta_tables
         else:
             delta, dt = built if keep else (built, None)
-            main_terms = max(1, self.snap.n_terms)
+            main_terms = max(1, base.snap.n_terms)
             if delta.n_terms > self.DELTA_FRACTION * main_terms:
                 # promote: fold the delta into main by merging the two
                 # SNAPSHOT tiers directly (no segment re-read)
                 return self._promote_delta(index, fp, apply_removed, delta)
-        self.delta = delta
-        self._adopt_tables(None, dt)
+        removed, removed_host = base.removed, base._removed_host
         if not apply_removed:
             rem_h = _collect_removed(index)
-            self._removed = jnp.asarray(rem_h)
-            if self.tables is not None:
-                self._removed_host = rem_h
+            removed, removed_host = jnp.asarray(rem_h), rem_h
+        self._publish(base.replace(
+            delta=delta, delta_tables=dt if keep else None,
+            removed=removed, removed_host=removed_host, fingerprint=fp,
+        ))
         return True
 
     def _promote_delta(self, index, fp, apply_removed: bool, delta) -> bool:
@@ -1239,19 +1349,22 @@ class QueryEngine:
         snapshot_index(index, apply_removed) under this path's
         preconditions (every main segment still live; tombstones unchanged
         when apply_removed — both checked by _try_delta_refresh)."""
-        tiers = [_SnapshotTier(self.snap, self), _SnapshotTier(delta, self)]
+        base = self._state
+        tiers = [_SnapshotTier(base.snap, self), _SnapshotTier(delta, self)]
         merged = merge_views(tiers, None)
         if merged is None:  # pragma: no cover - both tiers empty
             return False
         blob, offsets, values, voffs = merged
         rem = None if apply_removed else _collect_removed(index)
         t = build_host_tables(blob, offsets, values, voffs, rem)
-        self.snap = upload_tables(t)
-        self.delta = None
-        self._removed = self.snap.removed
-        self._adopt_tables(t, None)
-        self._fingerprint = fp
-        self._main_fp = fp
+        snap = upload_tables(t)
+        keep = base.tables is not None
+        self._publish(ServingState(
+            snap, removed=snap.removed,
+            tables=t if keep else None,
+            removed_host=t.removed if keep else None,
+            fingerprint=fp, main_fp=fp,
+        ))
         self._save_ckpt(t, fp)
         return True
 
@@ -1261,13 +1374,15 @@ class QueryEngine:
         """Raw device step over the MAIN snapshot (bench/power users; the
         delta tier is a host-level concern — use lookup() for union
         semantics across both tiers)."""
-        return self._lookup_on(self.snap, qkeys, filter_removed, L)
+        st = self._state
+        return self._lookup_on(
+            st.snap, qkeys, st.removed if filter_removed else None, L
+        )
 
-    def _lookup_on(self, s: IndexSnapshot, qkeys, filter_removed: bool, L: Optional[int] = None):
+    def _lookup_on(self, s: IndexSnapshot, qkeys, removed, L: Optional[int] = None):
         return self._lookup(
             s.keys, s.blocks, s.term_block_start, s.counts, qkeys,
-            L or self.L, s.hash_slots, s.max_probes,
-            self._removed if filter_removed else None,
+            L or self.L, s.hash_slots, s.max_probes, removed,
         )
 
     def lookup(
@@ -1281,10 +1396,11 @@ class QueryEngine:
         of its rows in both tiers."""
         if not terms:
             return []
-        main = self._exact_rows(self.snap, terms, filter_removed)
-        if self.delta is None:
+        st = self._state
+        main = self._exact_rows(st, st.snap, terms, filter_removed)
+        if st.delta is None:
             return main
-        dl = self._exact_rows(self.delta, terms, filter_removed)
+        dl = self._exact_rows(st, st.delta, terms, filter_removed)
         out: List[Optional[np.ndarray]] = []
         for a, b in zip(main, dl):
             if a is None:
@@ -1316,25 +1432,28 @@ class QueryEngine:
         compressed stream, zero device round trips: full-result lookup is
         fetch-volume bound on any link, so not crossing the link at all is
         the speed of light for this op."""
-        if self.host_ready():
+        st = self._state
+        if st.host_ready():
             return self._host_lookup_stream(
-                batches, filter_removed, columnar, prefix_p
+                st, batches, filter_removed, columnar, prefix_p
             )
         return self.boolean_staged(
             [[[t] for t in b] for b in batches], "or",
-            filter_removed, depth, columnar, prefix_p,
+            filter_removed, depth, columnar, prefix_p, _st=st,
         )
 
     def _exact_rows(
-        self, s: IndexSnapshot, terms: Sequence[bytes], filter_removed: bool
+        self, st: ServingState, s: IndexSnapshot, terms: Sequence[bytes],
+        filter_removed: bool,
     ) -> List[Optional[np.ndarray]]:
         if s.n_terms == 0:
             return [None] * len(terms)
+        removed = st.removed if filter_removed else None
         Q = _round_up(len(terms), self.q_bucket)
         qk = keys_mod.pack_terms(list(terms), width=s.width)
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
         qk_p = np.concatenate([qk, pad], axis=0)
-        found, vals, n, raw = self._lookup_on(s, jnp.asarray(qk_p), filter_removed)
+        found, vals, n, raw = self._lookup_on(s, jnp.asarray(qk_p), removed)
         found, vals, n, raw = jax.device_get((found, vals, n, raw))
         out: List[Optional[np.ndarray]] = [None] * len(terms)
         long_idx = []
@@ -1351,13 +1470,13 @@ class QueryEngine:
         # exact re-serve of long lists, grouped by ladder level
         while long_idx:
             need = int(max(raw[i] for i in long_idx))
-            lv = self._level_for(need)
+            lv = self._level_for(need, st)
             qb = max(1, _RESERVE_BUDGET // lv)
             batch, long_idx = long_idx[:qb], long_idx[qb:]
             B = len(batch)
             bq = np.repeat(qk[batch[-1] : batch[-1] + 1], _round_up(B, 8), axis=0)
             bq[:B] = qk[batch]
-            f2, v2, n2, _ = self._lookup_on(s, jnp.asarray(bq), filter_removed, L=lv)
+            f2, v2, n2, _ = self._lookup_on(s, jnp.asarray(bq), removed, L=lv)
             n2 = np.asarray(n2)
             v2 = np.asarray(v2[:, : max(1, int(n2.max(initial=0)))])
             for j, i in enumerate(batch):
@@ -1378,9 +1497,7 @@ class QueryEngine:
     def host_ready(self) -> bool:
         """True when host-side serving covers the CURRENT tier pair (tables
         retained, and the delta tier — if live — retained too)."""
-        return self.tables is not None and (
-            self.delta is None or self.delta_tables is not None
-        )
+        return self._state.host_ready()
 
     @staticmethod
     def _host_decode(t: HostTables, idx: np.ndarray):
@@ -1425,11 +1542,6 @@ class QueryEngine:
         values, voffs = self._filter_sorted_columnar(values, voffs, rem)
         return found, values, voffs
 
-    def _host_removed(self):
-        if self._removed_host is None:
-            self._removed_host = np.asarray(self._removed)
-        return self._removed_host
-
     def _host_tier_starts(self, t: HostTables, qk: np.ndarray) -> np.ndarray:
         """Per-flat-term count-word offsets into t.words (-1 = miss) — the
         resolve half of _host_decode, kept columnar for the fused native
@@ -1457,19 +1569,20 @@ class QueryEngine:
         host_ready() (engine built with keep_tables)."""
         if not terms:
             return []
-        if not self.host_ready():
+        st = self._state
+        if not st.host_ready():
             raise RuntimeError(
                 "host serving needs retained tables (keep_tables=True)"
             )
-        rem = self._host_removed() if filter_removed else None
-        qk = keys_mod.pack_terms(list(terms), width=self._host_q_width())
-        found, values, voffs = self._host_tier_columnar(self.tables, qk, rem)
+        rem = st.removed_host() if filter_removed else None
+        qk = keys_mod.pack_terms(list(terms), width=st.host_q_width())
+        found, values, voffs = self._host_tier_columnar(st.tables, qk, rem)
         rows: List[Optional[np.ndarray]] = [
             values[voffs[i] : voffs[i + 1]].copy() if found[i] else None
             for i in range(len(terms))
         ]
-        if self.delta is not None:
-            f2, v2, o2 = self._host_tier_columnar(self.delta_tables, qk, rem)
+        if st.delta is not None:
+            f2, v2, o2 = self._host_tier_columnar(st.delta_tables, qk, rem)
             for i in range(len(terms)):
                 if not f2[i]:
                     continue
@@ -1477,20 +1590,15 @@ class QueryEngine:
                 rows[i] = d if rows[i] is None else np.union1d(rows[i], d)
         return rows
 
-    def _host_q_width(self) -> int:
-        w = self.tables.width
-        if self.delta_tables is not None:
-            w = max(w, self.delta_tables.width)
-        return w
-
-    def _host_lookup_stream(self, batches, filter_removed: bool,
-                            columnar: bool, prefix_p: int):
+    def _host_lookup_stream(self, st: ServingState, batches,
+                            filter_removed: bool, columnar: bool,
+                            prefix_p: int):
         """lookup_staged's host route: per-batch columnar assembly with no
         round trips to pipeline (see lookup_staged for the contract —
         misses surface as count-0 rows here, matching the device stream)."""
-        rem = self._host_removed() if filter_removed else None
+        rem = st.removed_host() if filter_removed else None
         P = int(prefix_p)
-        W = self._host_q_width()
+        W = st.host_q_width()
         out = []
         for b in batches:
             terms = list(b)
@@ -1502,10 +1610,10 @@ class QueryEngine:
                     out.append([])
                 continue
             qk = keys_mod.pack_terms(terms, width=W)
-            _, values, voffs = self._host_tier_columnar(self.tables, qk, rem)
-            if self.delta is not None:
+            _, values, voffs = self._host_tier_columnar(st.tables, qk, rem)
+            if st.delta is not None:
                 f2, v2, o2 = self._host_tier_columnar(
-                    self.delta_tables, qk, rem
+                    st.delta_tables, qk, rem
                 )
                 if f2.any():
                     rows = [values[voffs[i] : voffs[i + 1]]
@@ -1533,7 +1641,7 @@ class QueryEngine:
 
     def boolean_host(
         self, queries: Sequence[Sequence[bytes]], op: str,
-        filter_removed: bool = False,
+        filter_removed: bool = False, _st: Optional[ServingState] = None,
     ) -> List[np.ndarray]:
         """boolean() served entirely on host from the retained tables —
         zero device round trips, exact at any posting length (no ladder).
@@ -1549,28 +1657,31 @@ class QueryEngine:
         _host_boolean_route for the measured policy."""
         if op not in ("and", "or"):
             raise ValueError(f"op must be 'and' or 'or', got {op!r}")
-        if not self.host_ready():
+        st = _st if _st is not None else self._state
+        if not st.host_ready():
             raise RuntimeError(
                 "host serving needs retained tables (keep_tables=True)"
             )
         if not queries:
             return []
         values, voffs = self._boolean_host_columnar(
-            queries, op, filter_removed
+            queries, op, filter_removed, st=st
         )
         return [
             values[voffs[i] : voffs[i + 1]].copy()
             for i in range(len(queries))
         ]
 
-    def _boolean_host_columnar(self, queries, op: str, filter_removed: bool):
+    def _boolean_host_columnar(self, queries, op: str, filter_removed: bool,
+                               st: Optional[ServingState] = None):
         """boolean_host's columnar core: (values, voffs) over one batch.
         The set-op sweep runs in the native codec (tpi_boolean_host: linear
         merge unions / galloping intersections over the batch-decoded runs —
         the reference's streaming-iterator composition, types.go:14-22, as
         one C++ pass) with the numpy loop kept as the bit-identical fallback
         oracle (tests force it via TPI_DISABLE_NATIVE)."""
-        rem = self._host_removed() if filter_removed else None
+        st = st if st is not None else self._state
+        rem = st.removed_host() if filter_removed else None
         if isinstance(queries, tuple) and len(queries) == 3:
             # columnar (blob, offsets, qoffs) batch: pack straight off the
             # wire form — no per-query Python lists (same fast path as
@@ -1585,39 +1696,39 @@ class QueryEngine:
             koffs = np.asarray(qoffs, dtype=np.int64)
             if len(offsets) <= 1:
                 return np.zeros(0, np.uint32), koffs.astype(np.int64) * 0
-            qk = keys_mod.pack_blob(blob8, offsets, self._host_q_width())
+            qk = keys_mod.pack_blob(blob8, offsets, st.host_q_width())
         else:
             flat_terms = [t for q in queries for t in q]
             koffs = np.zeros(len(queries) + 1, dtype=np.int64)
             np.cumsum([len(q) for q in queries], out=koffs[1:])
             if not flat_terms:
                 return np.zeros(0, np.uint32), koffs * 0
-            qk = keys_mod.pack_terms(flat_terms, width=self._host_q_width())
-        dual = self.delta is not None
+            qk = keys_mod.pack_terms(flat_terms, width=st.host_q_width())
+        dual = st.delta is not None
         if _native.available():
             # fused native serve: decode + set op + tombstone filter run in
             # one pass per query DIRECTLY on the compressed streams — no
             # batch-wide decode ever materializes, AND walks lists smallest-
             # first with block-skip streaming intersection + early exit
-            s1 = self._host_tier_starts(self.tables, qk)
+            s1 = self._host_tier_starts(st.tables, qk)
             if dual:
-                s2 = self._host_tier_starts(self.delta_tables, qk)
+                s2 = self._host_tier_starts(st.delta_tables, qk)
                 return _native.boolean_serve(
-                    self.tables.words, s1, self.delta_tables.words, s2,
+                    st.tables.words, s1, st.delta_tables.words, s2,
                     koffs, rem, op == "or",
                 )
             return _native.boolean_serve(
-                self.tables.words, s1, None, None, koffs, rem, op == "or"
+                st.tables.words, s1, None, None, koffs, rem, op == "or"
             )
         # numpy fallback: resolve+decode each tier ONCE for the whole batch
         # (columnar); tombstones filter the per-query RESULT, not the
         # inputs — same outcome, less volume (matches the device
         # filter-after-set-op)
         found, values, voffs = self._host_tier_columnar(
-            self.tables, qk, None
+            st.tables, qk, None
         )
         if dual:
-            f2, v2, o2 = self._host_tier_columnar(self.delta_tables, qk, None)
+            f2, v2, o2 = self._host_tier_columnar(st.delta_tables, qk, None)
         out: List[np.ndarray] = []
         empty = np.zeros(0, np.uint32)
         for qi in range(len(koffs) - 1):
@@ -1670,8 +1781,31 @@ class QueryEngine:
     _HOST_ROUTE_LINK_MBPS = 256.0
     _HOST_ROUTE_OR_LINK_MBPS = 1024.0
 
+    @staticmethod
+    def _host_busy() -> bool:
+        """Load-aware routing signal (VERDICT r3 #7): 1-minute loadavg per
+        core above TPI_HOST_BUSY_LOAD (default 1.5) means the host cores
+        are already saturated by other work (ingest/merge). The host
+        route's whole advantage is zero link bytes at the cost of host
+        CPU; with the CPU gone, the staged DEVICE pipeline (host does only
+        pack+fetch) degrades far less — so staged AND falls back to it.
+        OR stays host-routed even busy: the full-result device OR is
+        fetch-volume-bound on a slow link (~1.3k QPS on this tunnel), and
+        a contended host still beats that by an order of magnitude.
+        TPI_HOST_BUSY_LOAD=0 disables the fallback (always-host links);
+        measured contended-vs-idle numbers: bench_host_contended."""
+        thresh = float(os.environ.get("TPI_HOST_BUSY_LOAD", "1.5"))
+        if thresh <= 0:
+            return False
+        try:
+            load = os.getloadavg()[0]
+        except OSError:  # pragma: no cover - platform-dependent
+            return False
+        return load / max(1, os.cpu_count() or 1) > thresh
+
     def _host_boolean_route(
-        self, op: str, prefix_p: int = 0, staged: bool = False
+        self, op: str, prefix_p: int = 0, staged: bool = False,
+        st: Optional[ServingState] = None,
     ) -> bool:
         """Transport-aware serving route (requires retained tables), per-op
         thresholds against one measured link probe per process (_link_mbps):
@@ -1693,7 +1827,8 @@ class QueryEngine:
 
         Pagination (prefix_p) stays on the device: its fetch is already
         bounded. TPI_HOST_BOOL=or|and|all|0|auto overrides the policy."""
-        if prefix_p or not self.host_ready():
+        st = st if st is not None else self._state
+        if prefix_p or not st.host_ready():
             return False
         mode = os.environ.get("TPI_HOST_BOOL", "auto")
         if mode == "auto":
@@ -1701,10 +1836,13 @@ class QueryEngine:
                 return _link_mbps() < self._HOST_ROUTE_OR_LINK_MBPS
             if staged and os.environ.get("TPI_HYBRID") == "1":
                 return False  # explicit hybrid opt-in: see _hybrid_staged
+            if staged and self._host_busy():
+                return False  # load-aware fallback: see _host_busy
             return _link_mbps() < self._HOST_ROUTE_LINK_MBPS
         return mode == "all" or mode == op
 
-    def _hybrid_staged(self, op: str) -> bool:
+    def _hybrid_staged(self, op: str,
+                       st: Optional[ServingState] = None) -> bool:
         """EXPLICIT opt-in (TPI_HYBRID=1) hybrid host+device staged stream:
         the device pipeline claims batches from the head while a host
         thread serves from the tail through the fused native serve (GIL
@@ -1719,7 +1857,8 @@ class QueryEngine:
         served a steady 271k). The auto policy therefore routes staged AND
         host-only on slow links; hybrid is for deployments whose link is
         reliable but whose host core is the scarcer resource."""
-        if op != "and" or not self.host_ready() or self.delta is not None:
+        st = st if st is not None else self._state
+        if op != "and" or not st.host_ready() or st.delta is not None:
             return False
         if os.environ.get("TPI_HYBRID") != "1":
             return False
@@ -1729,16 +1868,15 @@ class QueryEngine:
 
     # -- boolean queries ---------------------------------------------------------
 
-    def _pack_boolean(self, queries):
+    def _pack_boolean(self, st: ServingState, queries):
         """Pack a query batch -> (qk (Q, K, W+1) uint32, kv (Q,) int32),
         Q padded to the engine's q_bucket. ONE pack over the flattened
         terms (a per-query pack_terms loop was Python-bound on this 1-vCPU
         host at 10k-query batches); packed at the max width across tiers
         and narrowed per tier at dispatch."""
-        s = self.snap
         K = max(len(q) for q in queries)
         Q = _round_up(len(queries), self.q_bucket)
-        W = s.width if self.delta is None else max(s.width, self.delta.width)
+        W = st.width()
         qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
         kv = np.array(
             [len(q) for q in queries] + [0] * (Q - len(queries)),
@@ -1756,15 +1894,14 @@ class QueryEngine:
         qk[rows, cols] = packed
         return qk, kv
 
-    def _pack_boolean_cols(self, blob, offsets, qoffs):
+    def _pack_boolean_cols(self, st: ServingState, blob, offsets, qoffs):
         """Columnar query batch -> (qk, kv): `blob` all query terms'
         bytes concatenated, `offsets[T+1]` term bounds in it, `qoffs[Q+1]`
         each query's term range. Skips every Python-object cost of the
         list-of-lists pack (flatten + join + per-term len: measured ~7 of
         its 9 ms per 8192-query batch on this 1-vCPU host) — callers that
         already hold queries in wire/columnar form should prefer it."""
-        s = self.snap
-        W = s.width if self.delta is None else max(s.width, self.delta.width)
+        W = st.width()
         offsets = np.asarray(offsets, dtype=np.int64)
         qoffs = np.asarray(qoffs, dtype=np.int64)
         nq = len(qoffs) - 1
@@ -1785,7 +1922,7 @@ class QueryEngine:
         qk[rows, cols] = packed
         return qk, kv
 
-    def _batch_pack(self, queries):
+    def _batch_pack(self, st: ServingState, queries):
         """One stream batch -> (nq, qk, kv). Accepts a sequence of term
         lists OR a columnar (blob, offsets, qoffs) triple (see
         _pack_boolean_cols)."""
@@ -1794,11 +1931,11 @@ class QueryEngine:
             nq = len(qoffs) - 1
             if nq <= 0:
                 return 0, None, None
-            qk, kv = self._pack_boolean_cols(*queries)
+            qk, kv = self._pack_boolean_cols(st, *queries)
             return nq, qk, kv
         if not queries:
             return 0, None, None
-        qk, kv = self._pack_boolean(queries)
+        qk, kv = self._pack_boolean(st, queries)
         return len(queries), qk, kv
 
     def boolean(self, queries: Sequence[Sequence[bytes]], op: str, filter_removed: bool = False):
@@ -1811,35 +1948,29 @@ class QueryEngine:
         """
         if not queries:
             return []
-        if self._host_boolean_route(op):
+        st = self._state
+        if self._host_boolean_route(op, st=st):
             # output-bound op with tables retained: serve host-side, zero
             # round trips (see boolean_host)
-            return self.boolean_host(queries, op, filter_removed)
-        s = self.snap
-        qk, kv = self._pack_boolean(queries)
-        if s.n_terms == 0 and self.delta is None:
+            return self.boolean_host(queries, op, filter_removed, _st=st)
+        s = st.snap
+        qk, kv = self._pack_boolean(st, queries)
+        if s.n_terms == 0 and st.delta is None:
             return [np.zeros(0, np.uint32) for _ in queries]
-        removed = self._removed if filter_removed else None
-        if self.delta is None:
-            if op == "and" and self._use_fused():
+        removed = st.removed if filter_removed else None
+        if st.delta is None:
+            if op == "and" and self._use_fused(st):
                 # fused Pallas AND: decode + membership directly over the
                 # arena; probes never truncate, re-serve only when the
                 # SMALLEST list exceeds L
-                return self._boolean_fused(queries, qk, kv, removed)
+                return self._boolean_fused(st, queries, qk, kv, removed)
             # steady state: concat-decode path — work proportional to each
             # query's TOTAL posting count, no truncation/re-serve at all
-            return self._boolean_concat(queries, qk, kv, op, removed)
+            return self._boolean_concat(st, queries, qk, kv, op, removed)
 
         def run(lv, qk_sub, kv_sub):
-            """One device pass at pad lv over main (+delta when live)."""
-            if self.delta is None:
-                return self._boolean(
-                    s.keys, s.blocks, s.term_block_start, s.counts,
-                    jnp.asarray(_narrow_keys(qk_sub, s.width)),
-                    jnp.asarray(kv_sub), lv, op,
-                    removed, s.hash_slots, s.max_probes,
-                )
-            d = self.delta
+            """One device pass at pad lv over the main+delta pair."""
+            d = st.delta
             return _JIT_BOOLEAN_DUAL(
                 s.keys, s.blocks, s.term_block_start, s.counts, s.hash_slots,
                 d.keys, d.blocks, d.term_block_start, d.counts, d.hash_slots,
@@ -1863,10 +1994,10 @@ class QueryEngine:
             if need[i] <= self.L:
                 results[i] = out[i, : oc[i]].copy()
         # exact re-serve at the smallest ladder level that fits, small batches
-        self._reserve_ladder(results, long_idx, need, qk, kv, run)
+        self._reserve_ladder(st, results, long_idx, need, qk, kv, run)
         return results
 
-    def _reserve_ladder(self, results, long_idx, need, qk, kv, run):
+    def _reserve_ladder(self, st, results, long_idx, need, qk, kv, run):
         """Exact ladder re-serves shared by the padded and fused boolean
         paths: batches of clipped queries (largest need first — each batch
         re-serves at ITS level, not the global max) re-run through `run`
@@ -1875,7 +2006,7 @@ class QueryEngine:
         be tens of MB; results are narrow)."""
         K, Wp1 = qk.shape[1], qk.shape[2]
         while long_idx:
-            lv = self._level_for(int(max(need[i] for i in long_idx)))
+            lv = self._level_for(int(max(need[i] for i in long_idx)), st)
             qb = max(1, _RESERVE_BUDGET // (K * lv))
             batch, long_idx = long_idx[:qb], long_idx[qb:]
             B = _round_up(len(batch), 8)
@@ -1903,12 +2034,13 @@ class QueryEngine:
     # extra class costs a compile, not a fence).
     _SB_CLASSES = (8, 32, 64, 128, 512, 2048, 8192, 32768)
 
-    def _use_fused(self) -> bool:
+    def _use_fused(self, st: Optional[ServingState] = None) -> bool:
         """Fused Pallas AND is available: 128-aligned arena + TPU backend +
         block-aligned L (TPI_FUSED_AND=0 disables; =interp routes through
         the kernel interpreter off-TPU, for tests)."""
+        st = st if st is not None else self._state
         mode = os.environ.get("TPI_FUSED_AND", "1")
-        if mode == "0" or not self.snap.arena_aligned or self.L % 128 != 0:
+        if mode == "0" or not st.snap.arena_aligned or self.L % 128 != 0:
             return False
         return mode == "interp" or jax.default_backend() == "tpu"
 
@@ -1945,8 +2077,8 @@ class QueryEngine:
         ]
         return tuple(jnp.concatenate(parts) for parts in zip(*outs))
 
-    def _fused_run(self, lv, qk_sub, kv_sub, removed, small_p: int = 0):
-        s = self.snap
+    def _fused_run(self, st, lv, qk_sub, kv_sub, removed, small_p: int = 0):
+        s = st.snap
         interp = (
             os.environ.get("TPI_FUSED_AND") == "interp"
             and jax.default_backend() != "tpu"
@@ -1961,13 +2093,13 @@ class QueryEngine:
             qk_sub, kv_sub,
         )
 
-    def _staged_levels(self):
+    def _staged_levels(self, st: ServingState):
         """Device ladder for the staged step's level coding: ascending
         levels the kernel can serve (<= the arena slack). Cached per
         ladder identity (max_count changes on refresh)."""
         from ..ops.pallas_decode import SLACK_ROWS
 
-        lvls = tuple(lv for lv in self._levels() if lv <= SLACK_ROWS * 128)
+        lvls = tuple(lv for lv in self._levels(st) if lv <= SLACK_ROWS * 128)
         cached = getattr(self, "_staged_levels_cache", None)
         if cached is None or cached[0] != lvls:
             arr = jnp.asarray(np.asarray(lvls or (self.L,), dtype=np.int32))
@@ -1975,8 +2107,8 @@ class QueryEngine:
             self._staged_levels_cache = cached
         return cached[1]
 
-    def _fused_run_staged(self, qk_sub, kv_sub, removed):
-        s = self.snap
+    def _fused_run_staged(self, st, qk_sub, kv_sub, removed):
+        s = st.snap
         interp = (
             os.environ.get("TPI_FUSED_AND") == "interp"
             and jax.default_backend() != "tpu"
@@ -1985,7 +2117,7 @@ class QueryEngine:
             lambda q, k: _JIT_BOOLEAN_FUSED_STAGED(
                 s.keys, s.blocks, s.term_block_start, s.counts,
                 jnp.asarray(_narrow_keys(q, s.width)),
-                jnp.asarray(k), self.L, self._staged_levels(),
+                jnp.asarray(k), self.L, self._staged_levels(st),
                 removed, s.hash_slots, s.max_probes, interp,
                 self._STAGED_SMALL_P,
             ),
@@ -2009,7 +2141,7 @@ class QueryEngine:
             kv = np.concatenate([kv, np.zeros(Q8 - len(kv), dtype=kv.dtype)])
         return qk, kv
 
-    def _classify_fused(self, fetched, positions, qk, kv, setter,
+    def _classify_fused(self, st, fetched, positions, qk, kv, setter,
                         wide, longs, overs):
         """Assign direct results from a small-P fetch; defer the three rare
         follow-up classes (small-P overflow -> sort path; base count over L
@@ -2024,7 +2156,7 @@ class QueryEngine:
                 setter(pos, small[j, : oc[j]].copy())
             elif need[j] <= self.L:
                 wide.append((pos, qk[j], int(kv[j])))
-            elif self._level_for(int(need[j])) <= max_lv:
+            elif self._level_for(int(need[j]), st) <= max_lv:
                 # the LEVEL (not just the need) must fit the slack: the
                 # kernel DMAs lv/128 consecutive base rows per query
                 longs.append((pos, qk[j], int(kv[j]), int(need[j])))
@@ -2088,7 +2220,7 @@ class QueryEngine:
             bq[j, : r.shape[0]] = r
         return bq
 
-    def _fused_followups(self, setter, wide, longs, overs, removed):
+    def _fused_followups(self, st, setter, wide, longs, overs, removed):
         """Process the deferred classes ONCE (shared by boolean() and the
         staged stream — cross-batch grouping keeps the round-trip count
         independent of how many batches deferred into them).
@@ -2102,10 +2234,10 @@ class QueryEngine:
         post-stream follow-up chain did not)."""
         items = [(t[0], t[1], t[2], self.L) for t in wide]
         items += [
-            (t[0], t[1], t[2], self._level_for(int(t[3]))) for t in longs
+            (t[0], t[1], t[2], self._level_for(int(t[3]), st)) for t in longs
         ]
         self._drain_levels(
-            items, lambda lv, q, k2: self._fused_run(lv, q, k2, removed),
+            items, lambda lv, q, k2: self._fused_run(st, lv, q, k2, removed),
             setter,
         )
         if overs:
@@ -2114,18 +2246,18 @@ class QueryEngine:
             bkv = np.zeros(B, dtype=np.int32)
             bkv[: len(overs)] = [t[2] for t in overs]
             sub_res = self._boolean_concat(
-                [None] * len(overs), bq, bkv, "and", removed
+                st, [None] * len(overs), bq, bkv, "and", removed
             )
             for t, v in zip(overs, sub_res):
                 setter(t[0], v)
 
-    def _boolean_fused(self, queries, qk, kv, removed):
+    def _boolean_fused(self, st, queries, qk, kv, removed):
         """AND via the fused arena kernel: ONE dispatch + ONE fetch for the
         common case (small-P compacted results ship with the counts);
         ladder re-serve keyed on the BASE (smallest-list) count."""
         qk, kv = self._fused_pad(qk, kv)
         devs = self._fused_run(
-            self.L, qk, kv, removed, small_p=self._FUSED_SMALL_P
+            st, self.L, qk, kv, removed, small_p=self._FUSED_SMALL_P
         )
         results: List[Optional[np.ndarray]] = [None] * len(queries)
         wide, longs, overs = [], [], []
@@ -2134,15 +2266,16 @@ class QueryEngine:
             results[i] = v
 
         self._classify_fused(
-            jax.device_get(devs), range(len(queries)), qk, kv, setter,
+            st, jax.device_get(devs), range(len(queries)), qk, kv, setter,
             wide, longs, overs,
         )
-        self._fused_followups(setter, wide, longs, overs, removed)
+        self._fused_followups(st, setter, wide, longs, overs, removed)
         return results
 
     def boolean_staged(
         self, batches, op: str = "and", filter_removed: bool = False,
         depth: int = 3, columnar: bool = False, prefix_p: int = 0,
+        _st: Optional[ServingState] = None,
     ):
         """Pipelined stream serving: pack + dispatch batch i+`depth` BEFORE
         downloading batch i's results, so host packing and the fetch round
@@ -2181,27 +2314,30 @@ class QueryEngine:
         batches = list(batches)
         if prefix_p and not columnar:
             raise ValueError("prefix_p requires columnar=True")
-        if self._host_boolean_route(op, prefix_p, staged=True):
+        st = _st if _st is not None else self._state
+        if self._host_boolean_route(op, prefix_p, staged=True, st=st):
             # output-bound op with tables retained: the host route has no
             # round trips to pipeline — serve each batch directly
             out = []
             for b in batches:
                 if columnar:  # columnar core directly: no per-row copies,
                     out.append(  # and wire-form batches pack vectorized
-                        self._boolean_host_columnar(b, op, filter_removed)
+                        self._boolean_host_columnar(
+                            b, op, filter_removed, st=st
+                        )
                     )
                 else:
                     out.append(self.boolean_host(
-                        _batch_as_lists(b), op, filter_removed
+                        _batch_as_lists(b), op, filter_removed, _st=st
                     ))
             return out
-        removed = self._removed if filter_removed else None
-        if self.delta is not None:
+        removed = st.removed if filter_removed else None
+        if st.delta is not None:
             # delta window: the padded DUAL formulation, still pipelined
             return self._staged_dual_stream(
-                batches, op, removed, depth, columnar, prefix_p
+                st, batches, op, removed, depth, columnar, prefix_p
             )
-        if self.snap.n_terms == 0:
+        if st.snap.n_terms == 0:
             # empty index: per-batch fallback (nothing to pipeline)
             out = []
             for b in batches:
@@ -2222,14 +2358,14 @@ class QueryEngine:
                 else:
                     out.append((vals, voffs))
             return out
-        if op != "and" or not self._use_fused() or prefix_p:
+        if op != "and" or not self._use_fused(st) or prefix_p:
             # exact stream through the pipelined concat classes (also the
             # pagination route: prefix_p slices on device there)
             return self._staged_concat_stream(
-                batches, op, removed, depth, columnar, prefix_p
+                st, batches, op, removed, depth, columnar, prefix_p
             )
         P = self._STAGED_SMALL_P
-        levels_h = [lv for lv in self._levels()]
+        levels_h = [lv for lv in self._levels(st)]
         fetched: List = [None] * len(batches)
         wide, longs, overs = [], [], []
 
@@ -2278,9 +2414,9 @@ class QueryEngine:
 
         worker = None
         host_err: List[BaseException] = []
-        if len(batches) > 1 and self._hybrid_staged(op):
+        if len(batches) > 1 and self._hybrid_staged(op, st=st):
             if filter_removed:
-                self._host_removed()  # materialize the tombstone array on
+                st.removed_host()  # materialize the tombstone array on
                 # THIS thread (one jax.device_get) before the worker starts
 
             def host_worker():
@@ -2290,7 +2426,7 @@ class QueryEngine:
                         if hbi is None:
                             break
                         host_res[hbi] = self._boolean_host_columnar(
-                            batches[hbi], op, filter_removed
+                            batches[hbi], op, filter_removed, st=st
                         )
                     # steal-back: an RPC burst strands the device's
                     # in-flight batches (the main thread is blocked in
@@ -2302,7 +2438,7 @@ class QueryEngine:
                     for hbi in range(len(batches) - 1, -1, -1):
                         if fetched[hbi] is None and hbi not in host_res:
                             host_res[hbi] = self._boolean_host_columnar(
-                                batches[hbi], op, filter_removed
+                                batches[hbi], op, filter_removed, st=st
                             )
                 except BaseException as e:  # surfaced after join() — a
                     host_err.append(e)      # swallowed thread death would
@@ -2317,12 +2453,12 @@ class QueryEngine:
             bi = claim(True)
             if bi is None:
                 break
-            nq, qk, kv = self._batch_pack(batches[bi])
+            nq, qk, kv = self._batch_pack(st, batches[bi])
             if nq == 0:
                 fetched[bi] = (0, None)
                 continue
             qk, kv = self._fused_pad(qk, kv)
-            devs = self._fused_run_staged(qk, kv, removed)
+            devs = self._fused_run_staged(st, qk, kv, removed)
             # start the device->host copies NOW (they queue behind the
             # compute): by harvest time the data is already local, so the
             # host never blocks a full tunnel round trip per batch
@@ -2343,7 +2479,7 @@ class QueryEngine:
         def setter(pos, v):
             overrides.setdefault(pos[0], {})[pos[1]] = v
 
-        self._fused_followups(setter, wide, longs, overs, removed)
+        self._fused_followups(st, setter, wide, longs, overs, removed)
 
         out = []
         for bi in range(len(batches)):
@@ -2388,7 +2524,7 @@ class QueryEngine:
         return out
 
     def _staged_dual_stream(
-        self, batches, op: str, removed, depth: int, columnar: bool,
+        self, st, batches, op: str, removed, depth: int, columnar: bool,
         prefix_p: int,
     ):
         """Depth-pipelined stream over the MAIN+DELTA snapshot pair (the
@@ -2400,7 +2536,7 @@ class QueryEngine:
         values, one bounded fetch — the pagination contract)."""
         from collections import deque
 
-        s, d = self.snap, self.delta
+        s, d = st.snap, st.delta
         P = int(prefix_p)
         fetched: List = [None] * len(batches)
         longs = []
@@ -2429,11 +2565,11 @@ class QueryEngine:
             for i in np.nonzero(need_h[:nq] > self.L)[0]:
                 longs.append((
                     (bi, int(i)), qk[i], int(kv[i]),
-                    self._level_for(int(need_h[i])),
+                    self._level_for(int(need_h[i]), st),
                 ))
 
         for bi, queries in enumerate(batches):
-            nq, qk, kv = self._batch_pack(queries)
+            nq, qk, kv = self._batch_pack(st, queries)
             if nq == 0:
                 fetched[bi] = (0, None, None)
                 continue
@@ -2489,7 +2625,7 @@ class QueryEngine:
         return results
 
     def _staged_concat_stream(
-        self, batches, op: str, removed, depth: int, columnar: bool,
+        self, st, batches, op: str, removed, depth: int, columnar: bool,
         prefix_p: int,
     ):
         """Depth-pipelined stream serving over the concat-decode classes —
@@ -2512,7 +2648,7 @@ class QueryEngine:
         on boolean_staged."""
         from collections import deque
 
-        s = self.snap
+        s = st.snap
         stride = int(s.blocks.shape[1])
         P = int(prefix_p)
         out_all: List = [None] * len(batches)
@@ -2520,7 +2656,7 @@ class QueryEngine:
         clsq: deque = deque()
 
         def stage_resolve(bi):
-            nq, qk, kv = self._batch_pack(batches[bi])
+            nq, qk, kv = self._batch_pack(st, batches[bi])
             if nq == 0:
                 resq.append((bi, 0, None, None))
                 return
@@ -2678,12 +2814,12 @@ class QueryEngine:
             _wire_unpack(*fo) if w else fo for fo, w in zip(fetched, wire)
         ]
 
-    def _boolean_concat(self, queries, qk, kv, op: str, removed):
+    def _boolean_concat(self, st, queries, qk, kv, op: str, removed):
         """Exact AND/OR sized by each query's REAL total postings:
         resolve counts (cheap pass), group queries into total-block classes,
         then one concat-decode + sort + run-length reduction per class
         (ops/concat_bool.py). No padding to the longest list, no re-serve."""
-        s = self.snap
+        s = st.snap
         nq = len(queries)
         K = qk.shape[1]
         idx, found, raw = _JIT_RESOLVE(
@@ -2764,13 +2900,20 @@ class QueryEngine:
 
     # -- exact decode by term index (ladder-grouped) --------------------------------
 
-    def _decode_indices(self, idx: np.ndarray, s: Optional[IndexSnapshot] = None) -> tuple[np.ndarray, np.ndarray]:
-        """Exact postings of dictionary indices `idx`: (values, voffs[n+1]).
+    def _decode_indices(self, idx: np.ndarray, s: IndexSnapshot,
+                        st: Optional[ServingState] = None) -> tuple[np.ndarray, np.ndarray]:
+        """Exact postings of dictionary indices `idx` in snapshot `s`:
+        (values, voffs[n+1]). `st` supplies the ladder (defaults to a
+        single-tier view of `s` — correct for promotion-time decodes that
+        act on one explicit tier).
 
         Rows are decoded on device in batches grouped by the smallest ladder
         L that fits each row's TRUE count — every posting list is served
         exactly regardless of length (no host posting mirror exists)."""
-        s = s if s is not None else self.snap
+        ladder = (
+            self._levels(st) if st is not None
+            else _ladder(self.L, s.max_count)
+        )
         n = len(idx)
         counts = s.host_counts[idx].astype(np.int64)
         voffs = np.zeros(n + 1, dtype=np.int64)
@@ -2778,7 +2921,7 @@ class QueryEngine:
         flat = np.empty(int(voffs[-1]), dtype=np.uint32)
         if n == 0:
             return flat, voffs
-        levels = np.array([self.L] + self._levels(), dtype=np.int64)
+        levels = np.array([self.L] + ladder, dtype=np.int64)
         lvl_idx = np.searchsorted(levels, counts, side="left")
         for li in np.unique(lvl_idx):
             lv = int(levels[li])
@@ -2815,17 +2958,18 @@ class QueryEngine:
         value to): with retained tables (host_ready) the stream serves
         entirely HOST-side — native decode, zero round trips; otherwise
         postings device-decode and fetch per chunk."""
-        host = self.host_ready()
+        st = self._state
+        host = st.host_ready()
         main = (
-            self._read_range_on_tables(self.tables, min_term, max_term)
-            if host else self._read_range_on(self.snap, min_term, max_term)
+            self._read_range_on_tables(st.tables, min_term, max_term)
+            if host else self._read_range_on(st, st.snap, min_term, max_term)
         )
-        if self.delta is None:
+        if st.delta is None:
             yield from main
             return
         dl = (
-            self._read_range_on_tables(self.delta_tables, min_term, max_term)
-            if host else self._read_range_on(self.delta, min_term, max_term)
+            self._read_range_on_tables(st.delta_tables, min_term, max_term)
+            if host else self._read_range_on(st, st.delta, min_term, max_term)
         )
         a = next(main, None)
         b = next(dl, None)
@@ -2841,7 +2985,7 @@ class QueryEngine:
                 a = next(main, None)
                 b = next(dl, None)
 
-    def _read_range_on(self, s: IndexSnapshot, min_term, max_term):
+    def _read_range_on(self, st, s: IndexSnapshot, min_term, max_term):
         if s.n_terms == 0:
             return
         lo = 0 if min_term is None else int(
@@ -2861,7 +3005,7 @@ class QueryEngine:
             c1 = min(c0 + self._RANGE_CHUNK, hi)
             kr = np.asarray(s.keys[c0:c1])  # fetch only the range's key rows
             blob, offs = keys_mod.unpack_keys(kr)
-            vals, voffs = self._decode_indices(np.arange(c0, c1), s)
+            vals, voffs = self._decode_indices(np.arange(c0, c1), s, st)
             for j in range(c1 - c0):
                 yield (
                     blob[offs[j] : offs[j + 1]].tobytes(),
@@ -2903,13 +3047,18 @@ class QueryEngine:
         unmatched prefixes absent; values sorted unique. With a delta live,
         results union across both tiers. Output-bound like read_range, so
         retained tables (host_ready) serve it host-side."""
-        host = self.host_ready()
-        on = self._prefix_on_tables if host else self._prefix_on
-        out = on(self.tables if host else self.snap, prefixes)
-        if self.delta is None:
+        st = self._state
+        host = st.host_ready()
+        if host:
+            on = self._prefix_on_tables
+        else:
+            def on(s, ps):
+                return self._prefix_on(st, s, ps)
+        out = on(st.tables if host else st.snap, prefixes)
+        if st.delta is None:
             return out
         for p, v in on(
-            self.delta_tables if host else self.delta, prefixes
+            st.delta_tables if host else st.delta, prefixes
         ).items():
             out[p] = np.union1d(out[p], v) if p in out else v
         return out
@@ -2937,7 +3086,7 @@ class QueryEngine:
             k0 = k1
         return out
 
-    def _prefix_on(self, s: IndexSnapshot, prefixes) -> Dict[bytes, np.ndarray]:
+    def _prefix_on(self, st, s: IndexSnapshot, prefixes) -> Dict[bytes, np.ndarray]:
         if s.n_terms == 0 or not prefixes:
             return {}
         lo_k, hi_k = keys_mod.prefix_bounds(list(prefixes), s.width)
@@ -2951,7 +3100,7 @@ class QueryEngine:
         if not spans:
             return {}
         all_idx = np.concatenate([np.arange(a, b) for _, a, b in spans])
-        vals, voffs = self._decode_indices(all_idx, s)
+        vals, voffs = self._decode_indices(all_idx, s, st)
         out: Dict[bytes, np.ndarray] = {}
         k0 = 0
         for p, a, b in spans:

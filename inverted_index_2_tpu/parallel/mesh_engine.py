@@ -36,6 +36,49 @@ from ..models import query_engine as qe
 from . import mesh as pm
 
 
+class MeshServingState:
+    """One immutable bundle of everything a mesh serve path reads —
+    the mesh twin of models.query_engine.ServingState. refresh() publishes
+    a complete new bundle with a SINGLE reference assignment, so a
+    concurrent reader never pairs a new main with a stale delta or stale
+    tombstone array (reference protocol: segments.go:25-53)."""
+
+    __slots__ = ("snap", "delta", "removed", "fingerprint", "main_fp",
+                 "base_map", "main_n_terms")
+
+    def __init__(self, snap, delta=None, removed=None, fingerprint=None,
+                 main_fp=None, base_map=None, main_n_terms=0):
+        self.snap = snap
+        self.delta: Optional[pm.ShardedSnapshot] = delta
+        self.removed = removed
+        self.fingerprint = fingerprint
+        self.main_fp = main_fp
+        self.base_map = base_map if base_map is not None else {}
+        self.main_n_terms = main_n_terms
+
+    def replace(self, **kw) -> "MeshServingState":
+        args = {
+            "delta": self.delta, "removed": self.removed,
+            "fingerprint": self.fingerprint, "main_fp": self.main_fp,
+            "base_map": self.base_map, "main_n_terms": self.main_n_terms,
+        }
+        snap = kw.pop("snap", self.snap)
+        args.update(kw)
+        return MeshServingState(snap, **args)
+
+    def max_count(self) -> int:
+        m = self.snap.max_count
+        if self.delta is not None:
+            m += self.delta.max_count  # a term's tier union can reach the sum
+        return m
+
+    def width(self) -> int:
+        w = self.snap.width
+        if self.delta is not None:
+            w = max(w, self.delta.width)
+        return w
+
+
 class MeshQueryEngine:
     """Batched mesh serving over a ShardedSnapshot pair (main + delta)."""
 
@@ -49,18 +92,51 @@ class MeshQueryEngine:
         self.q_bucket = q_bucket
         self._full_build(index)
 
+    # -- serving-state access ------------------------------------------------
+    #
+    # Read-only views for introspection/tests; serve paths capture
+    # `st = self._state` once and thread it through.
+
+    @property
+    def snap(self):
+        return self._state.snap
+
+    @property
+    def delta(self):
+        return self._state.delta
+
+    @property
+    def _removed(self):
+        return self._state.removed
+
+    @property
+    def _fingerprint(self):
+        return self._state.fingerprint
+
+    @property
+    def _main_fp(self):
+        return self._state.main_fp
+
+    @property
+    def _main_n_terms(self):
+        return self._state.main_n_terms
+
     # -- build / refresh ---------------------------------------------------
 
+    @staticmethod
+    def _count_terms(snap) -> int:
+        keys_last = np.asarray(snap.keys[:, :, -1])
+        return int((keys_last != pm._PAD_WORD).sum())
+
     def _full_build(self, index) -> None:
-        self.snap = pm.build_sharded_snapshot(index, self.mesh)
-        self.delta: Optional[pm.ShardedSnapshot] = None
-        self._removed = jnp.asarray(qe._collect_removed(index))
+        snap = pm.build_sharded_snapshot(index, self.mesh)
         fp = qe._index_fingerprint(index, False)
-        self._fingerprint = fp
-        self._main_fp = fp
-        self._base_map = {k: frozenset(segs) for k, segs, _rl in fp[1]}
-        keys_last = np.asarray(self.snap.keys[:, :, -1])
-        self._main_n_terms = int((keys_last != pm._PAD_WORD).sum())
+        self._state = MeshServingState(
+            snap, removed=jnp.asarray(qe._collect_removed(index)),
+            fingerprint=fp, main_fp=fp,
+            base_map={k: frozenset(segs) for k, segs, _rl in fp[1]},
+            main_n_terms=self._count_terms(snap),
+        )
 
     @classmethod
     def from_checkpoint(cls, path: str, index=None, mesh=None,
@@ -90,16 +166,17 @@ class MeshQueryEngine:
         eng.L = L
         eng.q_bucket = q_bucket
         D = eng.mesh.shape[pm.SHARD_AXIS]
-        eng.snap = pm.stack_tables(pm.partition_tables(t, D), eng.mesh)
-        eng.delta = None
-        eng._removed = jnp.asarray(t.removed)
         fp = load_fingerprint(meta)
-        eng._fingerprint = fp
-        eng._main_fp = fp
-        eng._base_map = (
-            {} if fp is None else {k: frozenset(segs) for k, segs, _rl in fp[1]}
+        eng._state = MeshServingState(
+            pm.stack_tables(pm.partition_tables(t, D), eng.mesh),
+            removed=jnp.asarray(t.removed),
+            fingerprint=fp, main_fp=fp,
+            base_map=(
+                {} if fp is None
+                else {k: frozenset(segs) for k, segs, _rl in fp[1]}
+            ),
+            main_n_terms=t.n_terms,
         )
-        eng._main_n_terms = t.n_terms
         if index is not None:
             if fp is None:
                 eng._full_build(index)
@@ -112,107 +189,103 @@ class MeshQueryEngine:
         Purely-additive changes upload only the new segments as a delta
         tier (O(delta)); compactions or oversized deltas trigger a full
         rebuild — the same policy as QueryEngine.refresh."""
+        base = self._state
         fp = qe._index_fingerprint(index, False)
-        if fp == self._fingerprint:
+        if fp == base.fingerprint:
             return False
         if self._try_delta_refresh(index, fp):
-            self._fingerprint = fp
             return True
         self._full_build(index)
         return True
 
     def _try_delta_refresh(self, index, fp) -> bool:
-        if self._main_fp is None:  # fingerprint-less warm start
+        """O(delta) incremental tier; publishes the new state (fingerprint
+        included, ONE reference swap) and returns True on success."""
+        base = self._state
+        if base.main_fp is None:  # fingerprint-less warm start
             return False
-        main_shards = {k: segs for k, segs, _rl in self._main_fp[1]}
+        main_shards = {k: segs for k, segs, _rl in base.main_fp[1]}
         for key, segs, _rl in fp[1]:
             if not set(main_shards.get(key, ())).issubset(segs):
                 return False  # a main segment was merged away: full rebuild
-        delta1 = qe.snapshot_new_segments(index, self._base_map)
+        delta1 = qe.snapshot_new_segments(index, base.base_map)
         if delta1 is None:
-            delta = self.delta  # tombstone-only change: refresh removed below
+            delta = base.delta  # tombstone-only change: refresh removed below
         else:
-            if delta1.n_terms > self.DELTA_FRACTION * max(1, self._main_n_terms):
+            if delta1.n_terms > self.DELTA_FRACTION * max(1, base.main_n_terms):
                 return False  # promote: full rebuild folds the delta in
             D = self.mesh.shape[pm.SHARD_AXIS]
             delta = pm.stack_partitions(
                 [delta1] + [qe._empty_snapshot(delta1.width)] * (D - 1),
                 self.mesh,
             )
-        self.delta = delta
-        self._removed = jnp.asarray(qe._collect_removed(index))
+        self._state = base.replace(
+            delta=delta,
+            removed=jnp.asarray(qe._collect_removed(index)),
+            fingerprint=fp,
+        )
         return True
 
     # -- helpers -----------------------------------------------------------
 
-    def _max_count(self) -> int:
-        m = self.snap.max_count
-        if self.delta is not None:
-            m += self.delta.max_count  # a term's union can reach the sum
-        return m
+    def _levels(self, st: Optional[MeshServingState] = None) -> List[int]:
+        st = st if st is not None else self._state
+        return qe._ladder(self.L, st.max_count())
 
-    def _levels(self) -> List[int]:
-        return qe._ladder(self.L, self._max_count())
-
-    def _level_for(self, need: int) -> int:
-        for lv in self._levels():
+    def _level_for(self, need: int, st: MeshServingState) -> int:
+        for lv in self._levels(st):
             if lv >= need:
                 return lv
         return qe._round_up(need, 128)
 
-    def _filter(self, out, oc):
-        from ..ops import setops
-
-        if self._removed.shape[0] == 0:
+    @staticmethod
+    def _filter(out, oc, removed):
+        if removed.shape[0] == 0:
             return out, oc
-        return qe._JIT_FILTER(out, oc, self._removed)
-
-    def _widths(self):
-        W = self.snap.width
-        if self.delta is not None:
-            W = max(W, self.delta.width)
-        return W
+        return qe._JIT_FILTER(out, oc, removed)
 
     def warmup(self, k_max: int = 8, ops: Sequence[str] = ("and", "or")) -> int:
         """Precompile the serving programs (lookup, boolean per op, prefix
         ranges, dual variants when a delta is live) at one query bucket."""
+        st = self._state
+        s = st.snap
         n = 0
-        W = self._widths()
-        qk = jnp.zeros((self.q_bucket, self.snap.width + 1), dtype=jnp.uint32)
-        lookup = pm.make_sharded_lookup_scatter(self.snap, self.L)
+        W = st.width()
+        qk = jnp.zeros((self.q_bucket, s.width + 1), dtype=jnp.uint32)
+        lookup = pm.make_sharded_lookup_scatter(s, self.L)
         jax.block_until_ready(lookup(
-            self.snap.keys, self.snap.blocks, self.snap.term_block_start,
-            self.snap.counts, qk,
+            s.keys, s.blocks, s.term_block_start, s.counts, qk,
         )[2])
         n += 1
         bqk = np.zeros((self.q_bucket, k_max, W + 1), dtype=np.uint32)
         kv = jnp.zeros((self.q_bucket,), dtype=jnp.int32)
         for op in ops:
-            o, oc, _ = self._boolean_dispatch(self.L, bqk, kv, op)
+            o, oc, _ = self._boolean_dispatch(st, self.L, bqk, kv, op)
             jax.block_until_ready(oc)
-            if self._removed.shape[0] > 0:
-                jax.block_until_ready(self._filter(o, oc)[1])
+            if st.removed.shape[0] > 0:
+                jax.block_until_ready(self._filter(o, oc, st.removed)[1])
             n += 1
         jax.block_until_ready(
-            pm.make_sharded_prefix_ranges(self.snap)(
-                jnp.zeros((1, self.snap.width + 1), jnp.uint32),
-                jnp.full((1, self.snap.width + 1), pm._PAD_WORD, jnp.uint32),
+            pm.make_sharded_prefix_ranges(s)(
+                jnp.zeros((1, s.width + 1), jnp.uint32),
+                jnp.full((1, s.width + 1), pm._PAD_WORD, jnp.uint32),
             )[0]
         )
         n += 1
         return n
 
     def stats(self) -> Dict:
-        d = self.delta
+        st = self._state
+        d = st.delta
         return {
-            "devices": self.snap.n_devices,
-            "n_terms": self._main_n_terms,
+            "devices": st.snap.n_devices,
+            "n_terms": st.main_n_terms,
             "delta_terms": 0 if d is None else int(
                 (np.asarray(d.keys[:, :, -1]) != pm._PAD_WORD).sum()
             ),
-            "removed": int(self._removed.shape[0]),
-            "ladder": self._levels(),
-            "partition": pm.partition_stats(self.snap),
+            "removed": int(st.removed.shape[0]),
+            "ladder": self._levels(st),
+            "partition": pm.partition_stats(st.snap),
         }
 
     # -- exact lookup ------------------------------------------------------
@@ -225,10 +298,11 @@ class MeshQueryEngine:
         QueryEngine.lookup."""
         if not terms:
             return []
-        main = self._exact_rows(self.snap, terms, filter_removed)
-        if self.delta is None:
+        st = self._state
+        main = self._exact_rows(st, st.snap, terms, filter_removed)
+        if st.delta is None:
             return main
-        dl = self._exact_rows(self.delta, terms, filter_removed)
+        dl = self._exact_rows(st, st.delta, terms, filter_removed)
         out: List[Optional[np.ndarray]] = []
         for a, b in zip(main, dl):
             if a is None:
@@ -239,7 +313,8 @@ class MeshQueryEngine:
                 out.append(np.union1d(a, b))
         return out
 
-    def _exact_rows(self, s: pm.ShardedSnapshot, terms, filter_removed: bool):
+    def _exact_rows(self, st: MeshServingState, s: pm.ShardedSnapshot, terms,
+                    filter_removed: bool):
         Q = qe._round_up(len(terms), self.q_bucket)
         qk = keys_mod.pack_terms(list(terms), width=s.width)
         pad = np.repeat(qk[-1:], Q - len(terms), axis=0)
@@ -249,7 +324,7 @@ class MeshQueryEngine:
             s.keys, s.blocks, s.term_block_start, s.counts, qk_p
         )
         if filter_removed:
-            vals, n = self._filter(vals, n)
+            vals, n = self._filter(vals, n, st.removed)
         md = qe._JIT_WIRE_META(vals, n)
         found, n, raw, md = jax.device_get((found, n, raw, md))
         vals = self._fetch_trimmed(vals, n, md)
@@ -264,7 +339,7 @@ class MeshQueryEngine:
                 out[i] = vals[i, : n[i]].copy()
         long_idx.sort(key=lambda i: -raw[i])
         while long_idx:
-            lv = self._level_for(int(max(raw[i] for i in long_idx)))
+            lv = self._level_for(int(max(raw[i] for i in long_idx)), st)
             qb = max(1, qe._RESERVE_BUDGET // lv)
             batch, long_idx = long_idx[:qb], long_idx[qb:]
             B = qe._round_up(len(batch), 8)
@@ -275,7 +350,7 @@ class MeshQueryEngine:
                 s.keys, s.blocks, s.term_block_start, s.counts, jnp.asarray(bq)
             )
             if filter_removed:
-                v2, n2 = self._filter(v2, n2)
+                v2, n2 = self._filter(v2, n2, st.removed)
             md2 = qe._JIT_WIRE_META(v2, n2)
             n2, md2 = jax.device_get((n2, md2))
             v2 = self._fetch_trimmed(v2, n2, md2)
@@ -298,18 +373,19 @@ class MeshQueryEngine:
             return qe._wire_unpack(*jax.device_get((f, dd[:, : maxc - 1])))
         return np.asarray(out[:, :maxc])
 
-    def _boolean_dispatch(self, lv: int, qk: np.ndarray, kv, op: str):
+    def _boolean_dispatch(self, st: MeshServingState, lv: int,
+                          qk: np.ndarray, kv, op: str):
         """One device pass at pad lv over main (+delta when live). The
         single-tier path reduce-scatters the decode so the set op runs
         query-sharded (1/D per device) instead of replicated."""
-        s = self.snap
-        if self.delta is None:
+        s = st.snap
+        if st.delta is None:
             call = pm.make_sharded_boolean_scatter(s, lv, op)
             return call(
                 s.keys, s.blocks, s.term_block_start, s.counts,
                 jnp.asarray(qe._narrow_keys(qk, s.width)), kv,
             )
-        d = self.delta
+        d = st.delta
         call = pm.make_sharded_boolean_dual_scatter(s, d, lv, op)
         return call(
             jnp.asarray(qe._narrow_keys(qk, s.width)),
@@ -325,9 +401,10 @@ class MeshQueryEngine:
         single-chip QueryEngine (padded formulation), tombstones included."""
         if not queries:
             return []
+        st = self._state
         K = max(len(q) for q in queries)
         Q = qe._round_up(len(queries), self.q_bucket)
-        W = self._widths()
+        W = st.width()
         qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
         kv = np.array(
             [len(q) for q in queries] + [0] * (Q - len(queries)), dtype=np.int32
@@ -342,9 +419,9 @@ class MeshQueryEngine:
         qk[rows, cols] = packed
         kv_d = jnp.asarray(kv)
 
-        out, oc, need = self._boolean_dispatch(self.L, qk, kv_d, op)
+        out, oc, need = self._boolean_dispatch(st, self.L, qk, kv_d, op)
         if filter_removed:
-            out, oc = self._filter(out, oc)
+            out, oc = self._filter(out, oc, st.removed)
         md = qe._JIT_WIRE_META(out, oc)
         oc, need, md = jax.device_get((oc, need, md))
         out = self._fetch_trimmed(out, oc, md)
@@ -357,7 +434,7 @@ class MeshQueryEngine:
             if need[i] <= self.L:
                 results[i] = out[i, : oc[i]].copy()
         while long_idx:
-            lv = self._level_for(int(max(need[i] for i in long_idx)))
+            lv = self._level_for(int(max(need[i] for i in long_idx)), st)
             qb = max(1, qe._RESERVE_BUDGET // (K * lv))
             batch, long_idx = long_idx[:qb], long_idx[qb:]
             B = qe._round_up(len(batch), 8)
@@ -365,9 +442,9 @@ class MeshQueryEngine:
             bkv = np.zeros(B, dtype=np.int32)
             bq[: len(batch)] = qk[batch]
             bkv[: len(batch)] = kv[batch]
-            o2, c2, _ = self._boolean_dispatch(lv, bq, jnp.asarray(bkv), op)
+            o2, c2, _ = self._boolean_dispatch(st, lv, bq, jnp.asarray(bkv), op)
             if filter_removed:
-                o2, c2 = self._filter(o2, c2)
+                o2, c2 = self._filter(o2, c2, st.removed)
             md2 = qe._JIT_WIRE_META(o2, c2)
             c2, md2 = jax.device_get((c2, md2))
             o2 = self._fetch_trimmed(o2, c2, md2)
@@ -390,7 +467,8 @@ class MeshQueryEngine:
         from collections import deque
 
         batches = list(batches)
-        if self.delta is not None:
+        st = self._state
+        if st.delta is not None:
             # dual-tier programs are not stream-shaped; the delta window is
             # transient (promotion folds it into main)
             per = [self.boolean(b, op, filter_removed) for b in batches]
@@ -398,7 +476,7 @@ class MeshQueryEngine:
                 [qe._rows_to_columnar(rows) for rows in per]
                 if columnar else per
             )
-        W = self._widths()
+        W = st.width()
         fetched: List = [None] * len(batches)
         longs = []  # (batch, row, qk_row (K, W+1), kv, need)
         pend = deque()
@@ -431,10 +509,10 @@ class MeshQueryEngine:
                 )
                 qk[rows, cols] = packed
             out, oc, need = self._boolean_dispatch(
-                self.L, qk, jnp.asarray(kv), op
+                st, self.L, qk, jnp.asarray(kv), op
             )
             if filter_removed:
-                out, oc = self._filter(out, oc)
+                out, oc = self._filter(out, oc, st.removed)
             md = qe._JIT_WIRE_META(out, oc)
             for a in (oc, need, md):
                 a.copy_to_host_async()
@@ -448,7 +526,7 @@ class MeshQueryEngine:
         overrides: Dict[int, Dict[int, np.ndarray]] = {}
         longs.sort(key=lambda t: -t[4])
         while longs:
-            lv = self._level_for(longs[0][4])
+            lv = self._level_for(longs[0][4], st)
             K = max(t[2].shape[0] for t in longs)
             qb = max(1, qe._RESERVE_BUDGET // (K * lv))
             batch, longs = longs[:qb], longs[qb:]
@@ -458,9 +536,9 @@ class MeshQueryEngine:
             for j, t in enumerate(batch):
                 bq[j, : t[2].shape[0]] = t[2]
                 bkv[j] = t[3]
-            o2, c2, _ = self._boolean_dispatch(lv, bq, jnp.asarray(bkv), op)
+            o2, c2, _ = self._boolean_dispatch(st, lv, bq, jnp.asarray(bkv), op)
             if filter_removed:
-                o2, c2 = self._filter(o2, c2)
+                o2, c2 = self._filter(o2, c2, st.removed)
             md2 = qe._JIT_WIRE_META(o2, c2)
             c2, md2 = jax.device_get((c2, md2))
             o2 = self._fetch_trimmed(o2, c2, md2)
@@ -491,10 +569,11 @@ class MeshQueryEngine:
         unmatched prefixes absent). Like the single-chip engine and the
         reference, prefix results are NOT tombstone-filtered (reads don't
         filter; only merge purges)."""
-        out = pm.sharded_prefix_search(self.snap, prefixes, L=self.L)
-        if self.delta is not None:
+        st = self._state
+        out = pm.sharded_prefix_search(st.snap, prefixes, L=self.L)
+        if st.delta is not None:
             for p, v in pm.sharded_prefix_search(
-                self.delta, prefixes, L=self.L
+                st.delta, prefixes, L=self.L
             ).items():
                 out[p] = np.union1d(out[p], v) if p in out else v
         return out
@@ -504,11 +583,12 @@ class MeshQueryEngine:
         """Globally sorted (term, values) stream over the mesh snapshot
         pair, [min,max] inclusive; two tiers merge-join by term with value
         union on ties (types.go:14-22 semantics)."""
-        main = pm.sharded_read_range(self.snap, min_term, max_term, L=self.L)
-        if self.delta is None:
+        st = self._state
+        main = pm.sharded_read_range(st.snap, min_term, max_term, L=self.L)
+        if st.delta is None:
             yield from main
             return
-        dl = pm.sharded_read_range(self.delta, min_term, max_term, L=self.L)
+        dl = pm.sharded_read_range(st.delta, min_term, max_term, L=self.L)
         a = next(main, None)
         b = next(dl, None)
         while a is not None or b is not None:

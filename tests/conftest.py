@@ -21,6 +21,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# The load-aware host-route fallback reads the machine's loadavg, which the
+# test run itself saturates on this 1-vCPU host — pin it off so routing
+# tests are deterministic (test_serving_routing re-enables it with a faked
+# loadavg to test the policy itself).
+os.environ.setdefault("TPI_HOST_BUSY_LOAD", "0")
+
 import numpy as np
 import pytest
 

@@ -1122,3 +1122,39 @@ def test_boolean_staged_hybrid_worker_error_propagates(tmp_path, rng,
     monkeypatch.setattr(QueryEngine, "_boolean_host_columnar", boom)
     with pytest.raises(RuntimeError, match="injected host-serve failure"):
         eng.boolean_staged(batches, "and", columnar=True)
+
+
+def test_host_busy_load_aware_fallback(tmp_path, rng, monkeypatch):
+    """Load-aware routing (VERDICT r3 #7): with the host cores saturated
+    (loadavg/core above TPI_HOST_BUSY_LOAD), the staged AND stream falls
+    back to the device pipeline — the host route's zero-link-byte edge
+    assumed a free CPU. One-shot AND and OR stay host-routed (the device
+    alternatives there are dispatch-latency / fetch-volume bound and lose
+    even to a contended host)."""
+    import os as os_mod
+
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")  # slow link: host-route regime
+    ii, _ = build_index(tmp_path, rng, n_docs=30)
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    monkeypatch.setenv("TPI_HOST_BUSY_LOAD", "1.5")
+    monkeypatch.setattr(os_mod, "getloadavg",
+                        lambda: (99.0 * (os_mod.cpu_count() or 1), 0.0, 0.0))
+    assert not eng._host_boolean_route("and", staged=True)  # busy -> device
+    assert eng._host_boolean_route("and", staged=False)     # one-shot: host
+    assert eng._host_boolean_route("or", staged=True)       # OR: host
+    monkeypatch.setattr(os_mod, "getloadavg", lambda: (0.1, 0.0, 0.0))
+    assert eng._host_boolean_route("and", staged=True)      # idle -> host
+    monkeypatch.setenv("TPI_HOST_BUSY_LOAD", "0")           # fallback off
+    monkeypatch.setattr(os_mod, "getloadavg",
+                        lambda: (99.0 * (os_mod.cpu_count() or 1), 0.0, 0.0))
+    assert eng._host_boolean_route("and", staged=True)
+    # the busy fallback serves bit-identically through the device pipeline
+    monkeypatch.setenv("TPI_HOST_BUSY_LOAD", "1.5")
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")
+    qs = [[b"term001", b"term002"], [b"term003"]]
+    dev = eng.boolean_staged([qs], "and")
+    monkeypatch.setenv("TPI_HOST_BUSY_LOAD", "0")
+    host = eng.boolean_staged([qs], "and")
+    for a, b in zip(dev[0], host[0]):
+        assert np.array_equal(a, b)
