@@ -1,0 +1,695 @@
+"""Depth-pipelined stream serving (staged boolean/lookup) — a mixin
+behind the QueryEngine facade.
+
+The staged streams pack + dispatch batch i+depth BEFORE downloading batch
+i's results, so host packing and fetch round trips overlap device compute
+(see boolean_staged). Split out of models/query_engine.py; the fused-AND
+device helpers these streams dispatch through stay on QueryEngine.
+"""
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .steps import (
+    _JIT_BOOLEAN_DUAL,
+    _JIT_CONCAT_BOOL,
+    _JIT_FILTER,
+    _JIT_RESOLVE,
+    _JIT_WIRE_META,
+    _JIT_WIRE_PACK,
+    _batch_as_lists,
+    _narrow_keys,
+    _rows_to_columnar,
+    _wire_unpack,
+    _RESERVE_BUDGET,
+    _round_up,
+)
+
+
+class StagedStreamsMixin:
+    """Pipelined stream-serving methods; mixed into QueryEngine."""
+
+    def lookup_staged(
+        self, batches, filter_removed: bool = False, depth: int = 3,
+        columnar: bool = False, prefix_p: int = 0,
+    ):
+        """Pipelined stream lookup: `batches` is an iterable of term lists.
+        Each term serves as a single-term OR query through the staged
+        concat-class stream (exact at any posting length — classes size by
+        TRUE counts, no ladder, no truncation), so packing, dispatch, and
+        the fetch round trips pipeline across batches exactly like
+        boolean_staged. Returns per batch what boolean_staged returns
+        (rows / columnar pair / pagination triple with prefix_p).
+
+        Misses surface as count-0 results rather than lookup()'s None —
+        without filter_removed a PRESENT term always has >= 1 posting, so
+        zero is unambiguous there.
+
+        With retained host tables covering the live tier pair (host_ready),
+        batches serve entirely HOST-side — native decode from the
+        compressed stream, zero device round trips: full-result lookup is
+        fetch-volume bound on any link, so not crossing the link at all is
+        the speed of light for this op."""
+        st = self._state
+        if st.host_ready():
+            return self._host_lookup_stream(
+                st, batches, filter_removed, columnar, prefix_p
+            )
+        return self.boolean_staged(
+            [[[t] for t in b] for b in batches], "or",
+            filter_removed, depth, columnar, prefix_p, _st=st,
+        )
+
+    def boolean_staged(
+        self, batches, op: str = "and", filter_removed: bool = False,
+        depth: int = 3, columnar: bool = False, prefix_p: int = 0,
+        _st: Optional[ServingState] = None,
+    ):
+        """Pipelined stream serving: pack + dispatch batch i+`depth` BEFORE
+        downloading batch i's results, so host packing and the fetch round
+        trip overlap device compute instead of serializing with it —
+        steady-state throughput approaches max(device, host) rather than
+        their sum. Rare follow-ups (small-P overflow, ladder re-serves,
+        concat overflow) are classified with vectorized masks, deferred,
+        and processed once across the whole stream. Per-batch semantics
+        are identical to boolean().
+
+        AND on TPU streams through the fused kernel; OR (and AND off-TPU,
+        and any prefix_p run) streams through the concat-decode classes;
+        with a delta tier live, batches stream through the padded DUAL
+        formulation (_staged_dual_stream) — every route pipelines at the
+        same depth and drains ladder re-serves once, cross-stream.
+
+        batches: iterable of query batches — each a sequence of term
+        lists, OR a columnar (blob, offsets[T+1], qoffs[Q+1]) triple
+        (terms concatenated in one bytes/uint8 buffer; queries as term
+        ranges). Columnar input skips the list-of-lists pack's
+        Python-object costs (~7 of 9 ms per 8192-query batch on a 1-vCPU
+        host) — prefer it when queries arrive in wire form.
+        columnar=False: one result list (np array per query) per batch.
+        columnar=True: one (values, voffs[n+1]) pair per batch — zero
+        per-query host work (bulk consumers; values[voffs[i]:voffs[i+1]]
+        is query i's sorted result).
+        prefix_p > 0 (requires columnar): pagination serving — each batch
+        returns (values, voffs, counts) where values holds only the FIRST
+        min(count, prefix_p) results per query and counts the true result
+        sizes. Bounds the fetch volume for large-result ops (OR unions are
+        O(sum of list lengths); full-result fetches are bandwidth-bound on
+        any link). Exact full results for chosen rows come from boolean().
+        """
+        from collections import deque
+
+        batches = list(batches)
+        if prefix_p and not columnar:
+            raise ValueError("prefix_p requires columnar=True")
+        st = _st if _st is not None else self._state
+        if self._host_boolean_route(op, prefix_p, staged=True, st=st):
+            # output-bound op with tables retained: the host route has no
+            # round trips to pipeline — serve each batch directly
+            out = []
+            for b in batches:
+                if columnar:  # columnar core directly: no per-row copies,
+                    out.append(  # and wire-form batches pack vectorized
+                        self._boolean_host_columnar(
+                            b, op, filter_removed, st=st
+                        )
+                    )
+                else:
+                    out.append(self.boolean_host(
+                        _batch_as_lists(b), op, filter_removed, _st=st
+                    ))
+            return out
+        removed = st.removed if filter_removed else None
+        if st.delta is not None:
+            # delta window: the padded DUAL formulation, still pipelined
+            return self._staged_dual_stream(
+                st, batches, op, removed, depth, columnar, prefix_p
+            )
+        if st.snap.n_terms == 0:
+            # empty index: per-batch fallback (nothing to pipeline)
+            out = []
+            for b in batches:
+                rows = self.boolean(_batch_as_lists(b), op, filter_removed)
+                if not columnar:
+                    out.append(rows)
+                    continue
+                vals, voffs = _rows_to_columnar(
+                    [None if r is None else r[:prefix_p] for r in rows]
+                    if prefix_p else rows
+                )
+                if prefix_p:
+                    counts = np.array(
+                        [0 if r is None else len(r) for r in rows],
+                        dtype=np.int64,
+                    )
+                    out.append((vals, voffs, counts))
+                else:
+                    out.append((vals, voffs))
+            return out
+        if op != "and" or not self._use_fused(st) or prefix_p:
+            # exact stream through the pipelined concat classes (also the
+            # pagination route: prefix_p slices on device there)
+            return self._staged_concat_stream(
+                st, batches, op, removed, depth, columnar, prefix_p
+            )
+        P = self._STAGED_SMALL_P
+        levels_h = [lv for lv in self._levels(st)]
+        fetched: List = [None] * len(batches)
+        wide, longs, overs = [], [], []
+
+        def harvest(item):
+            bi, nq, qk, kv, devs = item
+            f = jax.device_get(devs)
+            fetched[bi] = (nq, f)
+            small, oc, code = f
+            # vectorized classification: only the RARE follow-up rows loop
+            # (the u8 code carries the whole decision — see
+            # boolean_fused_staged_step)
+            follow = np.nonzero(code[:nq] != 0)[0]
+            for i in follow:
+                c = int(code[i])
+                if c == 1:
+                    wide.append(((bi, int(i)), qk[i], int(kv[i])))
+                elif c != 255:
+                    # ladder level identity is all the re-serve batcher
+                    # uses of `need` (it serves each batch at the level of
+                    # its largest member) — the level stands in exactly
+                    longs.append(
+                        ((bi, int(i)), qk[i], int(kv[i]), levels_h[c - 2])
+                    )
+                else:
+                    overs.append(((bi, int(i)), qk[i], int(kv[i])))
+
+        # hybrid work-stealing (see _hybrid_staged): the device pipeline
+        # claims batches from the HEAD, a host thread serves batches from
+        # the TAIL via the fused native serve — both claim as fast as they
+        # finish, so the split self-balances to their relative rates
+        host_res: Dict[int, tuple] = {}
+        cursor = {"head": 0, "tail": len(batches) - 1}
+        clock = threading.Lock()
+
+        def claim(dev_side: bool):
+            with clock:
+                if cursor["head"] > cursor["tail"]:
+                    return None
+                if dev_side:
+                    bi = cursor["head"]
+                    cursor["head"] += 1
+                else:
+                    bi = cursor["tail"]
+                    cursor["tail"] -= 1
+                return bi
+
+        worker = None
+        host_err: List[BaseException] = []
+        if len(batches) > 1 and self._hybrid_staged(op, st=st):
+            if filter_removed:
+                st.removed_host()  # materialize the tombstone array on
+                # THIS thread (one jax.device_get) before the worker starts
+
+            def host_worker():
+                try:
+                    while True:
+                        hbi = claim(False)
+                        if hbi is None:
+                            break
+                        host_res[hbi] = self._boolean_host_columnar(
+                            batches[hbi], op, filter_removed, st=st
+                        )
+                    # steal-back: an RPC burst strands the device's
+                    # in-flight batches (the main thread is blocked in
+                    # device_get) — with the tail exhausted, re-serve any
+                    # batch the device claimed but has not harvested yet,
+                    # most recent dispatch first. Assembly prefers the host
+                    # copy; results are bit-identical either way, so a
+                    # racing harvest is only duplicated work.
+                    for hbi in range(len(batches) - 1, -1, -1):
+                        if fetched[hbi] is None and hbi not in host_res:
+                            host_res[hbi] = self._boolean_host_columnar(
+                                batches[hbi], op, filter_removed, st=st
+                            )
+                except BaseException as e:  # surfaced after join() — a
+                    host_err.append(e)      # swallowed thread death would
+                    # otherwise strand its claimed batches as a confusing
+                    # None-unpack in the assembly loop
+
+            worker = threading.Thread(target=host_worker, daemon=True)
+            worker.start()
+
+        pend = deque()
+        while True:
+            bi = claim(True)
+            if bi is None:
+                break
+            nq, qk, kv = self._batch_pack(st, batches[bi])
+            if nq == 0:
+                fetched[bi] = (0, None)
+                continue
+            qk, kv = self._fused_pad(qk, kv)
+            devs = self._fused_run_staged(st, qk, kv, removed)
+            # start the device->host copies NOW (they queue behind the
+            # compute): by harvest time the data is already local, so the
+            # host never blocks a full tunnel round trip per batch
+            for a in devs:
+                a.copy_to_host_async()
+            pend.append((bi, nq, qk, kv, devs))
+            if len(pend) > depth:
+                harvest(pend.popleft())
+        while pend:
+            harvest(pend.popleft())
+        if worker is not None:
+            worker.join()
+            if host_err:
+                raise host_err[0]
+
+        overrides: Dict[int, Dict[int, np.ndarray]] = {}
+
+        def setter(pos, v):
+            overrides.setdefault(pos[0], {})[pos[1]] = v
+
+        self._fused_followups(st, setter, wide, longs, overs, removed)
+
+        out = []
+        for bi in range(len(batches)):
+            if bi in host_res:  # hybrid: host-served, already final
+                vals, voffs = host_res[bi]
+                out.append((vals, voffs) if columnar else [
+                    vals[voffs[i] : voffs[i + 1]].copy()
+                    for i in range(len(voffs) - 1)
+                ])
+                continue
+            nq, f = fetched[bi]
+            ovr = overrides.get(bi, {})
+            if nq == 0:
+                out.append((np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                           if columnar else [])
+                continue
+            small, oc8, code = f
+            oc = oc8.astype(np.int32)
+            normal = code[:nq] == 0
+            if columnar:
+                counts = np.where(normal, oc[:nq], 0).astype(np.int64)
+                for i, arr in ovr.items():
+                    counts[i] = len(arr)
+                voffs = np.zeros(nq + 1, dtype=np.int64)
+                np.cumsum(counts, out=voffs[1:])
+                vals = np.empty(int(voffs[-1]), dtype=np.uint32)
+                m2 = (np.arange(P)[None, :]
+                      < np.where(normal, oc[:nq], 0)[:, None])
+                dst = (voffs[:-1, None] + np.arange(P)[None, :])[m2]
+                vals[dst] = small[:nq][m2]
+                for i, arr in ovr.items():
+                    vals[voffs[i]: voffs[i + 1]] = arr
+                out.append((vals, voffs))
+            else:
+                rows: List[Optional[np.ndarray]] = [None] * nq
+                for i in range(nq):
+                    if normal[i]:
+                        rows[i] = small[i, : oc[i]].copy()
+                for i, arr in ovr.items():
+                    rows[i] = arr
+                out.append(rows)
+        return out
+
+    def _staged_dual_stream(
+        self, st, batches, op: str, removed, depth: int, columnar: bool,
+        prefix_p: int,
+    ):
+        """Depth-pipelined stream over the MAIN+DELTA snapshot pair (the
+        padded dual formulation, boolean_step_dual): dispatches pipeline
+        across batches and ladder re-serves drain once cross-stream
+        (two-wave), so serving throughput holds through delta windows
+        instead of dropping to serial per-batch calls. prefix_p slices
+        each result row on device at dispatch time (true counts + first-P
+        values, one bounded fetch — the pagination contract)."""
+        from collections import deque
+
+        s, d = st.snap, st.delta
+        P = int(prefix_p)
+        fetched: List = [None] * len(batches)
+        longs = []
+        pend = deque()
+
+        def run(lv, qk_sub, kv_sub):
+            return _JIT_BOOLEAN_DUAL(
+                s.keys, s.blocks, s.term_block_start, s.counts, s.hash_slots,
+                d.keys, d.blocks, d.term_block_start, d.counts, d.hash_slots,
+                jnp.asarray(_narrow_keys(qk_sub, s.width)),
+                jnp.asarray(_narrow_keys(qk_sub, d.width)),
+                jnp.asarray(kv_sub), lv, op, removed,
+                s.max_probes, d.max_probes,
+            )
+
+        def harvest(item):
+            bi, nq, qk, kv, out, oc, need = item
+            oc_h, need_h = jax.device_get((oc, need))
+            if P:
+                out_h = np.asarray(out)  # the (Q, P) device slice
+            else:
+                out_h = np.asarray(
+                    out[:, : max(1, int(oc_h[:nq].max(initial=0)))]
+                )
+            fetched[bi] = (nq, out_h, oc_h)
+            for i in np.nonzero(need_h[:nq] > self.L)[0]:
+                longs.append((
+                    (bi, int(i)), qk[i], int(kv[i]),
+                    self._level_for(int(need_h[i]), st),
+                ))
+
+        for bi, queries in enumerate(batches):
+            nq, qk, kv = self._batch_pack(st, queries)
+            if nq == 0:
+                fetched[bi] = (0, None, None)
+                continue
+            out, oc, need = run(self.L, qk, kv)
+            if P:
+                out = out[:, : min(P, out.shape[1])]
+                out.copy_to_host_async()
+            oc.copy_to_host_async()
+            need.copy_to_host_async()
+            pend.append((bi, nq, qk, kv, out, oc, need))
+            if len(pend) > depth:
+                harvest(pend.popleft())
+        while pend:
+            harvest(pend.popleft())
+
+        overrides: Dict[int, Dict[int, np.ndarray]] = {}
+
+        def setter(pos, v):
+            overrides.setdefault(pos[0], {})[pos[1]] = v
+
+        self._drain_levels(longs, run, setter)
+
+        results = []
+        for bi in range(len(batches)):
+            nq, out_h, oc_h = fetched[bi]
+            if nq == 0:
+                if columnar:
+                    empty = (np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                    results.append(
+                        empty + (np.zeros(0, np.int64),) if P else empty
+                    )
+                else:
+                    results.append([])
+                continue
+            ovr = overrides.get(bi, {})
+            if P:
+                counts = oc_h[:nq].astype(np.int64)
+                rows = []
+                for i in range(nq):
+                    if i in ovr:
+                        counts[i] = len(ovr[i])
+                        rows.append(ovr[i][:P])
+                    else:
+                        rows.append(out_h[i, : min(int(oc_h[i]), P)])
+                vals, voffs = _rows_to_columnar(rows)
+                results.append((vals, voffs, counts))
+            else:
+                rows = [
+                    ovr[i] if i in ovr else out_h[i, : oc_h[i]].copy()
+                    for i in range(nq)
+                ]
+                results.append(_rows_to_columnar(rows) if columnar else rows)
+        return results
+
+    def _staged_concat_stream(
+        self, st, batches, op: str, removed, depth: int, columnar: bool,
+        prefix_p: int,
+    ):
+        """Depth-pipelined stream serving over the concat-decode classes —
+        the OR twin of the fused-AND staged loop. Three stages per batch,
+        each overlapping the others' device time across the stream:
+
+          resolve:  pack + dispatch the cheap term-resolution pass
+          classes:  read the counts, group queries into total-block classes,
+                    dispatch every class chunk (async) + start the result
+                    copies
+          harvest:  fetch counts (+ trimmed results, or the prefix_p slice),
+                    assemble per-batch output
+
+        prefix_p=0 fetches exact full results (two round trips per batch —
+        counts gate the trim; OR unions are O(total postings), so the fetch
+        itself is the floor on any link). prefix_p>0 slices each result row
+        to prefix_p ON DEVICE at dispatch time, so the harvest is ONE
+        bounded fetch regardless of union sizes and the batch returns
+        (values, voffs, true_counts) — the pagination contract documented
+        on boolean_staged."""
+        from collections import deque
+
+        s = st.snap
+        stride = int(s.blocks.shape[1])
+        P = int(prefix_p)
+        out_all: List = [None] * len(batches)
+        resq: deque = deque()
+        clsq: deque = deque()
+
+        def stage_resolve(bi):
+            nq, qk, kv = self._batch_pack(st, batches[bi])
+            if nq == 0:
+                resq.append((bi, 0, None, None))
+                return
+            r = _JIT_RESOLVE(
+                s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
+            )
+            for a in r:
+                a.copy_to_host_async()
+            resq.append((bi, nq, kv, r))
+
+        def stage_classes(item):
+            bi, nq, kv, r = item
+            if nq == 0:
+                clsq.append((bi, 0, [], {}))
+                return
+            idx_h, found_h, raw_h = jax.device_get(r)
+            K = idx_h.shape[1]
+            sb_q = np.minimum(
+                -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
+            ).sum(axis=1)
+            order = np.argsort(sb_q, kind="stable")
+            pos = 0
+            dispatches = []
+            singles: Dict[int, np.ndarray] = {}
+            for SB in self._SB_CLASSES:
+                hi = int(np.searchsorted(sb_q[order], SB, side="right"))
+                members = order[pos:hi]
+                pos = hi
+                if not len(members):
+                    continue
+                qb = max(8, (_RESERVE_BUDGET // (SB * max(stride, 128))) // 8 * 8)
+                for c0 in range(0, len(members), qb):
+                    batch = members[c0 : c0 + qb]
+                    B = 8
+                    while B < len(batch):
+                        B *= 2
+                    bi2 = np.zeros((B, K), dtype=np.int32)
+                    bf = np.zeros((B, K), dtype=bool)
+                    bkv = np.zeros(B, dtype=np.int32)
+                    bi2[: len(batch)] = idx_h[batch]
+                    bf[: len(batch)] = found_h[batch]
+                    bkv[: len(batch)] = kv[batch]
+                    o, oc = _JIT_CONCAT_BOOL(
+                        s.blocks, s.term_block_start, s.counts,
+                        jnp.asarray(bi2), jnp.asarray(bf), jnp.asarray(bkv),
+                        SB, op,
+                    )
+                    if removed is not None and removed.shape[0] > 0:
+                        o, oc = _JIT_FILTER(o, oc, removed)
+                    md = None
+                    if P:
+                        o = o[:, : min(P, o.shape[1])]
+                        o.copy_to_host_async()
+                    else:
+                        # full-result route: masked max delta rides the
+                        # counts fetch and picks the wire width at harvest
+                        md = _JIT_WIRE_META(o, oc)
+                        md.copy_to_host_async()
+                    oc.copy_to_host_async()
+                    dispatches.append((batch, o, oc, md))
+                if pos >= nq:
+                    break
+            # beyond the largest class (pathological): singly, exact budget
+            for qi in order[pos:]:
+                SB = int(_round_up(int(sb_q[qi]), 8))
+                bi3 = np.repeat(idx_h[qi : qi + 1], 8, axis=0).astype(np.int32)
+                bf3 = np.repeat(found_h[qi : qi + 1], 8, axis=0)
+                bkv3 = np.full(8, kv[qi], dtype=np.int32)
+                o, oc = _JIT_CONCAT_BOOL(
+                    s.blocks, s.term_block_start, s.counts,
+                    jnp.asarray(bi3), jnp.asarray(bf3), jnp.asarray(bkv3),
+                    SB, op,
+                )
+                if removed is not None and removed.shape[0] > 0:
+                    o, oc = _JIT_FILTER(o, oc, removed)
+                c = int(np.asarray(oc)[0])
+                singles[int(qi)] = np.asarray(o[0, :c]).copy()
+            clsq.append((bi, nq, dispatches, singles))
+
+        def stage_harvest(item):
+            bi, nq, dispatches, singles = item
+            if nq == 0:
+                if columnar:
+                    empty = (np.zeros(0, np.uint32), np.zeros(1, np.int64))
+                    out_all[bi] = empty + (np.zeros(0, np.int64),) if P else empty
+                else:
+                    out_all[bi] = []
+                return
+            if P:
+                ocs = jax.device_get([d[2] for d in dispatches])
+                outs = jax.device_get([d[1] for d in dispatches])
+            else:
+                ocs, mds = (
+                    jax.device_get(
+                        ([d[2] for d in dispatches],
+                         [d[3] for d in dispatches])
+                    ) if dispatches else ([], [])
+                )
+                outs = self._wire_fetch(dispatches, ocs, mds)
+            counts = np.zeros(nq, dtype=np.int64)
+            rows: List[Optional[np.ndarray]] = [None] * nq
+            for (batch, _, _, _), oc, o in zip(dispatches, ocs, outs):
+                for j, qi in enumerate(batch):
+                    c = int(oc[j])
+                    counts[qi] = c
+                    rows[qi] = o[j, : (min(c, P) if P else c)]
+            for qi, v in singles.items():
+                counts[qi] = len(v)
+                rows[qi] = v[:P] if P else v
+            if columnar:
+                vals, voffs = _rows_to_columnar(rows)
+                out_all[bi] = (vals, voffs, counts) if P else (vals, voffs)
+            else:
+                out_all[bi] = [np.array(r, dtype=np.uint32) for r in rows]
+
+        for bi in range(len(batches)):
+            stage_resolve(bi)
+            if len(resq) > depth:
+                stage_classes(resq.popleft())
+            if len(clsq) > depth:
+                stage_harvest(clsq.popleft())
+        while resq:
+            stage_classes(resq.popleft())
+            if len(clsq) > depth:
+                stage_harvest(clsq.popleft())
+        while clsq:
+            stage_harvest(clsq.popleft())
+        return out_all
+
+    @staticmethod
+    def _wire_fetch(dispatches, ocs, mds):
+        """Trip 2 of a full-result harvest: per dispatch, ship the
+        delta-packed plane at the width its masked max delta allows
+        (u8/u16 — see the wire codec above _JIT_WIRE_META), or the raw u32
+        trim when deltas exceed 16 bits. One device_get covers every
+        dispatch. dispatches rows are (query indices, out, oc, maxdelta).
+        TPI_WIRE=0 forces the raw trim (operational escape hatch; also the
+        A/B lever the codec's win is measured with)."""
+        packed = os.environ.get("TPI_WIRE", "1") != "0"
+        fetches, wire = [], []
+        for (_, o, _, _), oc_h, md_h in zip(dispatches, ocs, mds):
+            maxc = int(oc_h.max(initial=0))
+            if maxc <= 1:
+                fetches.append(o[:, :1])
+                wire.append(False)
+            elif packed and int(md_h) < (1 << 16):
+                f, dd = _JIT_WIRE_PACK(o, bits=8 if int(md_h) < 256 else 16)
+                fetches.append((f, dd[:, : maxc - 1]))
+                wire.append(True)
+            else:
+                fetches.append(o[:, :maxc])
+                wire.append(False)
+        fetched = jax.device_get(fetches)
+        return [
+            _wire_unpack(*fo) if w else fo for fo, w in zip(fetched, wire)
+        ]
+
+    def _boolean_concat(self, st, queries, qk, kv, op: str, removed):
+        """Exact AND/OR sized by each query's REAL total postings:
+        resolve counts (cheap pass), group queries into total-block classes,
+        then one concat-decode + sort + run-length reduction per class
+        (ops/concat_bool.py). No padding to the longest list, no re-serve."""
+        s = st.snap
+        nq = len(queries)
+        K = qk.shape[1]
+        idx, found, raw = _JIT_RESOLVE(
+            s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
+        )
+        idx_h, found_h, raw_h = jax.device_get((idx, found, raw))
+        sb_q = np.minimum(
+            -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
+        ).sum(axis=1)
+        results: List[Optional[np.ndarray]] = [None] * nq
+        order = np.argsort(sb_q, kind="stable")
+        stride = int(s.blocks.shape[1])
+        pos = 0
+        # phase 1: dispatch every class chunk (async); B pads to a power of
+        # two so compiled shapes repeat across batches
+        dispatches = []  # (query indices, out_dev, oc_dev)
+        for SB in self._SB_CLASSES:
+            hi = int(np.searchsorted(sb_q[order], SB, side="right"))
+            members = order[pos:hi]
+            pos = hi
+            if not len(members):
+                continue
+            qb = max(8, (_RESERVE_BUDGET // (SB * max(stride, 128))) // 8 * 8)
+            for c0 in range(0, len(members), qb):
+                batch = members[c0 : c0 + qb]
+                B = 8
+                while B < len(batch):
+                    B *= 2
+                bi = np.zeros((B, K), dtype=np.int32)
+                bf = np.zeros((B, K), dtype=bool)
+                bkv = np.zeros(B, dtype=np.int32)
+                bi[: len(batch)] = idx_h[batch]
+                bf[: len(batch)] = found_h[batch]
+                bkv[: len(batch)] = kv[batch]
+                out, oc = _JIT_CONCAT_BOOL(
+                    s.blocks, s.term_block_start, s.counts,
+                    jnp.asarray(bi), jnp.asarray(bf), jnp.asarray(bkv),
+                    SB, op,
+                )
+                if removed is not None and removed.shape[0] > 0:
+                    out, oc = _JIT_FILTER(out, oc, removed)
+                md = _JIT_WIRE_META(out, oc)
+                md.copy_to_host_async()
+                oc.copy_to_host_async()
+                dispatches.append((batch, out, oc, md))
+            if pos >= nq:
+                break
+        # phase 2: ONE pipelined fetch of all counts + max deltas, then one
+        # wire-packed fetch of all result prefixes (each device_get issues
+        # every async copy before blocking — sequential np.asarray would pay
+        # the tunnel RPC per array; the delta packing halves/quarters the
+        # second, dominant fetch)
+        ocs, mds = (
+            jax.device_get(
+                ([d[2] for d in dispatches], [d[3] for d in dispatches])
+            ) if dispatches else ([], [])
+        )
+        outs = self._wire_fetch(dispatches, ocs, mds)
+        for (batch, _, _, _), oc, out in zip(dispatches, ocs, outs):
+            for j, qi in enumerate(batch):
+                results[qi] = out[j, : oc[j]].copy()
+        # queries beyond the largest class (pathological): process singly at
+        # their exact block budget rounded up
+        for qi in order[pos:]:
+            SB = int(_round_up(int(sb_q[qi]), 8))
+            bi = np.repeat(idx_h[qi : qi + 1], 8, axis=0).astype(np.int32)
+            bf = np.repeat(found_h[qi : qi + 1], 8, axis=0)
+            bkv = np.full(8, kv[qi], dtype=np.int32)
+            out, oc = _JIT_CONCAT_BOOL(
+                s.blocks, s.term_block_start, s.counts,
+                jnp.asarray(bi), jnp.asarray(bf), jnp.asarray(bkv), SB, op,
+            )
+            if removed is not None and removed.shape[0] > 0:
+                out, oc = _JIT_FILTER(out, oc, removed)
+            oc = np.asarray(oc)
+            results[qi] = np.asarray(out[0, : oc[0]]).copy()
+        return results
+
