@@ -572,17 +572,22 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
     # regardless of real volume and UNDERSTATES the served rate)
     from inverted_index_2_tpu.ops import concat_bool as _cb
 
-    @ft.partial(jax.jit, static_argnames=("sbs",))
-    def scan_or_all(blocks, tbs, counts, class_ops, sbs):
+    @ft.partial(jax.jit, static_argnames=("sbs", "wire_dedup"))
+    def scan_or_all(blocks, tbs, counts, class_ops, sbs, wire_dedup=False):
         """ALL size classes in ONE program (one dispatch, one fence): the
         per-class dispatch+fence RPCs were ~2x the smallest class's whole
-        compute (measured 101k one-dispatch vs ~81k separate, same data)."""
+        compute (measured 101k one-dispatch vs ~81k separate, same data).
+        wire_dedup=True is the PRODUCTION full-result dispatch (round 4):
+        the sorted stream ships with cross-list duplicates and the host's
+        wire unpack drops the zero deltas — the device-side compaction
+        sort (38% of the kernel) is gone."""
         chks = []
         for (bi, bf, bkv), SB in zip(class_ops, sbs):
             def body(carry, xs, SB=SB):
                 i2, f2, k2 = xs
                 o, oc = _cb.boolean_concat_step(
-                    blocks, tbs, counts, i2, f2, k2, SB, "or")
+                    blocks, tbs, counts, i2, f2, k2, SB, "or",
+                    wire_dedup=wire_dedup)
                 return carry ^ jnp.uint32(jnp.sum(oc)) ^ jnp.bitwise_xor.reduce(o[:, 0]), None
             chks.append(jax.lax.scan(body, jnp.uint32(0), (bi, bf, bkv))[0])
         return chks
@@ -628,10 +633,18 @@ def bench_postlen1k(corpus, snap, build_s, Q=2048, iters=12, L=2048, seed=11):
         def or_rep():
             _fence(scan_or_all(
                 snap.blocks, snap.term_block_start, snap.counts,
-                class_ops, sbs_t))
+                class_ops, sbs_t, wire_dedup=True))
         or_rep()
         out["or_qps_postlen1k"] = _qps_stat(
             "or_qps_postlen1k", covered, _reps(or_rep))
+
+        def or_rep_compact():
+            _fence(scan_or_all(
+                snap.blocks, snap.term_block_start, snap.counts,
+                class_ops, sbs_t, wire_dedup=False))
+        or_rep_compact()
+        out["or_qps_postlen1k_devcompact"] = _qps_stat(
+            "or_qps_postlen1k_devcompact", covered, _reps(or_rep_compact, reps=3))
         out["or_postlen1k_covered_frac"] = round(covered / (iters * Q), 3)
     else:  # degenerate class mix: fall back to the padded number
         out["or_qps_postlen1k"] = out["or_qps_postlen1k_padded"]

@@ -78,6 +78,7 @@ from .steps import (  # noqa: F401
     _JIT_BOOLEAN_FUSED,
     _JIT_BOOLEAN_FUSED_STAGED,
     _JIT_CONCAT_BOOL,
+    _JIT_CONCAT_BOOL_SEL,
     _JIT_DECODE,
     _JIT_FILTER,
     _JIT_LOOKUP,
@@ -95,6 +96,8 @@ from .steps import (  # noqa: F401
     _round_up,
     _wire_meta_step,
     _wire_pack_step,
+    _JIT_RESOLVE_SB,
+    _dedup_adjacent,
     _wire_unpack,
     boolean_fused_staged_step,
     boolean_fused_step,

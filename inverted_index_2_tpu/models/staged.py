@@ -21,10 +21,13 @@ from .steps import (
     _JIT_BOOLEAN_DUAL,
     _JIT_CONCAT_BOOL,
     _JIT_FILTER,
+    _JIT_CONCAT_BOOL_SEL,
     _JIT_RESOLVE,
+    _JIT_RESOLVE_SB,
     _JIT_WIRE_META,
     _JIT_WIRE_PACK,
     _batch_as_lists,
+    _dedup_adjacent,
     _narrow_keys,
     _rows_to_columnar,
     _wire_unpack,
@@ -446,33 +449,51 @@ class StagedStreamsMixin:
         s = st.snap
         stride = int(s.blocks.shape[1])
         P = int(prefix_p)
+        # chunk budget: measured same-process on-chip (round 4) — BIGGER
+        # chunks LOSE (pagination stream 90.5k at 1x vs 75.2k at 2x vs
+        # 60.5k at 4x): the smaller dispatches overlap each other and the
+        # fetches better than fewer big ones amortize issue cost
+        budget = _RESERVE_BUDGET
+        # full-result OR, no tombstones: wire-dedup contract (ship sorted
+        # stream with duplicates; zero deltas drop host-side) — skips the
+        # device compaction sort, 38% of the kernel
+        wd = not P and op == "or" and (
+            removed is None or removed.shape[0] == 0)
         out_all: List = [None] * len(batches)
         resq: deque = deque()
         clsq: deque = deque()
+
+        # pagination OR with no tombstone filter: windowed compaction
+        # (first P*K sorted lanes) skips the second full-row sort — 72k ->
+        # 113k QPS on-chip at config-3 (boolean_concat_step's prefix_p
+        # contract; the post-filter and AND cases need full compaction)
+        win = P if (P and op == "or" and (
+            removed is None or removed.shape[0] == 0)) else 0
 
         def stage_resolve(bi):
             nq, qk, kv = self._batch_pack(st, batches[bi])
             if nq == 0:
                 resq.append((bi, 0, None, None))
                 return
-            r = _JIT_RESOLVE(
+            # resolve + per-query block sum reduced ON DEVICE: the host
+            # only ever summed the (Q, K) raw matrix — it reads back the
+            # (Q,) sum; idx/found stay device-resident and class chunks
+            # select rows via tiny selector uploads (_concat_bool_sel_step)
+            r = _JIT_RESOLVE_SB(
                 s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
             )
-            for a in r:
-                a.copy_to_host_async()
-            resq.append((bi, nq, kv, r))
+            r[2].copy_to_host_async()
+            resq.append((bi, nq, (kv, jnp.asarray(kv)), r))
 
         def stage_classes(item):
-            bi, nq, kv, r = item
+            bi, nq, kvs, r = item
             if nq == 0:
                 clsq.append((bi, 0, [], {}))
                 return
-            idx_h, found_h, raw_h = jax.device_get(r)
-            K = idx_h.shape[1]
-            sb_q = np.minimum(
-                -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
-            ).sum(axis=1)
-            order = np.argsort(sb_q, kind="stable")
+            kv, kv_dev = kvs
+            idx_dev, found_dev, sb_dev = r
+            sb_q = np.asarray(sb_dev)[:nq].astype(np.int64)
+            order = np.argsort(sb_q, kind="stable").astype(np.int32)
             pos = 0
             dispatches = []
             singles: Dict[int, np.ndarray] = {}
@@ -482,27 +503,29 @@ class StagedStreamsMixin:
                 pos = hi
                 if not len(members):
                     continue
-                qb = max(8, (_RESERVE_BUDGET // (SB * max(stride, 128))) // 8 * 8)
+                qb = max(8, (budget // (SB * max(stride, 128))) // 8 * 8)
                 for c0 in range(0, len(members), qb):
                     batch = members[c0 : c0 + qb]
                     B = 8
                     while B < len(batch):
                         B *= 2
-                    bi2 = np.zeros((B, K), dtype=np.int32)
-                    bf = np.zeros((B, K), dtype=bool)
-                    bkv = np.zeros(B, dtype=np.int32)
-                    bi2[: len(batch)] = idx_h[batch]
-                    bf[: len(batch)] = found_h[batch]
-                    bkv[: len(batch)] = kv[batch]
-                    o, oc = _JIT_CONCAT_BOOL(
+                    sel = np.full(B, -1, dtype=np.int32)
+                    sel[: len(batch)] = batch
+                    o, oc = _JIT_CONCAT_BOOL_SEL(
                         s.blocks, s.term_block_start, s.counts,
-                        jnp.asarray(bi2), jnp.asarray(bf), jnp.asarray(bkv),
-                        SB, op,
+                        idx_dev, found_dev, kv_dev, jnp.asarray(sel),
+                        SB, op, prefix_p=win, wire_dedup=wd,
                     )
                     if removed is not None and removed.shape[0] > 0:
                         o, oc = _JIT_FILTER(o, oc, removed)
                     md = None
                     if P:
+                        # raw u32 P-slice with the copy started NOW: a
+                        # wire-packed P fetch was A/B'd and LOST BADLY
+                        # (54k vs 97k) — the pack programs dispatch at
+                        # harvest time and serialize the pipeline, while
+                        # the raw slice's async copy fully hides under
+                        # the next dispatches' compute
                         o = o[:, : min(P, o.shape[1])]
                         o.copy_to_host_async()
                     else:
@@ -517,18 +540,20 @@ class StagedStreamsMixin:
             # beyond the largest class (pathological): singly, exact budget
             for qi in order[pos:]:
                 SB = int(_round_up(int(sb_q[qi]), 8))
-                bi3 = np.repeat(idx_h[qi : qi + 1], 8, axis=0).astype(np.int32)
-                bf3 = np.repeat(found_h[qi : qi + 1], 8, axis=0)
-                bkv3 = np.full(8, kv[qi], dtype=np.int32)
-                o, oc = _JIT_CONCAT_BOOL(
+                sel = np.full(8, -1, dtype=np.int32)
+                sel[0] = qi
+                o, oc = _JIT_CONCAT_BOOL_SEL(
                     s.blocks, s.term_block_start, s.counts,
-                    jnp.asarray(bi3), jnp.asarray(bf3), jnp.asarray(bkv3),
-                    SB, op,
+                    idx_dev, found_dev, kv_dev, jnp.asarray(sel),
+                    SB, op, prefix_p=win,
                 )
                 if removed is not None and removed.shape[0] > 0:
                     o, oc = _JIT_FILTER(o, oc, removed)
                 c = int(np.asarray(oc)[0])
-                singles[int(qi)] = np.asarray(o[0, :c]).copy()
+                # store the TRUE count with the (possibly P-sliced) values
+                singles[int(qi)] = (
+                    c, np.asarray(o[0, : (min(c, P) if P else c)]).copy()
+                )
             clsq.append((bi, nq, dispatches, singles))
 
         def stage_harvest(item):
@@ -541,29 +566,45 @@ class StagedStreamsMixin:
                     out_all[bi] = []
                 return
             if P:
+                # pagination harvest, fully vectorized: the per-query
+                # Python loop was ~20 ms per 8192-query batch on this
+                # 1-vCPU host — a quarter of the whole stream's wall time
                 ocs = jax.device_get([d[2] for d in dispatches])
                 outs = jax.device_get([d[1] for d in dispatches])
-            else:
-                ocs, mds = (
-                    jax.device_get(
-                        ([d[2] for d in dispatches],
-                         [d[3] for d in dispatches])
-                    ) if dispatches else ([], [])
-                )
-                outs = self._wire_fetch(dispatches, ocs, mds)
-            counts = np.zeros(nq, dtype=np.int64)
+                counts = np.zeros(nq, dtype=np.int64)
+                padded = np.zeros((nq, P), dtype=np.uint32)
+                for (batch, _, _, _), oc, o in zip(dispatches, ocs, outs):
+                    b = len(batch)
+                    counts[batch] = oc[:b]
+                    padded[batch, : min(P, o.shape[1])] = (
+                        o[:b, :P]
+                    )
+                for qi, (c, v) in singles.items():
+                    counts[qi] = c
+                    padded[qi, : len(v)] = v[:P]
+                kept = np.minimum(counts, P)
+                pvoffs = np.zeros(nq + 1, dtype=np.int64)
+                np.cumsum(kept, out=pvoffs[1:])
+                m = np.arange(P, dtype=np.int64)[None, :] < kept[:, None]
+                out_all[bi] = (padded[m], pvoffs, counts)
+                return
+            ocs, mds = (
+                jax.device_get(
+                    ([d[2] for d in dispatches],
+                     [d[3] for d in dispatches])
+                ) if dispatches else ([], [])
+            )
+            outs = self._wire_fetch(dispatches, ocs, mds)
             rows: List[Optional[np.ndarray]] = [None] * nq
             for (batch, _, _, _), oc, o in zip(dispatches, ocs, outs):
                 for j, qi in enumerate(batch):
-                    c = int(oc[j])
-                    counts[qi] = c
-                    rows[qi] = o[j, : (min(c, P) if P else c)]
-            for qi, v in singles.items():
-                counts[qi] = len(v)
-                rows[qi] = v[:P] if P else v
+                    row = o[j, : oc[j]]
+                    rows[qi] = _dedup_adjacent(row) if wd else row
+            for qi, (c, v) in singles.items():
+                rows[qi] = v
             if columnar:
                 vals, voffs = _rows_to_columnar(rows)
-                out_all[bi] = (vals, voffs, counts) if P else (vals, voffs)
+                out_all[bi] = (vals, voffs)
             else:
                 out_all[bi] = [np.array(r, dtype=np.uint32) for r in rows]
 
@@ -628,6 +669,11 @@ class StagedStreamsMixin:
         order = np.argsort(sb_q, kind="stable")
         stride = int(s.blocks.shape[1])
         pos = 0
+        # full-result OR with no tombstone filter: ship the sorted stream
+        # WITH cross-list duplicates and drop them host-side during
+        # assembly (zero wire deltas) — skips the compaction sort, 38% of
+        # the kernel (see boolean_concat_step's wire_dedup contract)
+        wd = op == "or" and (removed is None or removed.shape[0] == 0)
         # phase 1: dispatch every class chunk (async); B pads to a power of
         # two so compiled shapes repeat across batches
         dispatches = []  # (query indices, out_dev, oc_dev)
@@ -652,7 +698,7 @@ class StagedStreamsMixin:
                 out, oc = _JIT_CONCAT_BOOL(
                     s.blocks, s.term_block_start, s.counts,
                     jnp.asarray(bi), jnp.asarray(bf), jnp.asarray(bkv),
-                    SB, op,
+                    SB, op, wire_dedup=wd,
                 )
                 if removed is not None and removed.shape[0] > 0:
                     out, oc = _JIT_FILTER(out, oc, removed)
@@ -675,7 +721,8 @@ class StagedStreamsMixin:
         outs = self._wire_fetch(dispatches, ocs, mds)
         for (batch, _, _, _), oc, out in zip(dispatches, ocs, outs):
             for j, qi in enumerate(batch):
-                results[qi] = out[j, : oc[j]].copy()
+                row = out[j, : oc[j]]
+                results[qi] = _dedup_adjacent(row).copy() if wd else row.copy()
         # queries beyond the largest class (pathological): process singly at
         # their exact block budget rounded up
         for qi in order[pos:]:

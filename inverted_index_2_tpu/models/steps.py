@@ -281,8 +281,47 @@ _JIT_DECODE = jax.jit(dec.gather_postings_arena, static_argnames=("L",))
 from ..ops import concat_bool as _cb
 
 _JIT_RESOLVE = jax.jit(_cb.resolve_step, static_argnames=("max_probes",))
+
+
+def _resolve_sb_step(keys, counts, qkeys, slots=None, max_probes: int = 0):
+    """resolve_step + the per-query total-BLOCK sum the stream's class
+    grouping needs, reduced ON DEVICE: the (Q, K) raw-count matrix was
+     256 KB/8192-query batch of fetch the host only ever summed."""
+    idx, found, raw = _cb.resolve_step(keys, counts, qkeys, slots, max_probes)
+    nb = -(-raw.astype(jnp.int32) // 128)  # i32: counts are i32 already
+    return idx, found, jnp.sum(nb, axis=1).astype(jnp.int32)
+
+
+_JIT_RESOLVE_SB = jax.jit(_resolve_sb_step, static_argnames=("max_probes",))
+
+
+def _concat_bool_sel_step(blocks, tbs, counts, idx_full, found_full,
+                          kv_full, sel, SB: int, op: str,
+                          prefix_p: int = 0, wire_dedup: bool = False):
+    """boolean_concat_step over a SELECTION of an on-device resolve batch:
+    `sel` (B,) i32 rows of idx_full/found_full/kv_full (-1 = pad). The
+    stream's class chunks used to gather these rows on HOST and re-upload
+    (B, K) matrices per chunk — ~150 KB and a device_put each; shipping
+    the 4 B/row selector instead cut the stream's host side ~40%
+    (profiled round 4: device_put was 24% of a pagination-stream rep)."""
+    valid = sel >= 0
+    s2 = jnp.maximum(sel, 0)
+    idx = idx_full[s2]
+    found = found_full[s2] & valid[:, None]
+    kv = jnp.where(valid, kv_full[s2], 0)
+    return _cb.boolean_concat_step(
+        blocks, tbs, counts, idx, found, kv, SB, op,
+        prefix_p=prefix_p, wire_dedup=wire_dedup,
+    )
+
+
+_JIT_CONCAT_BOOL_SEL = jax.jit(
+    _concat_bool_sel_step,
+    static_argnames=("SB", "op", "prefix_p", "wire_dedup"),
+)
 _JIT_CONCAT_BOOL = jax.jit(
-    _cb.boolean_concat_step, static_argnames=("SB", "op", "compactor")
+    _cb.boolean_concat_step,
+    static_argnames=("SB", "op", "compactor", "prefix_p", "wire_dedup"),
 )
 _JIT_FILTER = jax.jit(setops.filter_removed)
 
@@ -325,6 +364,20 @@ def _wire_unpack(first: np.ndarray, deltas: np.ndarray) -> np.ndarray:
     out[:, :1] = first
     out[:, 1:] = deltas
     return np.cumsum(out, axis=1, dtype=np.uint32)
+
+
+def _dedup_adjacent(v: np.ndarray) -> np.ndarray:
+    """Drop adjacent duplicates from one sorted row — the host half of the
+    wire-dedup OR contract (concat_bool.boolean_concat_step wire_dedup):
+    result sets are sorted UNIQUE, so a repeated value can only be a
+    cross-list duplicate the device deliberately left in the stream to
+    skip its compaction sort."""
+    if len(v) < 2:
+        return v
+    m = np.empty(len(v), dtype=bool)
+    m[0] = True
+    np.not_equal(v[1:], v[:-1], out=m[1:])
+    return v[m]
 
 
 

@@ -139,6 +139,7 @@ def last_values(vals, cum, cnt):
 def boolean_concat_step(
     blocks, term_block_start, counts,
     idx, found, k_valid, SB: int, op: str, compactor: str = "auto",
+    prefix_p: int = 0, wire_dedup: bool = False,
 ):
     """Set op over each query's CONCATENATED decoded lists.
 
@@ -156,8 +157,37 @@ def boolean_concat_step(
     equal-share mix (115.8k vs 101k); at the real mix the modal small
     classes don't amortize its cumsum+13-pass overhead.
 
-    Returns (out (Q, S=SB*128) compacted ascending, oc (Q,)).
+    prefix_p > 0 (OR ONLY; callers must not tombstone-filter the result
+    afterwards): pagination serving — compact only the first
+    prefix_p * K sorted lanes and return (out (Q, <=prefix_p), oc (Q,)
+    with oc still the TRUE full count). Exact because for OR every
+    distinct valid value is kept and each value occupies <= k_valid <= K
+    adjacent lanes after the sort, so the j-th kept value (j <= P) sits
+    within the first P*K lanes. This removes the second full-row sort —
+    the compaction was 38% of the full-result OR kernel (on-chip
+    decomposition, round 4: decode 3.4us / sort 5.3us / dedup ~0 /
+    compaction 5.2us per query at the config-3 class mix; the windowed
+    form measured 113k vs 72k QPS). NOT valid for AND: non-kept runs
+    (< k_valid matches) can push the P-th kept value arbitrarily deep.
+
+    wire_dedup (OR ONLY; callers must not tombstone-filter afterwards):
+    skip the dedup marking AND the compaction sort entirely — return the
+    sorted stream WITH cross-list duplicates and oc = n_valid (valid-lane
+    count, pre-dedup). Exact because OR results are sorted UNIQUE, so
+    every true wire delta is >= 1 and a ZERO delta uniquely marks a
+    duplicate: the host's existing delta unpack drops them in one
+    vectorized pass (models/steps._dedup_adjacent) and derives the
+    distinct count itself. Removes the second full-row sort — 38% of the
+    full-result OR kernel (on-chip round-4 decomposition: decode 3.4us /
+    sort 5.3us / compaction 5.2us per query; sort-only form measured
+    116k vs 72k QPS at the config-3 class mix).
+
+    Returns (out (Q, S=SB*128) compacted ascending — or (Q, <=prefix_p)
+    under prefix_p, or sorted-with-duplicates under wire_dedup — and
+    oc (Q,)).
     """
+    if wire_dedup and (prefix_p or op != "or"):
+        raise ValueError("wire_dedup is full-result OR only")
     Q, K = idx.shape
     S = SB * BLOCK
     kmask = jnp.arange(K, dtype=jnp.int32)[None, :] < k_valid[:, None]
@@ -182,11 +212,19 @@ def boolean_concat_step(
         oc = (jnp.sum(keep, axis=1) + ff_all.astype(jnp.int32)).astype(jnp.int32)
     else:  # or
         n_valid = jnp.sum(mask.reshape(Q, S), axis=1).astype(jnp.int32)
+        if wire_dedup:
+            return svals, n_valid
         in_region = jnp.arange(S, dtype=jnp.int32)[None, :] < n_valid[:, None]
         keep = first & in_region
         oc = jnp.sum(keep, axis=1).astype(jnp.int32)
     from .compaction import compact_rows, compact_shift
 
+    if prefix_p > 0:
+        if op != "or":
+            raise ValueError("prefix_p windowed compaction is OR-only")
+        W = min(S, prefix_p * K)
+        out = compact_rows(svals[:, :W], keep[:, :W])[:, : min(W, prefix_p)]
+        return out, oc
     if compactor == "auto":
         compactor = "sort"
     if compactor == "shift":

@@ -1158,3 +1158,45 @@ def test_host_busy_load_aware_fallback(tmp_path, rng, monkeypatch):
     host = eng.boolean_staged([qs], "and")
     for a, b in zip(dev[0], host[0]):
         assert np.array_equal(a, b)
+
+
+def test_or_wire_dedup_device_route(tmp_path, rng, monkeypatch):
+    """Full-result OR on the device concat route ships the sorted stream
+    WITH cross-list duplicates (wire_dedup) and the host drops the zero
+    deltas — results must be bit-identical to the host oracle across
+    duplicate terms ([t, t] duplicates EVERY value), heavy overlap,
+    misses, and both wire settings (packed deltas and raw trim)."""
+    ii, truth = build_index(tmp_path, rng, n_docs=80)
+    # heavy-overlap pair: two terms sharing most postings
+    for d in range(200, 260):
+        ii.put([b"ov-a", b"ov-b"] if d % 3 else [b"ov-a"], d)
+    truth[b"ov-a"] = {d for d in range(200, 260)}
+    truth[b"ov-b"] = {d for d in range(200, 260) if d % 3}
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, keep_tables=False)
+    vocab = sorted(truth.keys())
+    queries = [
+        [b"ov-a", b"ov-b"],
+        [b"ov-a", b"ov-a"],          # duplicate term: every value repeats
+        [vocab[0], vocab[1], vocab[2]],
+        [b"missing", b"ov-b"],
+        [b"ov-a"],
+        [vocab[3], vocab[3], vocab[3]],
+    ]
+    want = []
+    for q in queries:
+        u = set()
+        for t in q:
+            u |= truth.get(t, set())
+        want.append(sorted(u))
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")  # pin the device concat route
+    for wire in ("1", "0"):
+        monkeypatch.setenv("TPI_WIRE", wire)
+        got = eng.boolean(queries, "or")
+        for g, w in zip(got, want):
+            assert g.tolist() == w, wire
+        got_s = eng.boolean_staged([queries], "or")[0]
+        for g, w in zip(got_s, want):
+            assert g.tolist() == w, wire
+        vals, voffs = eng.boolean_staged([queries], "or", columnar=True)[0]
+        for i, w in enumerate(want):
+            assert vals[voffs[i]:voffs[i + 1]].tolist() == w, wire
