@@ -22,8 +22,11 @@ from .steps import (
     _JIT_CONCAT_BOOL,
     _JIT_FILTER,
     _JIT_CONCAT_BOOL_SEL,
+    _JIT_PACK_P,
     _JIT_RESOLVE,
     _JIT_RESOLVE_SB,
+    _JIT_SCATTER_P,
+    _JIT_TAKE_ROWS,
     _JIT_WIRE_META,
     _JIT_WIRE_PACK,
     _batch_as_lists,
@@ -497,6 +500,13 @@ class StagedStreamsMixin:
             pos = 0
             dispatches = []
             singles: Dict[int, np.ndarray] = {}
+            if P:
+                # ONE (QB, P+1) result buffer per batch (values + count
+                # column, see _scatter_p_step): the tunnel charges
+                # ~6-16 ms latency per fetched array, so every chunk
+                # scatters its P-slice into this and the harvest fetches
+                # ONE array per batch
+                obuf = jnp.zeros((int(idx_dev.shape[0]), P + 1), jnp.uint32)
             for SB in self._SB_CLASSES:
                 hi = int(np.searchsorted(sb_q[order], SB, side="right"))
                 members = order[pos:hi]
@@ -511,28 +521,27 @@ class StagedStreamsMixin:
                         B *= 2
                     sel = np.full(B, -1, dtype=np.int32)
                     sel[: len(batch)] = batch
+                    sel_dev = jnp.asarray(sel)
                     o, oc = _JIT_CONCAT_BOOL_SEL(
                         s.blocks, s.term_block_start, s.counts,
-                        idx_dev, found_dev, kv_dev, jnp.asarray(sel),
+                        idx_dev, found_dev, kv_dev, sel_dev,
                         SB, op, prefix_p=win, wire_dedup=wd,
                     )
                     if removed is not None and removed.shape[0] > 0:
                         o, oc = _JIT_FILTER(o, oc, removed)
-                    md = None
                     if P:
-                        # raw u32 P-slice with the copy started NOW: a
-                        # wire-packed P fetch was A/B'd and LOST BADLY
-                        # (54k vs 97k) — the pack programs dispatch at
-                        # harvest time and serialize the pipeline, while
-                        # the raw slice's async copy fully hides under
-                        # the next dispatches' compute
-                        o = o[:, : min(P, o.shape[1])]
-                        o.copy_to_host_async()
-                    else:
-                        # full-result route: masked max delta rides the
-                        # counts fetch and picks the wire width at harvest
-                        md = _JIT_WIRE_META(o, oc)
-                        md.copy_to_host_async()
+                        # coalesce into the batch buffers (a raw per-chunk
+                        # async P-slice copy was the previous form — the
+                        # per-array fetch latency dominated; a wire-packed
+                        # P fetch was also A/B'd and LOST BADLY, 54k vs
+                        # 97k: its pack programs dispatch at harvest time
+                        # and serialize the pipeline)
+                        obuf = _JIT_SCATTER_P(obuf, sel_dev, o, oc)
+                        continue
+                    # full-result route: masked max delta rides the
+                    # counts fetch and picks the wire width at harvest
+                    md = _JIT_WIRE_META(o, oc)
+                    md.copy_to_host_async()
                     oc.copy_to_host_async()
                     dispatches.append((batch, o, oc, md))
                 if pos >= nq:
@@ -542,18 +551,33 @@ class StagedStreamsMixin:
                 SB = int(_round_up(int(sb_q[qi]), 8))
                 sel = np.full(8, -1, dtype=np.int32)
                 sel[0] = qi
+                sel_dev = jnp.asarray(sel)
                 o, oc = _JIT_CONCAT_BOOL_SEL(
                     s.blocks, s.term_block_start, s.counts,
-                    idx_dev, found_dev, kv_dev, jnp.asarray(sel),
+                    idx_dev, found_dev, kv_dev, sel_dev,
                     SB, op, prefix_p=win,
                 )
                 if removed is not None and removed.shape[0] > 0:
                     o, oc = _JIT_FILTER(o, oc, removed)
+                if P:
+                    obuf = _JIT_SCATTER_P(obuf, sel_dev, o, oc)
+                    continue
                 c = int(np.asarray(oc)[0])
-                # store the TRUE count with the (possibly P-sliced) values
-                singles[int(qi)] = (
-                    c, np.asarray(o[0, : (min(c, P) if P else c)]).copy()
-                )
+                # store the TRUE count with the full-result values
+                singles[int(qi)] = (c, np.asarray(o[0, :c]).copy())
+            if P:
+                if os.environ.get("TPI_WIRE", "1") != "0":
+                    # u16 delta plane (~1.8x fewer bytes) packed NOW —
+                    # static width, so the pack dispatch pipelines with
+                    # the next batches; obuf stays resident for the rare
+                    # overflow-row escape (see _pack_p_step)
+                    pk = _JIT_PACK_P(obuf)
+                    pk.copy_to_host_async()
+                    clsq.append((bi, nq, (pk, obuf), singles))
+                    return
+                obuf.copy_to_host_async()
+                clsq.append((bi, nq, (obuf, None), singles))
+                return
             clsq.append((bi, nq, dispatches, singles))
 
         def stage_harvest(item):
@@ -566,27 +590,47 @@ class StagedStreamsMixin:
                     out_all[bi] = []
                 return
             if P:
-                # pagination harvest, fully vectorized: the per-query
-                # Python loop was ~20 ms per 8192-query batch on this
-                # 1-vCPU host — a quarter of the whole stream's wall time
-                ocs = jax.device_get([d[2] for d in dispatches])
-                outs = jax.device_get([d[1] for d in dispatches])
-                counts = np.zeros(nq, dtype=np.int64)
-                padded = np.zeros((nq, P), dtype=np.uint32)
-                for (batch, _, _, _), oc, o in zip(dispatches, ocs, outs):
-                    b = len(batch)
-                    counts[batch] = oc[:b]
-                    padded[batch, : min(P, o.shape[1])] = (
-                        o[:b, :P]
-                    )
-                for qi, (c, v) in singles.items():
-                    counts[qi] = c
-                    padded[qi, : len(v)] = v[:P]
+                # pagination harvest: ONE device fetch per batch (the u16
+                # delta plane, or the raw (QB, P+1) buffer under
+                # TPI_WIRE=0) and a fully vectorized assembly; both the
+                # per-query Python loop (~20 ms per 8192-query batch on
+                # this 1-vCPU host) and the per-array fetch latency
+                # (~6-16 ms on the tunnel) are gone
+                pk_dev, obuf_dev = dispatches
+                if obuf_dev is None:  # TPI_WIRE=0: raw u32 buffer
+                    o_h = np.asarray(pk_dev)
+                    counts = o_h[:nq, P].astype(np.int64)
+                    vals = o_h[:nq, :P]
+                else:
+                    pk = np.asarray(pk_dev)[:nq]
+                    d = pk[:, : P - 1].astype(np.uint32)
+                    first = pk[:, P - 1].astype(np.uint32) | (
+                        pk[:, P].astype(np.uint32) << 16)
+                    hi = pk[:, P + 2].astype(np.int64)
+                    counts = pk[:, P + 1].astype(np.int64) | (
+                        (hi & 0x7FFF) << 16)
+                    vals = np.empty((nq, P), np.uint32)
+                    vals[:, 0] = first
+                    vals[:, 1:] = first[:, None] + np.cumsum(
+                        d, axis=1, dtype=np.uint32)
+                    ovr = np.nonzero(hi >> 15)[0]
+                    if len(ovr):
+                        # overflow escape: some kept delta >= 2^16 —
+                        # fetch those rows raw from the resident buffer
+                        B = 8
+                        while B < len(ovr):
+                            B *= 2
+                        sel = np.zeros(B, dtype=np.int32)
+                        sel[: len(ovr)] = ovr
+                        raw = np.asarray(_JIT_TAKE_ROWS(
+                            obuf_dev, jnp.asarray(sel)))[: len(ovr)]
+                        vals[ovr] = raw[:, :P]
+                        counts[ovr] = raw[:, P].astype(np.int64)
                 kept = np.minimum(counts, P)
                 pvoffs = np.zeros(nq + 1, dtype=np.int64)
                 np.cumsum(kept, out=pvoffs[1:])
                 m = np.arange(P, dtype=np.int64)[None, :] < kept[:, None]
-                out_all[bi] = (padded[m], pvoffs, counts)
+                out_all[bi] = (vals[m], pvoffs, counts)
                 return
             ocs, mds = (
                 jax.device_get(

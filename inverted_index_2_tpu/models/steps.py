@@ -319,6 +319,79 @@ _JIT_CONCAT_BOOL_SEL = jax.jit(
     _concat_bool_sel_step,
     static_argnames=("SB", "op", "prefix_p", "wire_dedup"),
 )
+
+
+def _scatter_p_step(obuf, sel, o, oc):
+    """Accumulate one class chunk's P-slice into the batch's SINGLE result
+    buffer: obuf (QB, P+1) u32 — columns [0, P) the first-P values, column
+    P the query's true count — with `sel` (B,) i32 the destination rows
+    (-1 pads drop: scatter mode="drop" treats negatives as out-of-bounds).
+    This is the pagination stream's fetch-coalescing trick: the tunnel
+    charges ~6-16 ms latency PER fetched array regardless of size
+    (profiled round 4: 180 array materializations = 1.12 s of a 1.42 s
+    rep; two buffers per batch still paid 24 x ~16 ms), so the harvest
+    fetches exactly ONE array per batch. Donated buffer: each chunk's
+    scatter reuses the allocation; the chain serializes on device, which
+    is free — chunks already execute in dispatch order on the single TPU
+    core."""
+    P = obuf.shape[1] - 1
+    if o.shape[1] >= P:
+        o2 = o[:, :P]
+    else:
+        o2 = jnp.pad(o, ((0, 0), (0, P - o.shape[1])))
+    row = jnp.concatenate(
+        [o2.astype(obuf.dtype), oc.astype(obuf.dtype)[:, None]], axis=1)
+    return obuf.at[sel].set(row, mode="drop")
+
+
+_JIT_SCATTER_P = jax.jit(_scatter_p_step, donate_argnums=(0,))
+
+
+def _pack_p_step(obuf):
+    """u16 delta-pack of one batch's pagination buffer, dispatched at
+    class-stage time (STATIC width — a data-dependent-width pack must wait
+    for the counts fetch and serializes the pipeline, the failure mode of
+    the round-4 A/B that measured 54k vs 97k). Pages are sorted unique
+    values, so consecutive deltas are small; the whole batch ships as ONE
+    (QB, P+3) u16 plane — ~1.8x fewer bytes than the raw u32 buffer on a
+    bandwidth-bound link:
+
+      cols [0, P-1): value deltas, truncated to u16 (invalid lanes zeroed)
+      col P-1, P:    first value lo/hi
+      col P+1, P+2:  true count lo / hi, with bit 15 of hi = OVERFLOW flag
+                     (some kept delta >= 2^16; the harvest re-fetches those
+                     rows raw from the still-resident buffer — measured 0%
+                     at the bench shape, but rare terms over a wide doc
+                     space can hit it)
+
+    Count hi bit 15 is free: counts are non-negative i32."""
+    P = obuf.shape[1] - 1
+    vals = obuf[:, :P]
+    cnt = obuf[:, P]
+    kept = jnp.minimum(cnt, jnp.uint32(P)).astype(jnp.int32)
+    d = vals[:, 1:] - vals[:, :-1]
+    j = jnp.arange(P - 1, dtype=jnp.int32)[None, :]
+    dvalid = j < (kept - 1)[:, None]
+    d = jnp.where(dvalid, d, 0)
+    flag = jnp.any(d >= jnp.uint32(1 << 16), axis=1)
+    first = vals[:, 0]
+
+    def u16(x):
+        return x.astype(jnp.uint16)
+
+    return jnp.concatenate(
+        [
+            u16(d),
+            u16(first & 0xFFFF)[:, None], u16(first >> 16)[:, None],
+            u16(cnt & 0xFFFF)[:, None],
+            u16((cnt >> 16) | (flag.astype(jnp.uint32) << 15))[:, None],
+        ],
+        axis=1,
+    )
+
+
+_JIT_PACK_P = jax.jit(_pack_p_step)
+_JIT_TAKE_ROWS = jax.jit(lambda a, i: a[i])
 _JIT_CONCAT_BOOL = jax.jit(
     _cb.boolean_concat_step,
     static_argnames=("SB", "op", "compactor", "prefix_p", "wire_dedup"),

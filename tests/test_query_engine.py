@@ -1200,3 +1200,40 @@ def test_or_wire_dedup_device_route(tmp_path, rng, monkeypatch):
         vals, voffs = eng.boolean_staged([queries], "or", columnar=True)[0]
         for i, w in enumerate(want):
             assert vals[voffs[i]:voffs[i + 1]].tolist() == w, wire
+
+
+def test_or_pagination_u16_overflow_escape(tmp_path, rng, monkeypatch):
+    """Pagination pages whose deltas exceed 2^16 must come back exact via
+    the overflow-row escape (steps._pack_p_step's flag bit + raw re-fetch):
+    doc ids spaced ~70k apart overflow every u16 delta, mixed with dense
+    small-gap terms so packed and escaped rows coexist in one batch."""
+    ii = InvertedIndex(str(tmp_path))
+    truth = {}
+    wide = [1 + 70_001 * i for i in range(40)]        # every gap > 2^16
+    for d in wide:
+        ii.put([b"wide", b"wide2"] if d % 3 else [b"wide"], d)
+    truth[b"wide"] = set(wide)
+    truth[b"wide2"] = {d for d in wide if d % 3}
+    for d in range(500, 560):                          # dense, tiny gaps
+        ii.put([b"dense-a", b"dense-b"], d)
+    truth[b"dense-a"] = truth[b"dense-b"] = set(range(500, 560))
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, keep_tables=False)
+    queries = [
+        [b"wide", b"wide2"],       # overflow row
+        [b"dense-a", b"dense-b"],  # packed row
+        [b"wide", b"dense-a"],     # mixed gaps: overflow row
+        [b"missing", b"wide2"],
+        [b"dense-a"],
+    ]
+    want = [sorted(set().union(*[truth.get(t, set()) for t in q]))
+            for q in queries]
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")  # pin the device route
+    for wire in ("1", "0"):
+        monkeypatch.setenv("TPI_WIRE", wire)
+        for P in (4, 16, 64):
+            vals, voffs, counts = eng.boolean_staged(
+                [queries], "or", columnar=True, prefix_p=P)[0]
+            for i, w in enumerate(want):
+                assert counts[i] == len(w), (wire, P, i)
+                assert vals[voffs[i]:voffs[i + 1]].tolist() == w[:P], (
+                    wire, P, i)
