@@ -89,6 +89,11 @@ def _bind(lib):
         lib.tpi_hash_build.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
         lib.tpi_hash_build_v2.restype = ctypes.c_int32
         lib.tpi_hash_build_v2.argtypes = [u32p, ctypes.c_int64, i32p, ctypes.c_int64]
+        lib.tpi_hash_probe.restype = None
+        lib.tpi_hash_probe.argtypes = [
+            u32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32,
+            u32p, ctypes.c_int64, i32p,
+        ]
         u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
         u16p = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
         lib.tpi_ingest_sort.restype = ctypes.c_int64
@@ -400,6 +405,25 @@ def gather_bytes(src: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.nd
     out = np.zeros(int(lens.sum()), dtype=np.uint8)
     if len(starts):
         lib.tpi_gather_bytes(src, starts, lens, len(starts), out)
+    return out
+
+
+def hash_probe(keys: np.ndarray, slots: np.ndarray, max_probes: int,
+               qkeys: np.ndarray) -> np.ndarray:
+    """Native batched exact probe (codec.cpp tpi_hash_probe): query key
+    rows -> term indexes (int32, -1 = absent). Same walk + full-key verify
+    as hashing.probe_rows_np."""
+    lib = _load()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    qkeys = np.ascontiguousarray(qkeys, dtype=np.uint32)
+    slots = np.ascontiguousarray(slots, dtype=np.int32)
+    out = np.empty(qkeys.shape[0], dtype=np.int32)
+    if qkeys.shape[0]:
+        lib.tpi_hash_probe(
+            keys, keys.shape[1], slots, len(slots), int(max_probes),
+            qkeys, qkeys.shape[0], out,
+        )
     return out
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import itertools as it
 import math
 import os
 import threading
@@ -829,15 +830,18 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         terms (a per-query pack_terms loop was Python-bound on this 1-vCPU
         host at 10k-query batches); packed at the max width across tiers
         and narrowed per tier at dispatch."""
-        K = max(len(q) for q in queries)
-        Q = _round_up(len(queries), self.q_bucket)
+        nq = len(queries)
+        Q = _round_up(nq, self.q_bucket)
+        # ONE C-level length pass (map(len)) feeds both K and kv: the
+        # max()-over-generator + list-comprehension pair cost ~11 ms per
+        # 8192-query batch on this 1-vCPU host — pure Python iteration,
+        # twice over
+        kv = np.zeros(Q, dtype=np.int32)
+        kv[:nq] = np.fromiter(map(len, queries), np.int32, count=nq)
+        K = max(1, int(kv.max(initial=0)))
         W = st.width()
         qk = np.zeros((Q, K, W + 1), dtype=np.uint32)
-        kv = np.array(
-            [len(q) for q in queries] + [0] * (Q - len(queries)),
-            dtype=np.int32,
-        )
-        flat_terms = [t for q in queries for t in q]
+        flat_terms = list(it.chain.from_iterable(queries))  # C-level flatten
         packed = keys_mod.pack_terms(flat_terms, width=W)
         kvq = kv[: len(queries)].astype(np.int64)
         rows = np.repeat(np.arange(len(queries)), kvq)

@@ -26,6 +26,8 @@ from .steps import (
     _JIT_RESOLVE,
     _JIT_RESOLVE_SB,
     _JIT_SCATTER_P,
+    _JIT_SPLIT_IDX,
+    _host_resolve_sb,
     _JIT_TAKE_ROWS,
     _JIT_WIRE_META,
     _JIT_WIRE_PACK,
@@ -473,15 +475,34 @@ class StagedStreamsMixin:
         win = P if (P and op == "or" and (
             removed is None or removed.shape[0] == 0)) else 0
 
+        # with tables retained, the dictionary probe runs ON HOST
+        # (_host_resolve_sb): the class grouping needs the block sums
+        # host-side anyway, and the device path's blocking (Q,) sb fetch
+        # sat ON the dispatch critical path — every later dispatch queued
+        # behind a ~18 ms tunnel round trip per batch, so the device
+        # drained its queue while the host waited (profiled round 4: the
+        # stream was host-cycle-bound at 92 ms/batch vs 72 ms of device
+        # compute). Postings decode/sort/page stays on device.
+        host_res = st.host_ready()
+
         def stage_resolve(bi):
             nq, qk, kv = self._batch_pack(st, batches[bi])
             if nq == 0:
                 resq.append((bi, 0, None, None))
                 return
-            # resolve + per-query block sum reduced ON DEVICE: the host
-            # only ever summed the (Q, K) raw matrix — it reads back the
-            # (Q,) sum; idx/found stay device-resident and class chunks
-            # select rows via tiny selector uploads (_concat_bool_sel_step)
+            if host_res:
+                idxs, _, sb = _host_resolve_sb(st.tables, qk)
+                idx_dev, found_dev = _JIT_SPLIT_IDX(jnp.asarray(idxs))
+                resq.append(
+                    (bi, nq, (kv, jnp.asarray(kv)),
+                     (idx_dev, found_dev, sb))
+                )
+                return
+            # no host tables: resolve + per-query block sum reduced ON
+            # DEVICE (the host only ever summed the (Q, K) raw matrix —
+            # it reads back the (Q,) sum); idx/found stay device-resident
+            # and class chunks select rows via tiny selector uploads
+            # (_concat_bool_sel_step)
             r = _JIT_RESOLVE_SB(
                 s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
             )
@@ -495,7 +516,8 @@ class StagedStreamsMixin:
                 return
             kv, kv_dev = kvs
             idx_dev, found_dev, sb_dev = r
-            sb_q = np.asarray(sb_dev)[:nq].astype(np.int64)
+            sb_q = (sb_dev[:nq] if isinstance(sb_dev, np.ndarray)
+                    else np.asarray(sb_dev)[:nq].astype(np.int64))
             order = np.argsort(sb_q, kind="stable").astype(np.int32)
             pos = 0
             dispatches = []
@@ -702,13 +724,24 @@ class StagedStreamsMixin:
         s = st.snap
         nq = len(queries)
         K = qk.shape[1]
-        idx, found, raw = _JIT_RESOLVE(
-            s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
-        )
-        idx_h, found_h, raw_h = jax.device_get((idx, found, raw))
-        sb_q = np.minimum(
-            -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
-        ).sum(axis=1)
+        if st.host_ready():
+            # retained tables: probe the dictionary on host — the chunk
+            # builder needs idx/found/counts HOST-side anyway, so this
+            # removes the one-shot path's full blocking resolve round trip
+            # (dispatch + fetch) from in front of every class dispatch
+            idxs, cnt, _ = _host_resolve_sb(st.tables, qk)
+            idx_h, found_h = np.maximum(idxs, 0), idxs >= 0
+            sb_q = np.minimum(
+                -(-cnt[:nq] // 128), 1 << 30
+            ).sum(axis=1)
+        else:
+            idx, found, raw = _JIT_RESOLVE(
+                s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
+            )
+            idx_h, found_h, raw_h = jax.device_get((idx, found, raw))
+            sb_q = np.minimum(
+                -(-raw_h[:nq].astype(np.int64) // 128), 1 << 30
+            ).sum(axis=1)
         results: List[Optional[np.ndarray]] = [None] * nq
         order = np.argsort(sb_q, kind="stable")
         stride = int(s.blocks.shape[1])

@@ -15,6 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..codec import hashing
 from ..ops import decode as dec
 from ..ops import dict_search as ds
 from ..ops import setops
@@ -293,6 +294,44 @@ def _resolve_sb_step(keys, counts, qkeys, slots=None, max_probes: int = 0):
 
 
 _JIT_RESOLVE_SB = jax.jit(_resolve_sb_step, static_argnames=("max_probes",))
+
+
+def _host_resolve_sb(tables, qk: np.ndarray):
+    """The host twin of _resolve_sb_step for engines with retained tables:
+    probe the HOST hash table (codec/hashing.probe_rows_np — same probe
+    sequence, same full-key verification as the device resolve) and derive
+    the per-query block sums there. The stream's class grouping needs the
+    block sums ON HOST anyway, so resolving host-side removes both the
+    (Q, K, W+1) qkey upload (the signed idx rows ship instead — 4x fewer
+    bytes at W=3) and the BLOCKING (Q,) fetch from the dispatch path
+    (profiled round 4: ~18 ms of pure tunnel fetch latency per 8192-query
+    batch, serializing every later dispatch behind it). The postings
+    decode/sort/page compute stays on device — this moves only the
+    dictionary probe, the half the reference also runs in host code
+    (vellum FST, segment.go:55-70).
+
+    Returns (idx_signed (Q, K) i32 with -1 = miss, cnt (Q, K) i64 true
+    counts, sb (Q,) i64 per-query total blocks)."""
+    Qb, K = qk.shape[0], qk.shape[1]
+    idx = hashing.probe_rows_np(
+        tables.slots, tables.max_probes, tables.keys,
+        _narrow_keys(qk.reshape(Qb * K, -1), tables.width),
+    ).reshape(Qb, K).astype(np.int32)
+    cnt = np.where(
+        idx >= 0, tables.counts[np.maximum(idx, 0)].astype(np.int64), 0
+    )
+    sb = (-(-cnt // 128)).sum(axis=1)
+    return idx, cnt, sb
+
+
+def _split_idx_step(idx_signed):
+    """Host-resolved signed term rows -> the (idx, found) device pair the
+    concat/sel steps consume (one tiny dispatch replaces the device
+    resolve pass when _host_resolve_sb ran)."""
+    return jnp.maximum(idx_signed, 0), idx_signed >= 0
+
+
+_JIT_SPLIT_IDX = jax.jit(_split_idx_step)
 
 
 def _concat_bool_sel_step(blocks, tbs, counts, idx_full, found_full,

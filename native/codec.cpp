@@ -1295,6 +1295,52 @@ void tpi_hash_build(const uint32_t* hashes, int64_t N, int32_t* slots,
   }
 }
 
+// Batched exact probe over the same table layout — the host twin of the
+// device hash lookup (ops/dict_search.py) and of the numpy probe_rows_np
+// walk (codec/hashing.py:115), which pays a full-array numpy pass per
+// probe iteration (~9 ms per 65k keys on a 1-vCPU host; this loop is
+// <1 ms). Hash math must stay bit-identical to hashing.hash_rows_np:
+// FNV-1a fold over the W1 key words (incl. the length word) + the
+// murmur-style avalanche. An EMPTY slot terminates a chain (definitive
+// miss); every hit is verified word-exact against the full key row, so
+// collisions cannot alias. qkeys rows must be pre-narrowed to the table's
+// width. out[i] = term row, -1 = absent.
+void tpi_hash_probe(const uint32_t* keys, int64_t W1, const int32_t* slots,
+                    int64_t S, int32_t max_probes, const uint32_t* qkeys,
+                    int64_t M, int32_t* out) {
+  const uint32_t mask = static_cast<uint32_t>(S - 1);
+  for (int64_t i = 0; i < M; ++i) {
+    const uint32_t* q = qkeys + i * W1;
+    uint32_t h = 2166136261u;
+    for (int64_t c = 0; c < W1; ++c) h = (h ^ q[c]) * 16777619u;
+    h ^= h >> 16;
+    h *= 0x7FEB352Du;
+    h ^= h >> 15;
+    h *= 0x846CA68Bu;
+    h ^= h >> 16;
+    int32_t res = -1;
+    uint32_t pos = h & mask;
+    for (int32_t p = 0; p < max_probes; ++p) {
+      const int32_t cand = slots[pos];
+      if (cand < 0) break;
+      const uint32_t* k = keys + static_cast<int64_t>(cand) * W1;
+      bool eq = true;
+      for (int64_t c = 0; c < W1; ++c) {
+        if (k[c] != q[c]) {
+          eq = false;
+          break;
+        }
+      }
+      if (eq) {
+        res = cand;
+        break;
+      }
+      pos = (pos + 1) & mask;
+    }
+    out[i] = res;
+  }
+}
+
 // Build + longest-probe-chain in one call (the numpy post-pass cost ~0.1s
 // per million terms at snapshot build). Returns max probe length (final
 // displacement + 1), >= 1.

@@ -88,3 +88,32 @@ def test_unrolled_probe_matches_loop(rng):
     i2, f2 = ds.hash_lookup_rows_unrolled(jnp.asarray(keys), jnp.asarray(slots), jnp.asarray(qk), probes)
     assert np.array_equal(np.asarray(f1), np.asarray(f2))
     assert np.array_equal(np.asarray(i1)[np.asarray(f1)], np.asarray(i2)[np.asarray(f2)])
+
+
+def test_native_probe_matches_numpy_walk(rng):
+    """tpi_hash_probe (native batched probe) must agree with the pure-numpy
+    probe walk on hits, misses, and empty-slot chain termination — it is the
+    resolve half of every host-serving and host-resolve path."""
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    terms, keys, queries, qk = _dict_and_queries(rng)
+    slots = hashing.build_table(keys)
+    probes = hashing.max_probe_len(slots, hashing.hash_rows_np(keys))
+    got = native.hash_probe(keys, slots, probes, qk)
+    # numpy walk, forced (bypass the native fast path inside probe_rows_np)
+    mask = np.uint32(len(slots) - 1)
+    h = hashing.hash_rows_np(qk)
+    want = np.full(qk.shape[0], -1, dtype=np.int64)
+    for i in range(qk.shape[0]):
+        for p in range(probes):
+            pos = int((h[i] + np.uint32(p)) & mask)
+            cand = int(slots[pos])
+            if cand < 0:
+                break
+            if (keys[cand] == qk[i]).all():
+                want[i] = cand
+                break
+    assert np.array_equal(got.astype(np.int64), want)
+    tset = {t: j for j, t in enumerate(terms)}
+    for i, q in enumerate(queries):
+        assert got[i] == tset.get(q, -1), q

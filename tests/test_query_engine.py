@@ -1237,3 +1237,45 @@ def test_or_pagination_u16_overflow_escape(tmp_path, rng, monkeypatch):
                 assert counts[i] == len(w), (wire, P, i)
                 assert vals[voffs[i]:voffs[i + 1]].tolist() == w[:P], (
                     wire, P, i)
+
+
+def test_host_resolve_device_serve_matches_oracle(tmp_path, rng, monkeypatch):
+    """Engines with retained tables resolve the dictionary ON HOST for the
+    device concat stream and the one-shot concat path (steps.
+    _host_resolve_sb) — idx/found ship instead of packed qkeys and no
+    blocking fetch gates dispatch. Results must stay bit-identical to the
+    device-resolve engine across found/missing mixes, both ops, pagination
+    and full-result forms."""
+    ii = InvertedIndex(str(tmp_path))
+    truth = {}
+    terms = [b"t%03d" % i for i in range(60)]
+    for d in range(1, 400):
+        tl = [terms[int(x)] for x in rng.choice(60, size=1 + d % 5,
+                                                replace=False)]
+        for t in tl:
+            truth.setdefault(t, set()).add(d)
+        ii.put(tl, d)
+    eng_t = QueryEngine.from_index(ii, L=128, q_bucket=8)   # tables kept
+    eng_d = QueryEngine.from_index(ii, L=128, q_bucket=8,
+                                   keep_tables=False)       # device resolve
+    assert eng_t.host_ready() and not eng_d.host_ready()
+    queries = [
+        [terms[0], b"missing", terms[7]],
+        [terms[3]],
+        [b"missing-a", b"missing-b"],
+        [terms[11], terms[13], terms[17], terms[19]],
+    ] + [[terms[int(a)], terms[int(b)]]
+         for a, b in rng.integers(0, 60, size=(17, 2))]
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")  # pin the device pipeline
+    for op in ("or", "and"):
+        want = eng_d.boolean(queries, op)
+        got = eng_t.boolean(queries, op)
+        for i, (w, g) in enumerate(zip(want, got)):
+            assert np.array_equal(w, g), (op, i)
+        for P in (0, 8):
+            kw = dict(columnar=True, prefix_p=P) if P else dict(
+                columnar=True)
+            a = eng_d.boolean_staged([queries], op, **kw)[0]
+            b = eng_t.boolean_staged([queries], op, **kw)[0]
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y), (op, P)
