@@ -822,11 +822,18 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
         _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
               reps=3),
     )
-    eng.boolean_staged(stream, "or", columnar=True, prefix_p=32, depth=3)
+    # steady-state shape, matching the AND device measurement above: warm
+    # the full stream once (every class program at the serve shape), then
+    # time a 2x-longer stream at depth=4 with 5 reps — the ~50 ms
+    # first-batch ramp and any tunnel RPC burst are half the fraction of
+    # each rep, which is the rate a long-lived serving deployment holds
+    or_p_stream = stream + stream
+    eng.boolean_staged(stream, "or", columnar=True, prefix_p=32, depth=4)
     out[f"{name}_staged_or_prefix_qps"] = _qps_stat(
-        f"{name}_staged_or_prefix_qps", nb * sq,
+        f"{name}_staged_or_prefix_qps", len(or_p_stream) * sq,
         _reps(lambda: eng.boolean_staged(
-            stream, "or", columnar=True, prefix_p=32, depth=3)),
+            or_p_stream, "or", columnar=True, prefix_p=32, depth=4),
+            reps=5),
     )
     # staged stream lookup: the END-TO-END analogue of the scan-based
     # lookup_qps (exact at any posting length). With tables retained (the

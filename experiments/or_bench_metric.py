@@ -1,0 +1,20 @@
+"""Measure the exact bench metric shape for staged OR prefix (steady-state)."""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, "/root/repo")
+from bench import gen_corpus, _reps, _qps_stat, _SPREADS, build_snapshot, _sample_terms, _boolean_stream
+from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+def log(*a): print("[exp]", *a, file=sys.stderr, flush=True)
+corpus = gen_corpus(32_000, 1000, seed=11)
+snap, _, tables = build_snapshot(corpus)
+Q, nb = 8192, 12
+eng = QueryEngine(snap, L=2048, q_bucket=Q, tables=tables)
+stream = _boolean_stream(_sample_terms(snap), nb, Q, seed=13)
+s2 = stream + stream
+t0 = time.monotonic()
+eng.boolean_staged(stream, "or", columnar=True, prefix_p=32, depth=4)
+log(f"warm {time.monotonic()-t0:.1f}s")
+q = _qps_stat("orp", len(s2)*Q, _reps(lambda: eng.boolean_staged(
+    s2, "or", columnar=True, prefix_p=32, depth=4), reps=5))
+log(f"steady 2x: {q} {_SPREADS['orp']}")
