@@ -798,7 +798,12 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
             # fetches in flight across it. The median is the headline;
             # the min rep lands in spreads (and the headline *_min key).
             dev_stream = stream + stream
-            eng.boolean_staged(stream, "and", columnar=True, depth=4)
+            # warm with the TIMED stream, not the half-length one: the 2x
+            # stream accrues ~2x the deferred follow-ups, whose pow2-padded
+            # re-serve batch is then a NEW shape — one remote compile
+            # (~8-25 s) landing inside the first timed rep cratered r04's
+            # smoke min-rep to 21k while the other four sat at 166-167k
+            eng.boolean_staged(dev_stream, "and", columnar=True, depth=4)
             out[f"{name}_staged_and_dev_qps"] = _qps_stat(
                 f"{name}_staged_and_dev_qps", len(dev_stream) * sq,
                 _reps(lambda: eng.boolean_staged(
@@ -828,7 +833,8 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
     # first-batch ramp and any tunnel RPC burst are half the fraction of
     # each rep, which is the rate a long-lived serving deployment holds
     or_p_stream = stream + stream
-    eng.boolean_staged(stream, "or", columnar=True, prefix_p=32, depth=4)
+    eng.boolean_staged(or_p_stream, "or", columnar=True, prefix_p=32,
+                       depth=4)
     out[f"{name}_staged_or_prefix_qps"] = _qps_stat(
         f"{name}_staged_or_prefix_qps", len(or_p_stream) * sq,
         _reps(lambda: eng.boolean_staged(
