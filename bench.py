@@ -976,19 +976,24 @@ def bench_scale(Q=8192, nb=6, L=128):
     stream = _boolean_stream(terms, nb, Q, seed=29)
     lk_stream = [[q[0] for q in b] for b in stream[:4]]
     dev_eng.warmup(k_max=8)
-    dev_eng.boolean_staged(stream[:1], "and", columnar=True)  # warm trace
+    # warm each measurement with its TIMED stream: one-batch warms leave
+    # the longer stream's follow-up batch shapes uncompiled, and a remote
+    # compile landing in a timed rep reads as a phantom "burst" (the r04
+    # smoke measured a 13k lookup min-rep this way, vs 70-74k warm)
+    dev_eng.boolean_staged(stream, "and", columnar=True, depth=4)
     out["scale_staged_and_dev_qps"] = _qps_stat(
         "scale_staged_and_dev_qps", nb * Q,
         _reps(lambda: dev_eng.boolean_staged(
             stream, "and", columnar=True, depth=4), reps=3),
     )
-    dev_eng.boolean_staged(stream[:1], "or", columnar=True, prefix_p=32)
+    dev_eng.boolean_staged(stream, "or", columnar=True, prefix_p=32,
+                           depth=4)
     out["scale_staged_or_prefix_dev_qps"] = _qps_stat(
         "scale_staged_or_prefix_dev_qps", nb * Q,
         _reps(lambda: dev_eng.boolean_staged(
             stream, "or", columnar=True, prefix_p=32, depth=4), reps=3),
     )
-    dev_eng.lookup_staged(lk_stream[:1], columnar=True)
+    dev_eng.lookup_staged(lk_stream, columnar=True, depth=4)
     out["scale_staged_lookup_dev_qps"] = _qps_stat(
         "scale_staged_lookup_dev_qps", len(lk_stream) * Q,
         _reps(lambda: dev_eng.lookup_staged(

@@ -1279,3 +1279,40 @@ def test_host_resolve_device_serve_matches_oracle(tmp_path, rng, monkeypatch):
             b = eng_t.boolean_staged([queries], op, **kw)[0]
             for x, y in zip(a, b):
                 assert np.array_equal(x, y), (op, P)
+
+
+def test_or_pagination_with_tombstones_device_route(tmp_path, rng,
+                                                    monkeypatch):
+    """prefix_p + filter_removed on the DEVICE route: the windowed
+    compaction is only valid unfiltered, so this path runs the full
+    compaction, then _JIT_FILTER, then the scatter/pack harvest — counts
+    must be post-filter exact and pages must skip purged values."""
+    ii = InvertedIndex(str(tmp_path))
+    truth = {}
+    terms = [b"q%02d" % i for i in range(20)]
+    for d in range(1, 300):
+        tl = [terms[int(x)] for x in rng.choice(20, size=2 + d % 3,
+                                                replace=False)]
+        for t in tl:
+            truth.setdefault(t, set()).add(d)
+        ii.put(tl, d)
+    dead = {7, 8, 50, 123, 250, 299}
+    ii.put_removed(np.asarray(sorted(dead), dtype=np.uint32))
+    for t in truth:
+        truth[t] -= dead
+    # tombstones live in the removed list (reads never apply them until
+    # merge) — the engine filter is what this test exercises
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8, keep_tables=False)
+    queries = [[terms[i], terms[(i * 3 + 1) % 20]] for i in range(16)]
+    want = [sorted(truth[a] | truth[b]) for a, b in queries]
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")
+    for wire in ("1", "0"):
+        monkeypatch.setenv("TPI_WIRE", wire)
+        for P in (4, 32):
+            vals, voffs, counts = eng.boolean_staged(
+                [queries], "or", filter_removed=True, columnar=True,
+                prefix_p=P)[0]
+            for i, w in enumerate(want):
+                assert counts[i] == len(w), (wire, P, i)
+                assert vals[voffs[i]:voffs[i + 1]].tolist() == w[:P], (
+                    wire, P, i)
