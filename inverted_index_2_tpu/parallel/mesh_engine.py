@@ -454,7 +454,7 @@ class MeshQueryEngine:
 
     def boolean_staged(
         self, batches, op: str, filter_removed: bool = False,
-        depth: int = 3, columnar: bool = False,
+        depth: int = 3, columnar: bool = False, prefix_p: int = 0,
     ):
         """Depth-pipelined mesh stream serving: dispatch batch i+`depth`
         (and start its result copies) BEFORE fetching batch i, so the
@@ -463,15 +463,35 @@ class MeshQueryEngine:
         are deferred and processed ONCE across the whole stream, largest
         level first, so the re-serve round-trip count is independent of
         how many batches clipped. Per-batch results are identical to
-        boolean()."""
+        boolean().
+
+        prefix_p > 0 (requires columnar): pagination serving with the
+        single-chip contract — each batch returns (values, voffs, counts)
+        where values holds the FIRST min(count, prefix_p) results per
+        query and counts the true result sizes; the harvest fetches one
+        bounded (Q, P) slice per batch instead of the wire-trimmed full
+        rows. Rows whose true size exceeded the fast-path L still re-serve
+        exactly, so counts stay exact at any posting length."""
         from collections import deque
 
         batches = list(batches)
+        P = int(prefix_p)
+        if P and not columnar:
+            raise ValueError("prefix_p requires columnar=True")
         st = self._state
         if st.delta is not None:
             # dual-tier programs are not stream-shaped; the delta window is
             # transient (promotion folds it into main)
             per = [self.boolean(b, op, filter_removed) for b in batches]
+            if P:
+                out = []
+                for rows in per:
+                    counts = np.fromiter(
+                        map(len, rows), np.int64, count=len(rows))
+                    vals, voffs = qe._rows_to_columnar(
+                        [r[:P] for r in rows])
+                    out.append((vals, voffs, counts))
+                return out
             return (
                 [qe._rows_to_columnar(rows) for rows in per]
                 if columnar else per
@@ -483,8 +503,12 @@ class MeshQueryEngine:
 
         def harvest(item):
             bi, nq, qk, kv, out, oc, need, md = item
-            oc_h, need_h, md_h = jax.device_get((oc, need, md))
-            out_h = self._fetch_trimmed(out, oc_h[:nq], md_h)
+            oc_h, need_h = jax.device_get((oc, need))
+            if P:
+                out_h = np.asarray(out)  # the bounded (Q, P) device slice
+            else:
+                out_h = self._fetch_trimmed(out, oc_h[:nq],
+                                            jax.device_get(md))
             fetched[bi] = (nq, out_h, oc_h)
             for i in np.nonzero(need_h[:nq] > self.L)[0]:
                 longs.append((bi, int(i), qk[i], int(kv[i]), int(need_h[i])))
@@ -513,9 +537,17 @@ class MeshQueryEngine:
             )
             if filter_removed:
                 out, oc = self._filter(out, oc, st.removed)
-            md = qe._JIT_WIRE_META(out, oc)
-            for a in (oc, need, md):
-                a.copy_to_host_async()
+            if P:
+                # pagination: slice the page ON DEVICE, skip the wire meta
+                # (the (Q, P) raw slice is already the bounded fetch)
+                out = out[:, : min(P, out.shape[1])]
+                md = None
+                for a in (out, oc, need):
+                    a.copy_to_host_async()
+            else:
+                md = qe._JIT_WIRE_META(out, oc)
+                for a in (oc, need, md):
+                    a.copy_to_host_async()
             pend.append((bi, len(queries), qk, kv, out, oc, need, md))
             if len(pend) > depth:
                 harvest(pend.popleft())
@@ -549,12 +581,29 @@ class MeshQueryEngine:
         for bi in range(len(batches)):
             nq, out_h, oc_h = fetched[bi]
             if nq == 0:
-                results.append(
-                    (np.zeros(0, np.uint32), np.zeros(1, np.int64))
-                    if columnar else []
-                )
+                if P:
+                    results.append((np.zeros(0, np.uint32),
+                                    np.zeros(1, np.int64),
+                                    np.zeros(0, np.int64)))
+                elif columnar:
+                    results.append(
+                        (np.zeros(0, np.uint32), np.zeros(1, np.int64)))
+                else:
+                    results.append([])
                 continue
             ovr = overrides.get(bi, {})
+            if P:
+                counts = oc_h[:nq].astype(np.int64)
+                rows = []
+                for i in range(nq):
+                    if i in ovr:
+                        counts[i] = len(ovr[i])
+                        rows.append(ovr[i][:P])
+                    else:
+                        rows.append(out_h[i, : min(int(oc_h[i]), P)])
+                vals, voffs = qe._rows_to_columnar(rows)
+                results.append((vals, voffs, counts))
+                continue
             rows = [
                 ovr[i] if i in ovr else out_h[i, : oc_h[i]].copy()
                 for i in range(nq)

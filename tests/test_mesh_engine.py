@@ -219,3 +219,53 @@ def test_mesh_engine_boolean_staged(tmp_path, mesh8):
                     assert np.array_equal(
                         vals[voffs[qi]: voffs[qi + 1]], plain[qi]
                     ), (op, fr, bi, qi)
+
+
+def test_mesh_engine_boolean_staged_pagination(tmp_path, mesh8):
+    """prefix_p on the mesh stream matches the single-chip pagination
+    contract: (values, voffs, counts) with TRUE counts and the first-P
+    values — exact through ladder re-serves (need > L), tombstone
+    filtering, and the delta-tier per-batch fallback."""
+    rng = np.random.default_rng(31)
+    ii, vocab = _build_index(tmp_path, rng, n_docs=90)
+    for v in range(100, 300):  # > L=128: deferred exact re-serve
+        ii.put([vocab[0], vocab[1]], v)
+    eng = MeshQueryEngine(ii, mesh=mesh8, L=128, q_bucket=8)
+    rq = np.random.default_rng(29)
+    batches = []
+    for _ in range(2):
+        qs = []
+        for _ in range(6):
+            k = int(rq.integers(1, 4))
+            qs.append([vocab[i] for i in rq.choice(40, size=k, replace=False)])
+        batches.append(qs)
+    batches[0].append([vocab[0], vocab[1]])   # re-serve row
+    batches[1].append([b"zz-missing", vocab[2]])
+    batches.append([])
+    with pytest.raises(ValueError):
+        eng.boolean_staged(batches, "or", prefix_p=4)
+
+    def check(tag):
+        for op in ("and", "or"):
+            for fr in (False, True):
+                for P in (3, 16):
+                    got = eng.boolean_staged(
+                        batches, op, filter_removed=fr,
+                        columnar=True, prefix_p=P)
+                    for bi, qs in enumerate(batches):
+                        plain = eng.boolean(qs, op, filter_removed=fr)
+                        vals, voffs, counts = got[bi]
+                        assert len(voffs) == len(qs) + 1
+                        for qi, row in enumerate(plain):
+                            assert counts[qi] == len(row), (
+                                tag, op, fr, P, bi, qi)
+                            assert np.array_equal(
+                                vals[voffs[qi]: voffs[qi + 1]], row[:P]
+                            ), (tag, op, fr, P, bi, qi)
+
+    check("main")
+    # delta window live: pagination serves through the exact fallback
+    ii.put([vocab[2], b"delta-new"], 999)
+    assert eng.refresh(ii) is True and eng.delta is not None
+    batches[1].append([b"delta-new", vocab[2]])
+    check("delta")
