@@ -452,6 +452,22 @@ class MeshQueryEngine:
                 results[i] = o2[j, : c2[j]].copy()
         return results
 
+    def lookup_staged(
+        self, batches, filter_removed: bool = False, depth: int = 3,
+        columnar: bool = False, prefix_p: int = 0,
+    ):
+        """Pipelined stream lookup over the mesh — the mesh twin of
+        QueryEngine.lookup_staged: each term serves as a single-term OR
+        query through the staged stream, so misses surface as count-0 rows
+        rather than lookup()'s None (without filter_removed a PRESENT term
+        always has >= 1 posting, so zero is unambiguous there). Returns per
+        batch what boolean_staged returns (rows / columnar pair /
+        pagination triple with prefix_p)."""
+        return self.boolean_staged(
+            [[[t] for t in b] for b in batches], "or",
+            filter_removed, depth, columnar, prefix_p,
+        )
+
     def boolean_staged(
         self, batches, op: str, filter_removed: bool = False,
         depth: int = 3, columnar: bool = False, prefix_p: int = 0,

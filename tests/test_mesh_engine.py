@@ -269,3 +269,26 @@ def test_mesh_engine_boolean_staged_pagination(tmp_path, mesh8):
     assert eng.refresh(ii) is True and eng.delta is not None
     batches[1].append([b"delta-new", vocab[2]])
     check("delta")
+
+
+def test_mesh_engine_lookup_staged(tmp_path, mesh8):
+    """Mesh stream lookup agrees with mesh lookup() per term — misses are
+    count-0 rows, prefix_p returns true counts + first-P values."""
+    rng = np.random.default_rng(41)
+    ii, vocab = _build_index(tmp_path, rng, n_docs=80)
+    eng = MeshQueryEngine(ii, mesh=mesh8, L=128, q_bucket=8)
+    batches = [vocab[:7] + [b"zz-missing"], vocab[7:15], []]
+    for fr in (False, True):
+        plain = [eng.lookup(b, filter_removed=fr) for b in batches]
+        rows = eng.lookup_staged(batches, filter_removed=fr)
+        pre = eng.lookup_staged(batches, filter_removed=fr,
+                                columnar=True, prefix_p=4)
+        for bi, b in enumerate(batches):
+            for qi, t in enumerate(b):
+                want = plain[bi][qi]
+                want = (np.zeros(0, np.uint32) if want is None else want)
+                assert np.array_equal(rows[bi][qi], want), (fr, bi, qi)
+                vals, voffs, counts = pre[bi]
+                assert counts[qi] == len(want), (fr, bi, qi)
+                assert np.array_equal(
+                    vals[voffs[qi]: voffs[qi + 1]], want[:4]), (fr, bi, qi)
