@@ -310,6 +310,28 @@ def test_hostile_terms_differential(tmp_path, seed):
                         present = [s for s in sets if s is not None]
                         want = set().union(*present) if present else set()
                     assert g.tolist() == sorted(want), ("host", op, q)
+            # pinned DEVICE pagination with hostile terms: host-side
+            # resolve (native tpi_hash_probe) -> concat classes ->
+            # scatter-coalesced harvest -> u16 delta plane, both wire modes
+            os.environ["TPI_HOST_BOOL"] = "0"
+            try:
+                qs3 = [q for q in qs2 if q]
+                present = [
+                    sorted(set().union(*[data.get(t, set()) for t in q]))
+                    for q in qs3
+                ]
+                for wire in ("1", "0"):
+                    os.environ["TPI_WIRE"] = wire
+                    for Pp in (2, 8):
+                        vals, voffs, counts = heng.boolean_staged(
+                            [qs3], "or", columnar=True, prefix_p=Pp)[0]
+                        for i, w in enumerate(present):
+                            assert counts[i] == len(w), ("page", wire, Pp, i)
+                            assert vals[voffs[i]:voffs[i + 1]].tolist() \
+                                == w[:Pp], ("page", wire, Pp, i)
+            finally:
+                os.environ.pop("TPI_HOST_BOOL", None)
+                os.environ.pop("TPI_WIRE", None)
     finally:
         os.environ.pop("TPI_FUSED_AND", None)
         os.environ.pop("TPI_PALLAS_AND", None)
