@@ -96,6 +96,19 @@ def main():
     stream = pm.sharded_read_range(snap, vocab[0], vocab[2], L=128)
     print("mesh range read:", [(t, v.tolist()[:3]) for t, v in stream][:3])
 
+    # --- pipelined mesh stream serving -------------------------------------
+    # boolean_staged/lookup_staged mirror the single-chip contracts: the
+    # pagination form returns TRUE counts + the first prefix_p values per
+    # query in one bounded fetch per batch
+    (sv, so, sc), = meng.boolean_staged(
+        [[doc1, [vocab[1], b"zz-more-news"]]], "or",
+        columnar=True, prefix_p=2,
+    )
+    print("mesh staged OR pages:",
+          [(int(sc[i]), sv[so[i]:so[i + 1]].tolist()) for i in range(2)])
+    print("mesh staged lookup:",
+          [r.tolist() for r in meng.lookup_staged([[vocab[0], b"nope"]])[0]])
+
     # --- warm restarts: serving-snapshot checkpoints -----------------------
     # One file warm-starts BOTH engines; auto-resave keeps it current on
     # every main-tier rebuild, and a stale file reconciles at load.
