@@ -752,6 +752,12 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
         # the A/B lever for the routing policy itself
         os.environ["TPI_HOST_BOOL"] = "0"
         try:
+            # the auto-route warm pass above served HOST-side on this
+            # link, so the device programs are still cold here — warm them
+            # under the pin or the first timed rep eats the compiles (the
+            # r04 smoke's min-reps of 79 and 1098 QPS were exactly this)
+            for qs in batches:
+                eng.boolean(qs, op="and")
             out[f"{name}_and_dev_qps"] = _qps_stat(
                 f"{name}_and_dev_qps", Q * iters,
                 _reps(lambda: [eng.boolean(qs, op="and") for qs in batches],
