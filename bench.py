@@ -31,6 +31,18 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache, shared ACROSS processes (verified on
+# this tunneled backend: a 1.01 s first compile replays in 0.07 s from a
+# fresh process). The remote compiler's latency is erratic — the same
+# program measures 3 s to 25 min — and one storm inside a phase can eat
+# the whole BENCH_BUDGET_S (a 42-minute `query` phase skipped every later
+# phase in one round-4 run). With the cache, any program any prior run
+# compiled is immune. Must be set before jax initializes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 _SPREADS = {}  # metric -> [min, median, max] over within-process reps
 

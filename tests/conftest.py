@@ -11,6 +11,15 @@ compiles over the tunnel (~60s each). Must run before jax initializes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent XLA compile cache (shared across processes/backends; entries
+# key on HLO + compile options, so CPU-mesh test programs and the bench's
+# TPU programs coexist) — repeat suite runs skip every slow compile
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
