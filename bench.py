@@ -58,7 +58,7 @@ def _fence(x):
     return jax.device_get(x)
 
 
-def _reps(fn, reps: int = 5):
+def _reps(fn, reps: int = 5, sync: bool = False):
     """Run `fn` (which must block until device-complete) `reps` times and
     return the list of wall durations. Within-process repetition is the
     only valid basis for spread on this host (cross-process numbers vary
@@ -66,9 +66,18 @@ def _reps(fn, reps: int = 5):
     [min, median, max] in details.spreads. 5 reps (not 3): the shared
     tunnel's RPC latency comes in multi-hundred-ms bursts, and with 3
     reps one burst drags the median — measured lookup medians of 633k
-    and 3.4M for identical code in adjacent runs."""
+    and 3.4M for identical code in adjacent runs.
+
+    sync=True drains dirty-page writeback BEFORE EACH rep (the repo's
+    os.sync() discipline, CLAUDE.md): host-CPU-bound phases that run
+    right after heavy file writes — or concurrently with an ingest
+    contender — otherwise absorb the kernel's flusher on this 1-vCPU
+    host (the r04 idle-OR min of 9,067 vs median 54,836 was exactly
+    this: the AND phase's dirty pages flushed inside the OR timing)."""
     ts = []
     for _ in range(reps):
+        if sync:
+            os.sync()
         t0 = time.monotonic()
         fn()
         ts.append(time.monotonic() - t0)
@@ -931,27 +940,32 @@ def bench_host_contended(snap1k, tables1k, Q=8192, nb=6):
     th = threading.Thread(target=contender, daemon=True)
     try:
         eng.boolean_staged(stream[:1], "and", columnar=True)  # warm
+        # sync=True + reps=5 (VERDICT r4 #2): these four phases run
+        # back-to-back on the 1-vCPU host; without per-rep sync the AND
+        # phase's dirty pages flush inside the OR timing (r04: idle-OR
+        # min 9,067 vs median 54,836 — a measurement artifact, not a
+        # service floor).
         out["host_idle_and_qps"] = _qps_stat(
             "host_idle_and_qps", nb * Q,
             _reps(lambda: eng.boolean_staged(stream, "and", columnar=True),
-                  reps=3),
+                  reps=5, sync=True),
         )
         out["host_idle_or_qps"] = _qps_stat(
             "host_idle_or_qps", len(or_stream) * Q,
             _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
-                  reps=3),
+                  reps=5, sync=True),
         )
         th.start()
         time.sleep(1.0)  # let the contender ramp up
         out["host_contended_and_qps"] = _qps_stat(
             "host_contended_and_qps", nb * Q,
             _reps(lambda: eng.boolean_staged(stream, "and", columnar=True),
-                  reps=3),
+                  reps=5, sync=True),
         )
         out["host_contended_or_qps"] = _qps_stat(
             "host_contended_or_qps", len(or_stream) * Q,
             _reps(lambda: eng.boolean_staged(or_stream, "or", columnar=True),
-                  reps=3),
+                  reps=5, sync=True),
         )
     finally:
         stop.set()
@@ -1022,10 +1036,12 @@ def bench_scale(Q=8192, nb=6, L=128):
     os.environ["TPI_HOST_BOOL"] = "all"
     try:
         host_eng.boolean_staged(stream[:1], "and", columnar=True)
+        # sync=True + reps=5: host-CPU-bound phase right after the 10M-term
+        # corpus + table build wrote GBs of dirty pages (VERDICT r4 #2)
         out["scale_staged_and_host_qps"] = _qps_stat(
             "scale_staged_and_host_qps", nb * Q,
             _reps(lambda: host_eng.boolean_staged(
-                stream, "and", columnar=True), reps=3),
+                stream, "and", columnar=True), reps=5, sync=True),
         )
     finally:
         del os.environ["TPI_HOST_BOOL"]

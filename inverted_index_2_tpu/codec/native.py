@@ -418,6 +418,14 @@ def hash_probe(keys: np.ndarray, slots: np.ndarray, max_probes: int,
     keys = np.ascontiguousarray(keys, dtype=np.uint32)
     qkeys = np.ascontiguousarray(qkeys, dtype=np.uint32)
     slots = np.ascontiguousarray(slots, dtype=np.int32)
+    # tpi_hash_probe uses keys.shape[1] as the row stride for BOTH key
+    # matrices; a width mismatch would read out-of-stride garbage silently
+    # (the numpy fallback raises instead). Guard it here.
+    assert qkeys.shape[1] == keys.shape[1], (
+        f"hash_probe width mismatch: qkeys {qkeys.shape[1]} vs keys "
+        f"{keys.shape[1]}")
+    assert len(slots) & (len(slots) - 1) == 0, (
+        "hash_probe: slot table size must be a power of two")
     out = np.empty(qkeys.shape[0], dtype=np.int32)
     if qkeys.shape[0]:
         lib.tpi_hash_probe(

@@ -13,9 +13,12 @@ QueryEngine (_host_boolean_route).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, TYPE_CHECKING
 
 import numpy as np
+
+if TYPE_CHECKING:  # circular at runtime: query_engine imports this mixin
+    from .query_engine import ServingState
 
 from ..codec import hashing
 from ..codec import keys as keys_mod

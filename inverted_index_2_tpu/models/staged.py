@@ -10,9 +10,12 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, TYPE_CHECKING
 
 import numpy as np
+
+if TYPE_CHECKING:  # circular at runtime: query_engine imports this mixin
+    from .query_engine import ServingState
 
 import jax
 import jax.numpy as jnp

@@ -364,7 +364,12 @@ def _scatter_p_step(obuf, sel, o, oc):
     """Accumulate one class chunk's P-slice into the batch's SINGLE result
     buffer: obuf (QB, P+1) u32 — columns [0, P) the first-P values, column
     P the query's true count — with `sel` (B,) i32 the destination rows
-    (-1 pads drop: scatter mode="drop" treats negatives as out-of-bounds).
+    (-1 = pad). Pads are remapped to QB — a genuinely out-of-bounds row —
+    BEFORE the scatter: JAX normalizes negative indices (-1 → QB-1) ahead
+    of mode="drop", so a raw -1 pad would overwrite the LAST query's row
+    with an empty pad result whenever a later-dispatched class chunk is
+    padded (hit end-to-end when nq is an exact multiple of q_bucket —
+    tests/test_query_engine.py::test_staged_prefix_pagination_full_bucket).
     This is the pagination stream's fetch-coalescing trick: the tunnel
     charges ~6-16 ms latency PER fetched array regardless of size
     (profiled round 4: 180 array materializations = 1.12 s of a 1.42 s
@@ -380,7 +385,8 @@ def _scatter_p_step(obuf, sel, o, oc):
         o2 = jnp.pad(o, ((0, 0), (0, P - o.shape[1])))
     row = jnp.concatenate(
         [o2.astype(obuf.dtype), oc.astype(obuf.dtype)[:, None]], axis=1)
-    return obuf.at[sel].set(row, mode="drop")
+    sel_oob = jnp.where(sel >= 0, sel, obuf.shape[0])
+    return obuf.at[sel_oob].set(row, mode="drop")
 
 
 _JIT_SCATTER_P = jax.jit(_scatter_p_step, donate_argnums=(0,))

@@ -624,6 +624,44 @@ def test_boolean_staged_prefix_fallback_with_delta(tmp_path):
     assert np.array_equal(pv[pvo[1]: pvo[2]], plain[1][:4])
 
 
+def test_staged_prefix_pagination_full_bucket(tmp_path):
+    """Regression (advisor round 4): nq an exact multiple of q_bucket with
+    a PADDED class chunk. The pagination scatter's -1 selector pads used
+    to be normalized to row QB-1 before mode="drop" (JAX wraps negative
+    indices first), so a padded chunk dispatched after the last query's
+    own chunk silently overwrote that query's page with an empty pad row
+    — query QB-1 returned count 0. Pads must scatter genuinely
+    out-of-bounds (models/steps.py _scatter_p_step)."""
+    ii = InvertedIndex(str(tmp_path))
+    docs = []
+    vocab = [f"t{i:02d}".encode() for i in range(20)]
+    for i, t in enumerate(vocab):
+        docs += [([t], v) for v in range(1, 10 + i)]
+    # query index 7's term: true count 48 — the victim row
+    docs += [([b"sm"], v) for v in range(1, 49)]
+    ii.put_many(docs)
+    eng = QueryEngine.from_index(ii, L=8, q_bucket=8)
+    # queries 0-6: 9 terms each -> block sum 9 -> SB class 32, one chunk of
+    # 7 members + 1 PAD, dispatched AFTER query 7's class-8 chunk (classes
+    # run SB-ascending) — with the bug the pad lane clobbered row 7.
+    batch = [vocab[i: i + 9] for i in range(7)] + [[b"sm"]]
+    assert len(batch) == 8  # nq == q_bucket exactly
+    for op in ("or", "and"):
+        (pv, pvo, pc), = eng.boolean_staged([batch], op, columnar=True,
+                                            prefix_p=4)
+        plain = eng.boolean(batch, op)
+        assert pc[7] == 48, "padded chunk clobbered the last query's row"
+        for qi in range(8):
+            assert pc[qi] == len(plain[qi]), (op, qi)
+            assert np.array_equal(pv[pvo[qi]: pvo[qi + 1]],
+                                  plain[qi][:4]), (op, qi)
+    # the staged lookup stream shares the same scatter
+    (pv, pvo, pc), = eng.lookup_staged(
+        [vocab[:7] + [b"sm"]], columnar=True, prefix_p=4)
+    assert pc[7] == 48 and np.array_equal(pv[pvo[7]: pvo[8]],
+                                          np.arange(1, 5, dtype=np.uint32))
+
+
 def test_lookup_staged_matches_lookup(tmp_path, rng):
     """lookup_staged (stream lookup through the concat classes) agrees with
     lookup() per term — misses surface as count-0 rows, prefix_p returns
