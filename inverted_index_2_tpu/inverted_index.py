@@ -19,11 +19,13 @@ so threads parallelize like goroutines here.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import queue
 import threading
 import time
+from contextlib import contextmanager
 from bisect import bisect_left
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
@@ -38,6 +40,18 @@ logger = logging.getLogger("inverted_index_2_tpu")
 _NCPU = os.cpu_count() or 4
 
 
+def _tracks_busy(fn):
+    """Wrap a mutating InvertedIndex method so is_busy() is True for its
+    whole duration (the serving router's engine-internal busy signal)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self._busy():
+            return fn(self, *a, **kw)
+
+    return wrapper
+
+
 class InvertedIndex:
     def __init__(self, basedir: str, enable_logging: bool = False):
         """Open or create an index at basedir; loads every subdirectory as a
@@ -47,6 +61,14 @@ class InvertedIndex:
         self._shards: List[Shard] = []
         self._shard_keys: List[str] = []  # kept aligned with _shards
         self._shards_m = threading.Lock()
+        # live mutator count (put*/put_removed/merge in flight): the serving
+        # router's PRIMARY busy signal — reacts within one call, unlike the
+        # 1-minute loadavg it replaces (which missed a merge burst for its
+        # first seconds and poisoned the signal for ~a minute after; see
+        # QueryEngine._host_busy). Guarded by its own lock so readers never
+        # contend with the shard-registry lock.
+        self._busy_n = 0
+        self._busy_m = threading.Lock()
         os.makedirs(basedir, exist_ok=True)
 
         dirs = sorted(
@@ -62,6 +84,24 @@ class InvertedIndex:
             self._shard_keys = [s.get_key() for s in shards]
 
     # ---- helpers ---------------------------------------------------------
+
+    @contextmanager
+    def _busy(self):
+        """Mark a mutating operation in flight for is_busy()."""
+        with self._busy_m:
+            self._busy_n += 1
+        try:
+            yield
+        finally:
+            with self._busy_m:
+                self._busy_n -= 1
+
+    def is_busy(self) -> bool:
+        """True while any put/put_removed/merge call is executing (any
+        thread). QueryEngine.from_index wires this into the serving
+        router's load-aware fallback, so the route flips within one batch
+        of a merge starting or finishing."""
+        return self._busy_n > 0
 
     def _snapshot(self) -> List[Shard]:
         with self._shards_m:
@@ -95,6 +135,7 @@ class InvertedIndex:
     # ingest grain of the reference's Put (inverted_index.go:113-145)
     _SMALL_PUT = 64
 
+    @_tracks_busy
     def put(self, terms: List[bytes], value: int) -> None:
         """One document: all terms share one uint32 value. Terms are grouped
         by shard key; each touched shard gets ONE new direct segment
@@ -121,6 +162,7 @@ class InvertedIndex:
         np.cumsum([len(t) for t in terms], out=offsets[1:])
         self.put_packed(np.frombuffer(blob, dtype=np.uint8), offsets, value)
 
+    @_tracks_busy
     def put_packed(self, blob: np.ndarray, offsets: np.ndarray, value: int) -> None:
         """Vectorized ingestion: terms as (uint8 array, offsets[n+1]).
 
@@ -185,6 +227,7 @@ class InvertedIndex:
             sub_off = soffs[lo : hi + 1] - soffs[lo]
             shard.put_sorted(sblob[int(soffs[lo]) : int(soffs[hi])], sub_off, value)
 
+    @_tracks_busy
     def put_many(self, docs) -> None:
         """Batched ingest of many documents in one call: docs = iterable of
         (terms, value) pairs. Writes ONE new segment per TOUCHED SHARD for
@@ -252,6 +295,7 @@ class InvertedIndex:
 
     # ---- delete ------------------------------------------------------------
 
+    @_tracks_busy
     def put_removed(self, values) -> None:
         """Append tombstones in every shard, parallel with bounded fan-out
         (parity: inverted_index.go:41-55)."""
@@ -264,6 +308,7 @@ class InvertedIndex:
 
     # ---- compaction ----------------------------------------------------------
 
+    @_tracks_busy
     def merge(self, req_count: int, m_count: int, concurrency: int) -> int:
         """Per-shard compaction spread over `concurrency` workers; returns the
         total number of input segments consumed across shards (parity:

@@ -35,7 +35,7 @@ bitmask filters").
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import itertools as it
 import math
@@ -246,6 +246,11 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
     # triggers a full rebuild (the LSM analogue of compaction)
     DELTA_FRACTION = 0.25
 
+    # one-shot boolean() batches at least this large delegate to the staged
+    # stream when the device route is chosen (see boolean()); below it the
+    # single-dispatch path's latency is the whole cost either way
+    _STAGED_DELEGATE_MIN = 512
+
     def __init__(self, snapshot: IndexSnapshot, L: int = 1024, q_bucket: int = 256,
                  checkpoint_path: Optional[str] = None, checkpoint_async: bool = True,
                  tables: Optional[HostTables] = None):
@@ -277,6 +282,10 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         self.checkpoint_async = checkpoint_async
         self._ckpt_lock = threading.Lock()
         self._ckpt_thread: Optional[threading.Thread] = None
+        # engine-internal busy probe (set by from_index/from_checkpoint to
+        # the source index's is_busy): the router's PRIMARY load signal —
+        # see _host_busy
+        self._busy_fn: Optional[Callable[[], bool]] = None
         # module-level jit caches: shared across engine instances so fresh
         # snapshots of same-shaped indexes reuse compiled programs
         self._lookup = _JIT_LOOKUP
@@ -492,6 +501,7 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         eng = cls(upload_tables(t, stride_align=stride_align), L=L,
                   tables=t if keep_tables else None, **kw)
         eng._publish(eng._state.replace(fingerprint=fp, main_fp=fp))
+        eng._busy_fn = getattr(index, "is_busy", None)
         eng._save_ckpt(t, fp)
         return eng
 
@@ -520,6 +530,7 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         fp = load_fingerprint(meta)
         eng._publish(eng._state.replace(fingerprint=fp, main_fp=fp))
         if index is not None:
+            eng._busy_fn = getattr(index, "is_busy", None)
             eng.refresh(index, apply_removed=bool(meta["apply_removed"]))
         return eng
 
@@ -737,22 +748,29 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
     _HOST_ROUTE_LINK_MBPS = 256.0
     _HOST_ROUTE_OR_LINK_MBPS = 1024.0
 
-    @staticmethod
-    def _host_busy() -> bool:
-        """Load-aware routing signal (VERDICT r3 #7): 1-minute loadavg per
-        core above TPI_HOST_BUSY_LOAD (default 1.5) means the host cores
-        are already saturated by other work (ingest/merge). The host
-        route's whole advantage is zero link bytes at the cost of host
-        CPU; with the CPU gone, the staged DEVICE pipeline (host does only
-        pack+fetch) degrades far less — so staged AND falls back to it.
-        OR stays host-routed even busy: the full-result device OR is
-        fetch-volume-bound on a slow link (~1.3k QPS on this tunnel), and
-        a contended host still beats that by an order of magnitude.
-        TPI_HOST_BUSY_LOAD=0 disables the fallback (always-host links);
-        measured contended-vs-idle numbers: bench_host_contended."""
+    def _host_busy(self) -> bool:
+        """Load-aware routing signal (VERDICT r3 #7, sharpened r5): the
+        host route's whole advantage is zero link bytes at the cost of
+        host CPU; with the CPU gone, the staged DEVICE pipeline (host does
+        only pack+fetch) degrades far less — so staged streams fall back
+        to it while the host is busy.
+
+        PRIMARY signal: the serving engine's own index (wired by
+        from_index/from_checkpoint as `_busy_fn` = InvertedIndex.is_busy)
+        — True exactly while a put/put_removed/merge call is in flight, so
+        the route flips within one batch of a merge starting or stopping.
+        FALLBACK for external contenders: 1-minute loadavg per core above
+        TPI_HOST_BUSY_LOAD (default 1.5) — slow to rise (a merge burst is
+        invisible for its first seconds) and slow to clear (~a minute), so
+        it only covers load the engine cannot see. TPI_HOST_BUSY_LOAD=0
+        disables BOTH signals (always-host links); measured contended-vs-
+        idle numbers: bench_host_contended."""
         thresh = float(os.environ.get("TPI_HOST_BUSY_LOAD", "1.5"))
         if thresh <= 0:
             return False
+        fn = self._busy_fn
+        if fn is not None and fn():
+            return True
         try:
             load = os.getloadavg()[0]
         except OSError:  # pragma: no cover - platform-dependent
@@ -789,6 +807,14 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         mode = os.environ.get("TPI_HOST_BOOL", "auto")
         if mode == "auto":
             if op == "or":
+                if staged and self._host_busy():
+                    # best-available under load (VERDICT r4 #1): the staged
+                    # device concat stream (57.6k QPS at config-3, r4
+                    # artifact) beats a contended host union (25.8k median
+                    # / min 6.4k same artifact); one-shot OR stays host —
+                    # the non-pipelined device OR is fetch-volume-bound
+                    # (~1.3k on this link), below even a contended host
+                    return False
                 return _link_mbps() < self._HOST_ROUTE_OR_LINK_MBPS
             if staged and os.environ.get("TPI_HYBRID") == "1":
                 return False  # explicit hybrid opt-in: see _hybrid_staged
@@ -912,6 +938,20 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
             # output-bound op with tables retained: serve host-side, zero
             # round trips (see boolean_host)
             return self.boolean_host(queries, op, filter_removed, _st=st)
+        if (len(queries) >= self._STAGED_DELEGATE_MIN
+                and st.snap.n_terms > 0):
+            # device route at bulk Q: a one-shot call is the SAME contract
+            # as a single-batch staged stream, but the staged machinery
+            # pipelines class dispatches, coalesces fetches, and batches
+            # ladder re-serves — ~16x on this link (r4 artifact: one-shot
+            # device AND 10.2k vs staged 163.3k at Q=8192). Naive callers
+            # get the fast path without knowing boolean_staged exists
+            # (VERDICT r4 #4; the reference serves every caller through
+            # one Read path, inverted_index.go:300). n_terms==0 must NOT
+            # delegate: boolean_staged's empty-index fallback calls back
+            # into boolean().
+            return self.boolean_staged(
+                [queries], op, filter_removed, _st=st)[0]
         s = st.snap
         qk, kv = self._pack_boolean(st, queries)
         if s.n_terms == 0 and st.delta is None:

@@ -230,6 +230,175 @@ int64_t merge2_dups(const uint32_t* a, int64_t na, const uint32_t* b,
   return m;
 }
 
+// Final OR output stage: merge two sorted dup-carrying runs (either may be
+// empty), dedupe, optionally tombstone-filter, and write the result straight
+// into the caller's output array. This FUSES the last pairwise merge level
+// with the dedupe+filter pass — previously the reduction materialized one
+// full run and a scalar compare-per-element loop re-read it (the two passes
+// were ~45% of the full-result OR serve at config-3: decomposition in
+// experiments/or_host_decomp.py). The SIMD path dedupes in-register on emit:
+// compare each sorted 16-lane block against itself shifted by one (carrying
+// the last emitted value across blocks) and VPCOMPRESSD the kept lanes.
+// Returns the count written.
+int64_t merge_dedupe_out(const uint32_t* a, int64_t na, const uint32_t* b,
+                         int64_t nb, const uint32_t* removed, int64_t R,
+                         uint32_t* out) {
+  if (na == 0) {
+    a = b;
+    na = nb;
+    b = nullptr;
+    nb = 0;
+  }
+  if (na == 0) return 0;
+  int64_t m = 0;
+  uint32_t first = (nb > 0 && b[0] < a[0]) ? b[0] : a[0];
+  if (R > 0) {
+    // tombstone path: fused scalar merge+dedupe+filter (the removed set is
+    // bounded by sync-GC; this path is off the idle hot loop)
+    const uint32_t* rlo = removed;
+    const uint32_t* rend = removed + R;
+    int64_t i = 0, j = 0;
+    uint32_t prev = ~first;
+    while (i < na || j < nb) {
+      const uint32_t v =
+          (i < na && (j >= nb || a[i] <= b[j])) ? a[i++] : b[j++];
+      if (v == prev) continue;
+      prev = v;
+      rlo = std::lower_bound(rlo, rend, v);
+      if (rlo != rend && *rlo == v) continue;
+      out[m++] = v;
+    }
+    return m;
+  }
+  uint32_t last = ~first;  // != first element so the first always emits
+  int64_t i = 0, j = 0;
+#if defined(__AVX512F__)
+  const auto emit16 = [&](__m512i lo) {
+    const __m512i prevv =
+        _mm512_alignr_epi32(lo, _mm512_set1_epi32(static_cast<int>(last)), 15);
+    const __mmask16 keep = _mm512_cmpneq_epu32_mask(lo, prevv);
+    _mm512_mask_compressstoreu_epi32(out + m, keep, lo);
+    m += __builtin_popcount(static_cast<unsigned>(keep));
+    last = static_cast<uint32_t>(
+        _mm_extract_epi32(_mm512_extracti32x4_epi32(lo, 3), 3));
+  };
+  if (nb >= 16 && na >= 16) {
+    // two-run 16-lane bitonic merge (see merge2_dups), emitting each low
+    // half through the dedupe-compress store
+    static const __m512i rev = _mm512_setr_epi32(
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    __m512i va = _mm512_loadu_si512(a);
+    __m512i vb = _mm512_loadu_si512(b);
+    i = 16;
+    j = 16;
+    while (true) {
+      const __m512i br = _mm512_permutexvar_epi32(rev, vb);
+      const __m512i lo = bitonic_clean16(_mm512_min_epu32(va, br));
+      const __m512i hi = bitonic_clean16(_mm512_max_epu32(va, br));
+      emit16(lo);
+      va = hi;
+      if (i + 16 <= na && j + 16 <= nb) {
+        if (a[i] <= b[j]) {
+          vb = _mm512_loadu_si512(a + i);
+          i += 16;
+        } else {
+          vb = _mm512_loadu_si512(b + j);
+          j += 16;
+        }
+      } else {
+        break;
+      }
+    }
+    // spill the held register and three-way merge it with both tails
+    alignas(64) uint32_t vbuf[16];
+    _mm512_storeu_si512(vbuf, va);
+    int64_t x = 0;
+    while (x < 16 && i < na && j < nb) {
+      const uint32_t vx = vbuf[x], ya = a[i], yb = b[j];
+      uint32_t v;
+      if (vx <= ya && vx <= yb) {
+        v = vx;
+        ++x;
+      } else if (ya <= yb) {
+        v = ya;
+        ++i;
+      } else {
+        v = yb;
+        ++j;
+      }
+      out[m] = v;
+      m += v != last;
+      last = v;
+    }
+    while (x < 16) {
+      const uint32_t* t = (i < na) ? a : b;
+      int64_t* ti = (i < na) ? &i : &j;
+      const int64_t tn = (i < na) ? na : nb;
+      if (*ti < tn && t[*ti] < vbuf[x]) {
+        const uint32_t v = t[(*ti)++];
+        out[m] = v;
+        m += v != last;
+        last = v;
+      } else {
+        const uint32_t v = vbuf[x++];
+        out[m] = v;
+        m += v != last;
+        last = v;
+      }
+    }
+  }
+  // one stream left (or SIMD-short inputs): finish the two-pointer part
+  // scalar, then stream the sorted remainder 16 lanes at a time
+  while (i < na && j < nb) {
+    const uint32_t x = a[i], y = b[j];
+    const int64_t ta = x <= y;
+    const uint32_t v = ta ? x : y;
+    i += ta;
+    j += !ta;
+    out[m] = v;
+    m += v != last;
+    last = v;
+  }
+  if (j < nb) {  // at most one side has a remainder; make it `a`
+    a = b;
+    i = j;
+    na = nb;
+    j = nb = 0;
+  }
+  for (; i + 16 <= na; i += 16) emit16(_mm512_loadu_si512(a + i));
+  for (; i < na; ++i) {
+    const uint32_t v = a[i];
+    out[m] = v;
+    m += v != last;
+    last = v;
+  }
+#else
+  while (i < na && j < nb) {
+    const uint32_t x = a[i], y = b[j];
+    const int64_t ta = x <= y;
+    const uint32_t v = ta ? x : y;
+    i += ta;
+    j += !ta;
+    out[m] = v;
+    m += v != last;
+    last = v;
+  }
+  while (i < na) {
+    const uint32_t v = a[i++];
+    out[m] = v;
+    m += v != last;
+    last = v;
+  }
+  while (j < nb) {
+    const uint32_t v = b[j++];
+    out[m] = v;
+    m += v != last;
+    last = v;
+  }
+#endif
+  return m;
+}
+
 #if defined(__AVX512F__)
 // In-register inclusive prefix sum of 16 u32 lanes (4 shift-up + add steps).
 inline __m512i scan16_epi32(__m512i x) {
@@ -977,16 +1146,15 @@ int64_t tpi_boolean_host(const uint32_t* v1, const int64_t* o1,
         }
       }
     } else if (!runs.empty()) {
-      // bottom-up pairwise dup-KEEPING SIMD merges (see merge2_dups);
-      // cross-run duplicates survive to the dedupe output pass below
-      if (runs.size() == 1) {
-        cur = runs[0];
-      } else {
+      // bottom-up pairwise dup-KEEPING SIMD merges (see merge2_dups) down
+      // to TWO runs; the final level runs fused with the dedupe+filter
+      // output stage (merge_dedupe_out) straight into out_vals
+      if (runs.size() > 2) {
         if (static_cast<int64_t>(ping.size()) < total) ping.resize(total);
         if (static_cast<int64_t>(pong.size()) < total) pong.resize(total);
         uint32_t* arena = ping.data();
         uint32_t* alt = pong.data();
-        while (runs.size() > 1) {
+        while (runs.size() > 2) {
           next.clear();
           int64_t pos = 0;
           for (size_t r = 0; r + 1 < runs.size(); r += 2) {
@@ -1008,8 +1176,10 @@ int64_t tpi_boolean_host(const uint32_t* v1, const int64_t* o1,
           runs.swap(next);
           std::swap(arena, alt);
         }
-        cur = runs[0];
       }
+      const Run r1 = runs.size() > 1 ? runs[1] : Run{nullptr, 0};
+      w += merge_dedupe_out(runs[0].p, runs[0].n, r1.p, r1.n, removed, R,
+                            out_vals + w);
     }
     if (cur.n > 0) {
       // one output pass: dedupe (a no-op for AND's already-unique results)
@@ -1211,12 +1381,13 @@ int64_t tpi_boolean_serve(const uint32_t* w1, int64_t wlen1,
           pos += n;
         }
       }
-      // reduce to ONE run with dup-KEEPING SIMD merges (cross-run dups —
-      // shared doc ids and carried level dups — survive until the single
-      // dedupe+filter output pass below)
+      // reduce to TWO runs with dup-KEEPING SIMD merges (cross-run dups —
+      // shared doc ids and carried level dups — survive the levels); the
+      // FINAL level runs fused with the dedupe+filter output stage
+      // (merge_dedupe_out), writing straight into out_vals
       uint32_t* buf = ping.data();
       uint32_t* alt = arena.data();  // after level 1, the arena is dead
-      while (runs.size() > 1) {
+      while (runs.size() > 2) {
         next.clear();
         int64_t p2 = 0;
         for (size_t r = 0; r + 1 < runs.size(); r += 2) {
@@ -1235,27 +1406,10 @@ int64_t tpi_boolean_serve(const uint32_t* w1, int64_t wlen1,
         std::swap(buf, alt);
       }
       if (!runs.empty()) {
-        const Run fin = runs[0];
-        uint32_t prev = fin.n ? ~fin.p[0] : 0u;  // != first element
-        if (R == 0) {
-          for (int64_t i = 0; i < fin.n; ++i) {
-            const uint32_t v = fin.p[i];
-            if (v == prev) continue;
-            prev = v;
-            out_vals[w++] = v;
-          }
-        } else {
-          const uint32_t* rlo = removed;
-          const uint32_t* rend = removed + R;
-          for (int64_t i = 0; i < fin.n; ++i) {
-            const uint32_t v = fin.p[i];
-            if (v == prev) continue;
-            prev = v;
-            rlo = std::lower_bound(rlo, rend, v);
-            if (rlo != rend && *rlo == v) continue;
-            out_vals[w++] = v;
-          }
-        }
+        const Run r0 = runs[0];
+        const Run r1 = runs.size() > 1 ? runs[1] : Run{nullptr, 0};
+        w += merge_dedupe_out(r0.p, r0.n, r1.p, r1.n, removed, R,
+                              out_vals + w);
       }
     }
     out_offs[q + 1] = w;

@@ -662,6 +662,49 @@ def test_staged_prefix_pagination_full_bucket(tmp_path):
                                           np.arange(1, 5, dtype=np.uint32))
 
 
+def test_boolean_delegates_to_staged_at_bulk_q(tmp_path, rng, monkeypatch):
+    """One-shot boolean() at bulk Q on the DEVICE route delegates to the
+    staged stream (VERDICT r4 #4) — same contract, pipelined machinery —
+    and stays bit-identical to the direct path, tombstones and delta tier
+    included."""
+    ii, truth = build_index(tmp_path, rng)
+    ii.put_removed(np.asarray([2, 9], dtype=np.uint32))
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")  # pin the device route
+    monkeypatch.setattr(QueryEngine, "_STAGED_DELEGATE_MIN", 16)
+    vocab = sorted(truth.keys())
+    rq = np.random.default_rng(3)
+    qs = [
+        [vocab[i] for i in rq.choice(len(vocab),
+                                     size=int(rq.integers(1, 4)),
+                                     replace=False)]
+        for _ in range(20)
+    ] + [[b"zz-missing", vocab[0]]]
+    called = []
+    orig = QueryEngine.boolean_staged
+
+    def spy(self, batches, *a, **kw):
+        called.append(len(batches))
+        return orig(self, batches, *a, **kw)
+
+    monkeypatch.setattr(QueryEngine, "boolean_staged", spy)
+    for delta_live in (False, True):
+        if delta_live:
+            ii.put([vocab[0], b"zz-new"], 777)
+            assert eng.refresh(ii) is True and eng.delta is not None
+        for op in ("and", "or"):
+            for fr in (False, True):
+                called.clear()
+                got = eng.boolean(qs, op, filter_removed=fr)
+                assert called == [1], "bulk Q must delegate to staged"
+                for qi in range(len(qs)):
+                    called.clear()
+                    want = eng.boolean([qs[qi]], op, filter_removed=fr)[0]
+                    assert not called  # below threshold: direct path
+                    assert np.array_equal(got[qi], want), (
+                        delta_live, op, fr, qi)
+
+
 def test_lookup_staged_matches_lookup(tmp_path, rng):
     """lookup_staged (stream lookup through the concat classes) agrees with
     lookup() per term — misses surface as count-0 rows, prefix_p returns
@@ -1180,7 +1223,11 @@ def test_host_busy_load_aware_fallback(tmp_path, rng, monkeypatch):
                         lambda: (99.0 * (os_mod.cpu_count() or 1), 0.0, 0.0))
     assert not eng._host_boolean_route("and", staged=True)  # busy -> device
     assert eng._host_boolean_route("and", staged=False)     # one-shot: host
-    assert eng._host_boolean_route("or", staged=True)       # OR: host
+    # staged OR under load: best-available is the staged device concat
+    # stream (VERDICT r4 #1); one-shot OR stays host (device one-shot OR
+    # is fetch-volume bound, below even a contended host)
+    assert not eng._host_boolean_route("or", staged=True)
+    assert eng._host_boolean_route("or", staged=False)
     monkeypatch.setattr(os_mod, "getloadavg", lambda: (0.1, 0.0, 0.0))
     assert eng._host_boolean_route("and", staged=True)      # idle -> host
     monkeypatch.setenv("TPI_HOST_BUSY_LOAD", "0")           # fallback off
@@ -1196,6 +1243,75 @@ def test_host_busy_load_aware_fallback(tmp_path, rng, monkeypatch):
     host = eng.boolean_staged([qs], "and")
     for a, b in zip(dev[0], host[0]):
         assert np.array_equal(a, b)
+
+
+def test_host_busy_engine_internal_signal(tmp_path, rng, monkeypatch):
+    """The router's PRIMARY busy signal is the engine's own index (VERDICT
+    r4 #7): is_busy() is True exactly while a put/put_removed/merge call
+    is in flight, so the route flips within ONE batch of a merge starting
+    or stopping — no 1-minute loadavg lag in either direction. The storm
+    below drives a live merge loop while asserting the route choice on
+    both edges."""
+    import os as os_mod
+    import threading
+
+    monkeypatch.setattr(qe_mod, "_LINK_MBPS", None)
+    monkeypatch.setenv("TPI_LINK_MBPS", "33")  # slow link: host-route regime
+    monkeypatch.setenv("TPI_HOST_BUSY_LOAD", "1.5")
+    # loadavg pinned IDLE throughout: every flip below is the engine's own
+    # signal, not the fallback
+    monkeypatch.setattr(os_mod, "getloadavg", lambda: (0.0, 0.0, 0.0))
+    ii, _ = build_index(tmp_path, rng, n_docs=30)
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=8)
+    assert eng._busy_fn is not None
+    assert eng._host_boolean_route("and", staged=True)   # idle -> host
+    assert eng._host_boolean_route("or", staged=True)
+
+    # hold a merge mid-flight: the route must flip immediately
+    gate = threading.Event()
+    entered = threading.Event()
+    from inverted_index_2_tpu.shard import Shard
+    orig_merge = Shard.merge
+
+    def slow_merge(self, req, m):
+        entered.set()
+        gate.wait(timeout=30)
+        return orig_merge(self, req, m)
+
+    monkeypatch.setattr(Shard, "merge", slow_merge)
+    th = threading.Thread(target=lambda: ii.merge(2, 100, 1))
+    th.start()
+    assert entered.wait(timeout=30)
+    assert ii.is_busy()
+    assert not eng._host_boolean_route("and", staged=True)  # busy -> device
+    assert not eng._host_boolean_route("or", staged=True)
+    assert eng._host_boolean_route("and", staged=False)     # one-shot: host
+    gate.set()
+    th.join(timeout=60)
+    assert not ii.is_busy()
+    assert eng._host_boolean_route("and", staged=True)   # merge done -> host
+    assert eng._host_boolean_route("or", staged=True)
+    # storm: unsynchronized route reads while a put/merge loop runs —
+    # route choice must track the busy edges without poisoning
+    monkeypatch.setattr(Shard, "merge", orig_merge)
+    stop = threading.Event()
+    seen_busy = []
+
+    def writer():
+        d = 1000
+        while not stop.is_set():
+            ii.put([f"w{d}".encode()], d)
+            ii.merge(2, 100, 1)
+            d += 1
+
+    wt = threading.Thread(target=writer)
+    wt.start()
+    for _ in range(300):
+        seen_busy.append(not eng._host_boolean_route("and", staged=True))
+    stop.set()
+    wt.join(timeout=60)
+    assert any(seen_busy)  # the storm was observed busy at least once
+    assert eng._host_boolean_route("and", staged=True)  # and clears after
 
 
 def test_or_wire_dedup_device_route(tmp_path, rng, monkeypatch):
