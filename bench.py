@@ -710,6 +710,23 @@ def bench_checkpoint(corpus, cold_build_s, path="/tmp/tpi_bench.ckpt"):
     snap = upload_tables(tables2)
     jax.device_get(snap.blocks[-1, -1])  # fence the arena expansion
     upload_s = time.monotonic() - t0
+    # warm SERVING start (VERDICT r4 #8): from_checkpoint serves from the
+    # host tables while the arena uploads in the background —
+    # checkpoint_first_query_s is the time from cold process state to the
+    # first answered query, vs checkpoint_warm_start_s (which still pays
+    # the full upload before the engine exists)
+    from inverted_index_2_tpu.codec.keys import unpack_keys
+    from inverted_index_2_tpu.models.query_engine import QueryEngine
+
+    kb, ko = unpack_keys(tables2.keys[:64])
+    qterms = [kb[ko[i]: ko[i + 1]].tobytes() for i in range(min(8, len(ko) - 1))]
+    t0 = time.monotonic()
+    eng = QueryEngine.from_checkpoint(path, L=128, q_bucket=256)
+    r = eng.boolean([qterms[:2], qterms[2:5]], "or")
+    assert len(r[0]) > 0
+    first_q_s = time.monotonic() - t0
+    eng.device_wait()
+    swap_s = time.monotonic() - t0
     os.unlink(path)
     return {
         "checkpoint_mb": round(size_mb, 1),
@@ -717,6 +734,8 @@ def bench_checkpoint(corpus, cold_build_s, path="/tmp/tpi_bench.ckpt"):
         "checkpoint_load_s": round(load_s, 3),
         "checkpoint_upload_s": round(upload_s, 3),
         "checkpoint_warm_start_s": round(load_s + upload_s, 3),
+        "checkpoint_first_query_s": round(first_q_s, 3),
+        "checkpoint_device_swap_s": round(swap_s, 3),
         "checkpoint_cold_build_s": round(cold_build_s, 3),
         "checkpoint_host_tables_s": round(host_build_s, 3),
     }
@@ -1031,8 +1050,24 @@ def bench_scale(Q=8192, nb=6, L=128):
         _reps(lambda: dev_eng.lookup_staged(
             lk_stream, columnar=True, depth=4), reps=3),
     )
+    # wire-volume arithmetic for the device lookup number (VERDICT r4 #3):
+    # total result postings across the timed stream, so PERFORMANCE.md can
+    # quote postings/query x bytes/posting x QPS against the measured link
+    lk_res = dev_eng.lookup_staged(lk_stream, columnar=True, depth=4)
+    lk_postings = int(sum(int(v[1][-1]) for v in lk_res))
+    out["scale_lookup_postings_per_q"] = round(
+        lk_postings / (len(lk_stream) * Q), 2)
     # host-route continuity number (r03's scale proof shape)
     host_eng = QueryEngine(snap, L=L, q_bucket=Q, tables=tables)
+    # production lookup route at this corpus: lookup_staged picks the HOST
+    # route whenever tables are retained (full-result lookup never crosses
+    # the link at all — see models/staged.py lookup_staged docstring)
+    host_eng.lookup_staged(lk_stream[:1], columnar=True)
+    out["scale_staged_lookup_host_qps"] = _qps_stat(
+        "scale_staged_lookup_host_qps", len(lk_stream) * Q,
+        _reps(lambda: host_eng.lookup_staged(
+            lk_stream, columnar=True), reps=5, sync=True),
+    )
     os.environ["TPI_HOST_BOOL"] = "all"
     try:
         host_eng.boolean_staged(stream[:1], "and", columnar=True)
@@ -1342,11 +1377,13 @@ _HEADLINE_KEYS = (
     "api_postlen1k_staged_lookup_qps",
     # BASELINE config 5 scale (10M terms / 100M postings), device staged
     "scale_staged_and_dev_qps", "scale_staged_or_prefix_dev_qps",
-    "scale_staged_lookup_dev_qps", "scale_terms", "scale_postings_m",
+    "scale_staged_lookup_dev_qps", "scale_staged_lookup_host_qps",
+    "scale_terms", "scale_postings_m",
     # mesh + host-contention + checkpoint diagnostics
     "mesh_overhead_x", "mesh_lookup_qps",
     "host_contended_and_qps", "host_contended_or_qps",
-    "checkpoint_warm_start_s", "checkpoint_cold_build_s",
+    "checkpoint_warm_start_s", "checkpoint_first_query_s",
+    "checkpoint_cold_build_s",
 )
 
 # Bar metrics whose 5-rep MIN matters (burst resistance): the headline line

@@ -165,7 +165,7 @@ class ServingState:
     inverted_index.go's shard-list copies)."""
 
     __slots__ = ("snap", "delta", "removed", "tables", "delta_tables",
-                 "fingerprint", "main_fp", "_removed_host")
+                 "fingerprint", "main_fp", "_removed_host", "device_ready")
 
     def __init__(self, snap: IndexSnapshot,
                  delta: Optional[IndexSnapshot] = None,
@@ -173,7 +173,8 @@ class ServingState:
                  tables: Optional[HostTables] = None,
                  delta_tables: Optional[HostTables] = None,
                  fingerprint=None, main_fp=None,
-                 removed_host: Optional[np.ndarray] = None):
+                 removed_host: Optional[np.ndarray] = None,
+                 device_ready: bool = True):
         self.snap = snap
         self.delta = delta
         self.removed = removed
@@ -182,6 +183,12 @@ class ServingState:
         self.fingerprint = fingerprint
         self.main_fp = main_fp
         self._removed_host = removed_host
+        # False only during a warm checkpoint start: the snapshot is an
+        # EMPTY placeholder while the real arena uploads in the background,
+        # and every serve path routes through the retained host tables
+        # (from_checkpoint publishes the full-device state when the upload
+        # lands). Serve paths must consult this BEFORE any device route.
+        self.device_ready = device_ready
 
     def replace(self, **kw) -> "ServingState":
         """A copy with the given fields replaced (the rest shared)."""
@@ -190,6 +197,7 @@ class ServingState:
             "tables": self.tables, "delta_tables": self.delta_tables,
             "fingerprint": self.fingerprint, "main_fp": self.main_fp,
             "removed_host": self._removed_host,
+            "device_ready": self.device_ready,
         }
         snap = kw.pop("snap", self.snap)
         args.update(kw)
@@ -286,6 +294,8 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         # the source index's is_busy): the router's PRIMARY load signal —
         # see _host_busy
         self._busy_fn: Optional[Callable[[], bool]] = None
+        # warm checkpoint start's background arena upload (device_wait)
+        self._upload_thread: Optional[threading.Thread] = None
         # module-level jit caches: shared across engine instances so fresh
         # snapshots of same-shaped indexes reuse compiled programs
         self._lookup = _JIT_LOOKUP
@@ -522,17 +532,69 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
 
         Pass checkpoint_path=<same path> to also ADOPT the file for
         auto-resave: every subsequent main-tier rebuild re-persists it
-        (opt-in — the load path may be a read-only location)."""
+        (opt-in — the load path may be a read-only location).
+
+        warm_serve=True (default): the engine starts SERVING as soon as
+        the host tables load (~0.2 s) — the device arena upload (the 13 s
+        of a cold TPU start, BENCH_DETAILS checkpoint_upload_s) runs in a
+        background thread and swaps in via the normal ServingState
+        publish. During the window every entry point routes through the
+        retained tables (ServingState.device_ready=False), bit-identical
+        to the post-swap device routes. device_wait() blocks until the
+        swap; warm_serve requires keep_tables (there is nothing to serve
+        from otherwise) and falls back to the synchronous upload without
+        it."""
         from .checkpoint import load_checkpoint, load_fingerprint
 
+        warm_serve = bool(kw.pop("warm_serve", True)) and keep_tables
         t, meta = load_checkpoint(path)
-        eng = cls(upload_tables(t), L=L, tables=t if keep_tables else None, **kw)
         fp = load_fingerprint(meta)
-        eng._publish(eng._state.replace(fingerprint=fp, main_fp=fp))
+        if not warm_serve or t.n_terms == 0:
+            eng = cls(upload_tables(t), L=L,
+                      tables=t if keep_tables else None, **kw)
+            eng._publish(eng._state.replace(fingerprint=fp, main_fp=fp))
+            if index is not None:
+                eng._busy_fn = getattr(index, "is_busy", None)
+                eng.refresh(index, apply_removed=bool(meta["apply_removed"]))
+            return eng
+        # warm start: host tables serve NOW, the arena uploads behind
+        eng = cls(upload_tables(_empty_tables(t.width)), L=L, tables=t, **kw)
+        host_st = eng._state.replace(fingerprint=fp, main_fp=fp,
+                                     device_ready=False)
+        eng._publish(host_st)
+
+        def bg_upload():
+            snap = upload_tables(t)
+            # block until the arena is resident so the swap never serves a
+            # half-uploaded device state
+            jax.block_until_ready(snap.counts)
+            with eng._refresh_lock:
+                cur = eng._state
+                if cur is host_st:
+                    eng._publish(cur.replace(snap=snap, removed=snap.removed,
+                                             device_ready=True))
+                # else: a refresh already published a full state — the
+                # background arena is stale; drop it
+
+        th = threading.Thread(target=bg_upload, daemon=True,
+                              name="tpi-ckpt-upload")
+        eng._upload_thread = th
+        th.start()
         if index is not None:
             eng._busy_fn = getattr(index, "is_busy", None)
             eng.refresh(index, apply_removed=bool(meta["apply_removed"]))
         return eng
+
+    def device_ready(self) -> bool:
+        """False only during a warm checkpoint start's upload window."""
+        return self._state.device_ready
+
+    def device_wait(self) -> None:
+        """Block until the warm-start background arena upload (if any) has
+        swapped in. No-op otherwise."""
+        th = self._upload_thread
+        if th is not None:
+            th.join()
 
     def save_checkpoint(self, index, path: str, apply_removed: bool = False) -> dict:
         """Persist this index's CURRENT state as a warm-start checkpoint
@@ -561,6 +623,14 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         re-derived from the new corpus on full rebuilds: forcing the old
         width would truncate terms that grew longer (aliasing distinct
         terms)."""
+        if self._upload_thread is not None and not self._state.device_ready:
+            # warm-start window: an unchanged index is a no-op without
+            # waiting; real drift waits for the swap first so the rebuild
+            # bases on the full device state, not the placeholder
+            if _index_fingerprint(index, apply_removed) == \
+                    self._state.fingerprint:
+                return False
+            self.device_wait()
         with self._refresh_lock:
             base = self._state
             fp = _index_fingerprint(index, apply_removed)
@@ -682,6 +752,9 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         if not terms:
             return []
         st = self._state
+        if not st.device_ready and st.host_ready():
+            # warm checkpoint window: serve from the retained tables
+            return self.lookup_host(terms, filter_removed)
         main = self._exact_rows(st, st.snap, terms, filter_removed)
         if st.delta is None:
             return main
@@ -802,6 +875,11 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         Pagination (prefix_p) stays on the device: its fetch is already
         bounded. TPI_HOST_BOOL=or|and|all|0|auto overrides the policy."""
         st = st if st is not None else self._state
+        if not st.device_ready and st.host_ready():
+            # warm checkpoint window: the device snapshot is a placeholder
+            # while the arena uploads — EVERY shape (prefix_p and pinned
+            # modes included) serves host-side until the swap
+            return True
         if prefix_p or not st.host_ready():
             return False
         mode = os.environ.get("TPI_HOST_BOOL", "auto")

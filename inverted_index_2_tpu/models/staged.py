@@ -123,15 +123,28 @@ class StagedStreamsMixin:
         st = _st if _st is not None else self._state
         if self._host_boolean_route(op, prefix_p, staged=True, st=st):
             # output-bound op with tables retained: the host route has no
-            # round trips to pipeline — serve each batch directly
+            # round trips to pipeline — serve each batch directly.
+            # prefix_p reaches here only in the warm-checkpoint window
+            # (device_ready=False): full host results slice to the
+            # (values, voffs, counts) pagination contract.
             out = []
             for b in batches:
                 if columnar:  # columnar core directly: no per-row copies,
-                    out.append(  # and wire-form batches pack vectorized
-                        self._boolean_host_columnar(
-                            b, op, filter_removed, st=st
-                        )
-                    )
+                    vals, voffs = self._boolean_host_columnar(
+                        b, op, filter_removed, st=st
+                    )  # and wire-form batches pack vectorized
+                    if prefix_p:
+                        counts = np.diff(voffs)
+                        rid = np.searchsorted(
+                            voffs, np.arange(len(vals)), side="right"
+                        ) - 1
+                        keep = (np.arange(len(vals)) - voffs[rid]) < prefix_p
+                        pvoffs = np.zeros(len(counts) + 1, dtype=np.int64)
+                        np.cumsum(np.minimum(counts, prefix_p),
+                                  out=pvoffs[1:])
+                        out.append((vals[keep], pvoffs, counts))
+                    else:
+                        out.append((vals, voffs))
                 else:
                     out.append(self.boolean_host(
                         _batch_as_lists(b), op, filter_removed, _st=st

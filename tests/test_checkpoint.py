@@ -271,3 +271,94 @@ def test_auto_checkpoint_async_publishes_atomically(tmp_path, rng):
     import os
 
     assert not os.path.exists(path + ".tmp")
+
+
+def test_warm_checkpoint_serves_during_upload_window(tmp_path, rng, monkeypatch):
+    """from_checkpoint (warm_serve default) answers queries from the host
+    tables BEFORE the device arena upload lands (VERDICT r4 #8): every
+    entry point — lookup, boolean both ops, staged incl. prefix_p
+    pagination, read_range, prefix_search — is bit-identical across the
+    window, and the swap publishes the full device state atomically."""
+    import time
+    import inverted_index_2_tpu.models.query_engine as qe_mod
+
+    ii, truth = build_index(tmp_path / "idx", rng)
+    ii.put_removed([3, 4])
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+
+    threading = __import__("threading")
+    gate = threading.Event()
+    orig_upload = qe_mod.upload_tables
+
+    def gated_upload(t, stride_align=None):
+        # hold only the warm-start BACKGROUND upload (fresh engine builds
+        # in this test go through the same module function)
+        if threading.current_thread().name == "tpi-ckpt-upload":
+            gate.wait(timeout=120)
+        return orig_upload(t, stride_align)
+
+    monkeypatch.setattr(qe_mod, "upload_tables", gated_upload)
+    warm = QueryEngine.from_checkpoint(path, L=256, q_bucket=8)
+    assert not warm.device_ready()
+    fresh = QueryEngine.from_index(ii, L=256)
+
+    terms = sorted(truth.keys())
+    qs = [terms[:3], terms[3:5], [b"zz-miss", terms[0]]]
+
+    def collect(eng):
+        out = {"lk": eng.lookup(terms + [b"zz-miss"]),
+               "lkf": eng.lookup(terms, filter_removed=True)}
+        for op in ("and", "or"):
+            out[op] = eng.boolean(qs, op)
+            out[op + "s"] = eng.boolean_staged([qs], op, columnar=True)
+            out[op + "p"] = eng.boolean_staged([qs], op, columnar=True,
+                                               prefix_p=2)
+        out["rr"] = [(t, v.tolist()) for t, v in eng.read_range(None, None)]
+        out["pf"] = eng.prefix_search([b"term0", b"nope"])
+        return out
+
+    def assert_equal(a, b):
+        assert a["rr"] == b["rr"]
+        assert set(a["pf"]) == set(b["pf"])
+        for k in a["pf"]:
+            assert a["pf"][k].tolist() == b["pf"][k].tolist()
+        for key in ("lk", "lkf", "and", "or"):
+            for x, y in zip(a[key], b[key]):
+                if x is None or y is None:
+                    assert x is None and y is None
+                else:
+                    assert np.array_equal(x, y), key
+        for key in ("ands", "ors", "andp", "orp"):
+            for x, y in zip(a[key][0], b[key][0]):
+                assert np.array_equal(x, y), key
+
+    window = collect(warm)
+    assert not warm.device_ready()  # still inside the window
+    assert_equal(window, collect(fresh))
+    gate.set()
+    warm.device_wait()
+    assert warm.device_ready()
+    after = collect(warm)
+    assert_equal(window, after)
+    # an unchanged index reconciles as a no-op WITHOUT waiting on the swap
+    gate.clear()
+    warm2 = QueryEngine.from_checkpoint(path, index=ii, L=256, q_bucket=8)
+    t0 = time.monotonic()
+    assert warm2.lookup([terms[0]])[0] is not None
+    assert time.monotonic() - t0 < 5.0  # served inside the window
+    gate.set()
+    warm2.device_wait()
+
+
+def test_warm_checkpoint_drift_waits_for_swap(tmp_path, rng):
+    """Real index drift during the warm window reconciles AFTER the swap
+    (the rebuild must base on the full device state, not the placeholder)
+    and serves the drifted truth."""
+    ii, truth = build_index(tmp_path / "idx", rng)
+    path = str(tmp_path / "snap.ckpt")
+    save_checkpoint(ii, path)
+    ii.put([b"term000", b"drifted"], 999)
+    warm = QueryEngine.from_checkpoint(path, index=ii, L=256, q_bucket=8)
+    assert warm.device_ready()  # drift forced the wait-then-refresh
+    assert warm.lookup([b"drifted"])[0].tolist() == [999]
