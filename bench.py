@@ -855,6 +855,50 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
                 _reps(lambda: eng.boolean_staged(
                     dev_stream, "and", columnar=True, depth=4), reps=5),
             )
+            # Zipf query-mix A/B (VERDICT r4 #5): real query logs repeat
+            # whole queries (head-heavy rank-frequency — the uniform mix
+            # above has zero repeats and is the dedup worst case). Draw a
+            # stream rank-Zipf (s=1) from a pool of distinct queries
+            # (~2.2k unique per 8192-query batch at this shape); the
+            # staged stream dedupes identical packed rows per batch and
+            # serves each distinct query ONCE, fanning results out at
+            # assembly. Same stream re-timed with TPI_STAGED_DEDUP=0 is
+            # the baseline.
+            zrng = np.random.default_rng(29)
+            pool = [
+                [terms[i] for i in zrng.choice(
+                    len(terms), size=int(zrng.integers(2, 9)),
+                    replace=False)]
+                for _ in range(4096)
+            ]
+            zw = 1.0 / np.arange(1, len(pool) + 1, dtype=np.float64)
+            zw /= zw.sum()
+            zipf_stream = [
+                [pool[i] for i in zrng.choice(len(pool), size=sq, p=zw)]
+                for _ in range(len(dev_stream))
+            ]
+            # warm with the timed stream: dedup rows pad to the
+            # q_bucket/16 grid, so the unique-count shapes this stream
+            # hits (and its follow-up re-serve batch shape) compile here
+            eng.boolean_staged(zipf_stream, "and", columnar=True, depth=4)
+            out[f"{name}_staged_and_dev_zipf_qps"] = _qps_stat(
+                f"{name}_staged_and_dev_zipf_qps", len(zipf_stream) * sq,
+                _reps(lambda: eng.boolean_staged(
+                    zipf_stream, "and", columnar=True, depth=4), reps=5),
+            )
+            os.environ["TPI_STAGED_DEDUP"] = "0"
+            try:
+                eng.boolean_staged(zipf_stream, "and", columnar=True,
+                                   depth=4)
+                out[f"{name}_staged_and_dev_zipf_nodedup_qps"] = _qps_stat(
+                    f"{name}_staged_and_dev_zipf_nodedup_qps",
+                    len(zipf_stream) * sq,
+                    _reps(lambda: eng.boolean_staged(
+                        zipf_stream, "and", columnar=True, depth=4),
+                        reps=5),
+                )
+            finally:
+                del os.environ["TPI_STAGED_DEDUP"]
         finally:
             del os.environ["TPI_HOST_BOOL"]
     # staged OR, FULL results: unions are O(total postings) of OUTPUT, so
@@ -1375,6 +1419,9 @@ _HEADLINE_KEYS = (
     "api_postlen1k_staged_or_prefix_qps", "api_postlen1k_staged_or_qps",
     "api_postlen1k_and_qps", "api_postlen1k_and_dev_qps",
     "api_postlen1k_staged_lookup_qps",
+    # Zipf query-mix A/B: cross-query dedup on (production default) vs off
+    "api_postlen1k_staged_and_dev_zipf_qps",
+    "api_postlen1k_staged_and_dev_zipf_nodedup_qps",
     # BASELINE config 5 scale (10M terms / 100M postings), device staged
     "scale_staged_and_dev_qps", "scale_staged_or_prefix_dev_qps",
     "scale_staged_lookup_dev_qps", "scale_staged_lookup_host_qps",

@@ -1201,6 +1201,39 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
             qk_sub, kv_sub,
         )
 
+    def _dedup_batch(self, nq: int, qk, kv):
+        """Cross-query dedup for a staged fused-AND batch (VERDICT r4 #5):
+        Zipf-distributed traffic repeats whole (term-set) queries — the
+        top term pair alone can recur hundreds of times per 8k batch — and
+        the fused kernel re-decodes and re-probes each copy. Group
+        identical packed rows host-side at pack time, serve the UNIQUE
+        rows, and fan results back out through the inverse map at assembly
+        (bit-identical; a duplicate is the same query).
+
+        Returns (nu, qk_u, kv_u, inv) with inv None when dedup does not
+        pay: fewer than 64 queries, TPI_STAGED_DEDUP=0, or too few
+        duplicates — the unique rows pad up to a q_bucket/16 grid so
+        compiled shapes stay few (<= 16 per bucket; a per-batch exact nu
+        would recompile the staged program every batch on this remote
+        compiler), so savings below one grid step are not real."""
+        if nq < 64 or os.environ.get("TPI_STAGED_DEDUP", "1") == "0":
+            return nq, qk, kv, None
+        flat = np.ascontiguousarray(qk[:nq].reshape(nq, -1))
+        comb = np.concatenate(
+            [flat, kv[:nq].astype(flat.dtype).reshape(nq, 1)], axis=1)
+        v = comb.view([("", comb.dtype)] * comb.shape[1]).ravel()
+        _, first, inv = np.unique(v, return_index=True, return_inverse=True)
+        nu = len(first)
+        grid = max(8, self.q_bucket // 16)
+        target = _round_up(nu, grid)
+        if target >= _round_up(nq, grid):
+            return nq, qk, kv, None  # not enough duplicates to shrink
+        qk_u = np.zeros((target,) + qk.shape[1:], dtype=qk.dtype)
+        kv_u = np.zeros(target, dtype=kv.dtype)
+        qk_u[:nu] = qk[:nq][first]
+        kv_u[:nu] = kv[:nq][first]
+        return nu, qk_u, kv_u, inv.astype(np.int32)
+
     def _fused_pad(self, qk, kv):
         """Pad K to the warmup bucket and Q to the kernel's TQ=8 tile (the
         XLA paths accept any q_bucket; the fused path must too)."""

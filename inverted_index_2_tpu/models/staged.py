@@ -189,14 +189,16 @@ class StagedStreamsMixin:
         wide, longs, overs = [], [], []
 
         def harvest(item):
-            bi, nq, qk, kv, devs = item
+            bi, nq, inv, nu, qk, kv, devs = item
             f = jax.device_get(devs)
-            fetched[bi] = (nq, f)
+            fetched[bi] = (nq, inv, nu, f)
             small, oc, code = f
             # vectorized classification: only the RARE follow-up rows loop
             # (the u8 code carries the whole decision — see
-            # boolean_fused_staged_step)
-            follow = np.nonzero(code[:nq] != 0)[0]
+            # boolean_fused_staged_step). With cross-query dedup live the
+            # served rows are the UNIQUE queries (code[:nu]); follow-up
+            # positions are unique-row indices and fan out at assembly.
+            follow = np.nonzero(code[:nu] != 0)[0]
             for i in follow:
                 c = int(code[i])
                 if c == 1:
@@ -274,8 +276,11 @@ class StagedStreamsMixin:
                 break
             nq, qk, kv = self._batch_pack(st, batches[bi])
             if nq == 0:
-                fetched[bi] = (0, None)
+                fetched[bi] = (0, None, 0, None)
                 continue
+            # cross-query dedup: Zipfian mixes repeat whole queries; serve
+            # each distinct (term-set) once, fan out at assembly
+            nu, qk, kv, inv = self._dedup_batch(nq, qk, kv)
             qk, kv = self._fused_pad(qk, kv)
             devs = self._fused_run_staged(st, qk, kv, removed)
             # start the device->host copies NOW (they queue behind the
@@ -283,7 +288,7 @@ class StagedStreamsMixin:
             # host never blocks a full tunnel round trip per batch
             for a in devs:
                 a.copy_to_host_async()
-            pend.append((bi, nq, qk, kv, devs))
+            pend.append((bi, nq, inv, nu, qk, kv, devs))
             if len(pend) > depth:
                 harvest(pend.popleft())
         while pend:
@@ -309,36 +314,49 @@ class StagedStreamsMixin:
                     for i in range(len(voffs) - 1)
                 ])
                 continue
-            nq, f = fetched[bi]
-            ovr = overrides.get(bi, {})
+            nq, inv, nu, f = fetched[bi]
+            ovr = overrides.get(bi, {})  # keyed by SERVED (unique) row
             if nq == 0:
                 out.append((np.zeros(0, np.uint32), np.zeros(1, np.int64))
                            if columnar else [])
                 continue
             small, oc8, code = f
             oc = oc8.astype(np.int32)
-            normal = code[:nq] == 0
+            normal = code[:nu] == 0
             if columnar:
-                counts = np.where(normal, oc[:nq], 0).astype(np.int64)
+                cnt_u = np.where(normal, oc[:nu], 0).astype(np.int64)
                 for i, arr in ovr.items():
-                    counts[i] = len(arr)
+                    cnt_u[i] = len(arr)
+                # fan unique-row results back out to every duplicate
+                counts = cnt_u if inv is None else cnt_u[inv]
+                small_n = small[:nu] if inv is None else small[:nu][inv]
+                msk_n = np.where(normal, oc[:nu], 0)
+                if inv is not None:
+                    msk_n = msk_n[inv]
                 voffs = np.zeros(nq + 1, dtype=np.int64)
                 np.cumsum(counts, out=voffs[1:])
                 vals = np.empty(int(voffs[-1]), dtype=np.uint32)
-                m2 = (np.arange(P)[None, :]
-                      < np.where(normal, oc[:nq], 0)[:, None])
+                m2 = np.arange(P)[None, :] < msk_n[:, None]
                 dst = (voffs[:-1, None] + np.arange(P)[None, :])[m2]
-                vals[dst] = small[:nq][m2]
-                for i, arr in ovr.items():
-                    vals[voffs[i]: voffs[i + 1]] = arr
+                vals[dst] = small_n[m2]
+                for u, arr in ovr.items():
+                    for i in ([u] if inv is None
+                              else np.nonzero(inv == u)[0]):
+                        vals[voffs[i]: voffs[i + 1]] = arr
                 out.append((vals, voffs))
             else:
                 rows: List[Optional[np.ndarray]] = [None] * nq
+                seen_ovr = set()
                 for i in range(nq):
-                    if normal[i]:
-                        rows[i] = small[i, : oc[i]].copy()
-                for i, arr in ovr.items():
-                    rows[i] = arr
+                    u = i if inv is None else int(inv[i])
+                    if u in ovr:
+                        arr = ovr[u]
+                        # duplicates get their own copy (callers may
+                        # mutate result rows independently)
+                        rows[i] = arr.copy() if u in seen_ovr else arr
+                        seen_ovr.add(u)
+                    elif normal[u]:
+                        rows[i] = small[u, : oc[u]].copy()
                 out.append(rows)
         return out
 

@@ -1470,3 +1470,87 @@ def test_or_pagination_with_tombstones_device_route(tmp_path, rng,
                 assert counts[i] == len(w), (wire, P, i)
                 assert vals[voffs[i]:voffs[i + 1]].tolist() == w[:P], (
                     wire, P, i)
+
+
+def test_staged_dedup_zipf_mix_bit_identical(tmp_path, rng, monkeypatch):
+    """Cross-query dedup in the staged fused-AND stream (VERDICT r4 #5):
+    a Zipf-style mix repeating whole queries serves each distinct term-set
+    ONCE and fans results out at assembly — bit-identical to the
+    dedup-disabled stream in every output form (columnar, rows,
+    filter_removed), including wide follow-up rows (result > small-P)
+    duplicated across the batch."""
+    ii = InvertedIndex(str(tmp_path))
+    truth = {}
+    # hot pair with a WIDE intersection (40 docs > STAGED_SMALL_P=8): its
+    # duplicates exercise the override fan-out, not just the small path
+    for d in range(1, 41):
+        ii.put([b"hot1", b"hot2"], d)
+        truth.setdefault(b"hot1", set()).add(d)
+        truth.setdefault(b"hot2", set()).add(d)
+    for i in range(30):
+        t = b"cold%02d" % i
+        for d in range(100 + i * 3, 103 + i * 3):
+            ii.put([t], d)
+            truth.setdefault(t, set()).add(d)
+    ii.put_removed([2, 101])
+    eng = QueryEngine.from_index(ii, L=128, q_bucket=64, keep_tables=False,
+                                 stride_align=128)
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")      # pin the device route
+    monkeypatch.setenv("TPI_FUSED_AND", "interp")  # fused kernel off-TPU
+    assert eng._use_fused()
+    rng2 = np.random.default_rng(11)
+    batches = []
+    for _ in range(3):
+        qs = []
+        for _ in range(96):
+            r = rng2.random()
+            if r < 0.55:                       # Zipf head: one hot query
+                qs.append([b"hot1", b"hot2"])
+            elif r < 0.8:
+                i = int(rng2.integers(0, 30))
+                qs.append([b"cold%02d" % i, b"hot1"])
+            else:                              # tail: mostly-unique pairs
+                i, j = rng2.choice(30, size=2, replace=False)
+                qs.append([b"cold%02d" % int(i), b"cold%02d" % int(j)])
+        batches.append(qs)
+
+    served_rows = []
+    orig_run = QueryEngine._fused_run_staged
+
+    def spy_run(self, st, qk, kv, removed):
+        served_rows.append(qk.shape[0])
+        return orig_run(self, st, qk, kv, removed)
+
+    monkeypatch.setattr(QueryEngine, "_fused_run_staged", spy_run)
+    for fr in (False, True):
+        ded_cols = eng.boolean_staged(batches, "and", columnar=True,
+                                      filter_removed=fr)
+        ded_rows = eng.boolean_staged(batches, "and", filter_removed=fr)
+        monkeypatch.setenv("TPI_STAGED_DEDUP", "0")
+        ref_cols = eng.boolean_staged(batches, "and", columnar=True,
+                                      filter_removed=fr)
+        ref_rows = eng.boolean_staged(batches, "and", filter_removed=fr)
+        monkeypatch.delenv("TPI_STAGED_DEDUP")
+        for (va, oa), (vb, ob) in zip(ded_cols, ref_cols):
+            assert np.array_equal(va, vb) and np.array_equal(oa, ob)
+        for ba, bb in zip(ded_rows, ref_rows):
+            assert len(ba) == len(bb)
+            for x, y in zip(ba, bb):
+                assert np.array_equal(x, y)
+        # oracle: every duplicate of the hot query answers the true
+        # intersection minus nothing (reads never apply tombstones) or
+        # minus the removed docs under filter_removed
+        want = sorted(truth[b"hot1"] & truth[b"hot2"] - ({2} if fr else set()))
+        for qs, rows in zip(batches, ded_rows):
+            for q, r in zip(qs, rows):
+                if q == [b"hot1", b"hot2"]:
+                    assert r.tolist() == want
+    # the dedup stream dispatched FEWER rows than the baseline: per fr the
+    # call order is ded_cols, ded_rows, ref_cols, ref_rows (3 batches
+    # each) — dedup rows pad to the q_bucket/16 grid, baseline to q_bucket
+    n = len(batches)
+    assert len(served_rows) == 8 * n
+    for base in (0, 4 * n):
+        ded = sum(served_rows[base: base + 2 * n])
+        ref = sum(served_rows[base + 2 * n: base + 4 * n])
+        assert ded < ref, served_rows
