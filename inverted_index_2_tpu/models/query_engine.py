@@ -1212,10 +1212,12 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
 
         Returns (nu, qk_u, kv_u, inv) with inv None when dedup does not
         pay: fewer than 64 queries, TPI_STAGED_DEDUP=0, or too few
-        duplicates — the unique rows pad up to a q_bucket/16 grid so
-        compiled shapes stay few (<= 16 per bucket; a per-batch exact nu
-        would recompile the staged program every batch on this remote
-        compiler), so savings below one grid step are not real."""
+        duplicates — the unique rows pad up to a batch-size/16 grid so
+        compiled shapes stay few (<= 16 per BATCH size, which can exceed
+        q_bucket in staged streams; a per-batch exact nu would recompile
+        the staged program every batch on this remote compiler, where one
+        compile runs 3 s-25 min), so savings below one grid step are not
+        real."""
         if nq < 64 or os.environ.get("TPI_STAGED_DEDUP", "1") == "0":
             return nq, qk, kv, None
         flat = np.ascontiguousarray(qk[:nq].reshape(nq, -1))
@@ -1224,7 +1226,7 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         v = comb.view([("", comb.dtype)] * comb.shape[1]).ravel()
         _, first, inv = np.unique(v, return_index=True, return_inverse=True)
         nu = len(first)
-        grid = max(8, self.q_bucket // 16)
+        grid = max(8, _round_up(nq, 8) // 16)
         target = _round_up(nu, grid)
         if target >= _round_up(nq, grid):
             return nq, qk, kv, None  # not enough duplicates to shrink
