@@ -803,6 +803,18 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
                 _reps(lambda: [eng.boolean(qs, op="and") for qs in batches],
                       reps=3),
             )
+            # one-shot at the BULK delegated shape (r5): boolean() now
+            # delegates >=512-query calls to the staged machinery, so a
+            # single call's floor is ONE sync fetch round trip (~78-90 ms
+            # on this tunnel, probe r5b) — amortized over 8192 queries
+            # instead of 1024. The per-call latency cannot be pipelined
+            # away inside a synchronous API; streams exist for that.
+            bulk = _boolean_stream(terms, 1, 8192, seed=19)[0]  # unique
+            eng.boolean(bulk, op="and")  # warm the delegated batch shape
+            out[f"{name}_and_dev_bulk_qps"] = _qps_stat(
+                f"{name}_and_dev_bulk_qps", 8192,
+                _reps(lambda: eng.boolean(bulk, op="and"), reps=5),
+            )
         finally:
             del os.environ["TPI_HOST_BOOL"]
     # pipelined stream serving with COLUMNAR results (values+offsets per
@@ -817,12 +829,12 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
     # this tunnel's multi-hundred-ms RPC bursts).
     sq = max(Q, 8192)
     nb = 12
-    stream = []
-    flat = [q for b in batches for q in b]
-    while len(flat) < nb * sq:
-        flat = flat + flat
-    for c0 in range(0, nb * sq, sq):
-        stream.append(flat[c0 : c0 + sq])
+    # genuinely UNIQUE queries (r5): the old stream recycled the one-shot
+    # batches to length (flat+flat), so each 8192-row batch repeated every
+    # query ~4x — once cross-query dedup landed, the "uniform" number
+    # silently became a dedup number. Unique rows keep this metric
+    # comparable across rounds; the Zipf A/B below is the dedup story.
+    stream = _boolean_stream(terms, nb, sq, seed=17)
     eng.boolean_staged(stream, "and", columnar=True, depth=3)
     # production-policy number: on this tunnel the auto route serves the
     # staged AND stream HOST-side too (fused native serve, 271k wire-form /
@@ -1002,7 +1014,11 @@ def bench_host_contended(snap1k, tables1k, Q=8192, nb=6):
     os.environ["TPI_HOST_BOOL"] = "all"  # pin the host route for the A/B
     th = threading.Thread(target=contender, daemon=True)
     try:
-        eng.boolean_staged(stream[:1], "and", columnar=True)  # warm
+        # warm BOTH ops: the OR serve's first pass allocates + faults its
+        # O(sum-of-lists) output buffers — in r5's first run the idle-OR
+        # min rep (10.4k vs median 61.1k) was exactly this cold first rep
+        eng.boolean_staged(stream[:1], "and", columnar=True)
+        eng.boolean_staged(or_stream[:1], "or", columnar=True)
         # sync=True + reps=5 (VERDICT r4 #2): these four phases run
         # back-to-back on the 1-vCPU host; without per-rep sync the AND
         # phase's dirty pages flush inside the OR timing (r04: idle-OR
@@ -1106,7 +1122,11 @@ def bench_scale(Q=8192, nb=6, L=128):
     # production lookup route at this corpus: lookup_staged picks the HOST
     # route whenever tables are retained (full-result lookup never crosses
     # the link at all — see models/staged.py lookup_staged docstring)
-    host_eng.lookup_staged(lk_stream[:1], columnar=True)
+    # warm with the FULL timed stream (the repo's own discipline): the
+    # first pass page-faults the 10M-term compressed stream + allocates
+    # the columnar output — r5's first run had min 110.5k vs median
+    # 321.5k from warming only lk_stream[:1]
+    host_eng.lookup_staged(lk_stream, columnar=True)
     out["scale_staged_lookup_host_qps"] = _qps_stat(
         "scale_staged_lookup_host_qps", len(lk_stream) * Q,
         _reps(lambda: host_eng.lookup_staged(
@@ -1418,6 +1438,7 @@ _HEADLINE_KEYS = (
     "api_postlen1k_staged_and_dev_qps", "api_postlen1k_staged_and_qps",
     "api_postlen1k_staged_or_prefix_qps", "api_postlen1k_staged_or_qps",
     "api_postlen1k_and_qps", "api_postlen1k_and_dev_qps",
+    "api_postlen1k_and_dev_bulk_qps",
     "api_postlen1k_staged_lookup_qps",
     # Zipf query-mix A/B: cross-query dedup on (production default) vs off
     "api_postlen1k_staged_and_dev_zipf_qps",

@@ -564,7 +564,12 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         eng._publish(host_st)
 
         def bg_upload():
-            snap = upload_tables(t)
+            # chunked transfer: a monolithic jnp.asarray of the ~(words)
+            # array holds the GIL for the whole tunnel send (~seconds),
+            # starving the host-route serving thread this warm start
+            # exists for (r5 probe: first query 3.5 s contended vs 0.29 s
+            # solo). 4 MB pieces bound each GIL hold to ~100 ms.
+            snap = upload_tables(t, chunk_bytes=4 << 20)
             # block until the arena is resident so the swap never serves a
             # half-uploaded device state
             jax.block_until_ready(snap.counts)
@@ -1217,24 +1222,70 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         q_bucket in staged streams; a per-batch exact nu would recompile
         the staged program every batch on this remote compiler, where one
         compile runs 3 s-25 min), so savings below one grid step are not
-        real."""
-        if nq < 64 or os.environ.get("TPI_STAGED_DEDUP", "1") == "0":
+        real.
+
+        Cost model (r5, measured): exact grouping of an 8192-row batch is
+        ~1.8 ms host (hash + u64 argsort + adjacent full-row verify — the
+        structured-dtype np.unique sort was 14.3 ms and lost 23% end-to-end
+        at the main-corpus shape). The duplicate CHECK is a ~0.6 ms
+        hash-only unique, paid always; the full grouping only runs when the
+        estimated device saving (removed rows x L-proportional row cost)
+        clears it — at L=128 a 3.2x shrink saved too little to cover even
+        the fast grouping (fused row cost ~5.96 us at L=2048 scales ~L)."""
+        mode = os.environ.get("TPI_STAGED_DEDUP", "1")
+        if nq < 64 or mode == "0":
             return nq, qk, kv, None
         flat = np.ascontiguousarray(qk[:nq].reshape(nq, -1))
         comb = np.concatenate(
-            [flat, kv[:nq].astype(flat.dtype).reshape(nq, 1)], axis=1)
-        v = comb.view([("", comb.dtype)] * comb.shape[1]).ravel()
-        _, first, inv = np.unique(v, return_index=True, return_inverse=True)
-        nu = len(first)
+            [flat.astype(np.int64, copy=False),
+             kv[:nq].astype(np.int64).reshape(nq, 1)], axis=1)
+        # 64-bit row hash: collisions only MERGE candidate groups for the
+        # cheap check below and are re-split exactly by the full-row verify
+        mults = self._dedup_mults(comb.shape[1])
+        h = comb @ mults
         grid = max(8, _round_up(nq, 8) // 16)
-        target = _round_up(nu, grid)
+        nu_h = len(np.unique(h))
+        target = _round_up(nu_h, grid)
         if target >= _round_up(nq, grid):
             return nq, qk, kv, None  # not enough duplicates to shrink
+        # benefit gate: saved rows x per-row fused serve cost (~L x 3 ns/
+        # decoded value x K-bucket terms) must clear the ~2 ms grouping +
+        # fan-out overhead with margin (2x). "force" (tests / known-hot
+        # traffic) skips the gate, never the shrink check.
+        saved_rows = _round_up(nq, grid) - target
+        if (mode != "force"
+                and saved_rows * self.L * 0.003 < 2 * 2000.0):  # us
+            return nq, qk, kv, None
+        order = np.argsort(h, kind="stable")
+        sc = comb[order]
+        neq = np.empty(nq, dtype=bool)
+        neq[0] = True
+        np.any(sc[1:] != sc[:-1], axis=1, out=neq[1:])
+        first = order[neq]
+        gid = np.cumsum(neq) - 1
+        inv = np.empty(nq, dtype=np.int32)
+        inv[order] = gid.astype(np.int32)
+        nu = len(first)
+        target = _round_up(nu, grid)  # exact nu (hash collisions re-split)
         qk_u = np.zeros((target,) + qk.shape[1:], dtype=qk.dtype)
         kv_u = np.zeros(target, dtype=kv.dtype)
         qk_u[:nu] = qk[:nq][first]
         kv_u[:nu] = kv[:nq][first]
-        return nu, qk_u, kv_u, inv.astype(np.int32)
+        return nu, qk_u, kv_u, inv
+
+    @classmethod
+    def _dedup_mults(cls, n: int):
+        """Fixed odd multipliers for the dedup row hash (deterministic,
+        seed-free); grown on demand for wide (K x width) packed rows."""
+        m = cls.__dict__.get("_DEDUP_MULTS_CACHE")
+        if m is None or len(m) < n:
+            m = np.array(
+                [(0x9E3779B97F4A7C15 - (i * 2 + 1) * 0x61C8864680B583EB)
+                 & 0xFFFFFFFFFFFFFFFF for i in range(max(n, 64))],
+                dtype=np.uint64,
+            ).astype(np.int64)
+            cls._DEDUP_MULTS_CACHE = m
+        return m[:n]
 
     def _fused_pad(self, qk, kv):
         """Pad K to the warmup bucket and Q to the kernel's TQ=8 tile (the

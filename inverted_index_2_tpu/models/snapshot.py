@@ -11,6 +11,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Optional
 
 import os
+import time
 
 import numpy as np
 
@@ -203,8 +204,28 @@ def build_host_tables(
     )
 
 
+def _dev_chunked(a: np.ndarray, chunk_bytes: int) -> jnp.ndarray:
+    """Transfer a host array to device in bounded pieces, yielding the GIL
+    between pieces. On the remote-tunnel backend a single jnp.asarray of a
+    ~70 MB array holds the GIL for the WHOLE serialization+send (~2-3 s),
+    starving every other Python thread — during a warm checkpoint start
+    that blocked the serving thread for the full upload (r5 probe:
+    first query 3.5 s contended vs 0.29 s solo). ~4 MB pieces bound each
+    hold to ~100 ms; the device-side concat is one fused copy."""
+    n = a.shape[0] if a.ndim else 0
+    if n == 0 or a.nbytes <= chunk_bytes:
+        return jnp.asarray(a)
+    step = max(1, int(n * (chunk_bytes / a.nbytes)))
+    parts = []
+    for c in range(0, n, step):
+        parts.append(jnp.asarray(a[c: c + step]))
+        time.sleep(0.001)  # explicit GIL handoff point
+    return jnp.concatenate(parts, axis=0)
+
+
 def upload_tables(
-    t: HostTables, stride_align: Optional[int] = None
+    t: HostTables, stride_align: Optional[int] = None,
+    chunk_bytes: Optional[int] = None,
 ) -> IndexSnapshot:
     """Materialize compact host tables on the default device (the upload
     half of build_snapshot_arrays): ship words + offsets, expand the block
@@ -215,7 +236,12 @@ def upload_tables(
     that costs at most 2x the compact stride; corpora with tiny blocks
     (short posting lists, where alignment would inflate the arena up to
     ~25x and the padded XLA paths are already fast) stay compact. Explicit
-    1 forces compact, 128 forces aligned. TPI_PALLAS_AND=0 disables auto."""
+    1 forces compact, 128 forces aligned. TPI_PALLAS_AND=0 disables auto.
+
+    chunk_bytes: transfer the large arrays in pieces of at most this many
+    bytes with GIL handoffs between pieces (see _dev_chunked) — set by the
+    warm-checkpoint background upload so the host-route serving thread
+    stays responsive; None (default) ships each array in one transfer."""
     if t.n_terms == 0:
         snap = _empty_snapshot(t.width or 1)
         snap.removed = jnp.asarray(t.removed)
@@ -242,18 +268,20 @@ def upload_tables(
         flat = np.concatenate(
             [flat, np.full(SLACK_ROWS, len(words), dtype=np.int32)]
         )
-    wpad_dev = jnp.asarray(np.concatenate([words, np.zeros(stride, dtype=np.uint32)]))
-    flat_dev = jnp.asarray(flat)
+    _as = ((lambda a: _dev_chunked(np.asarray(a), chunk_bytes))
+           if chunk_bytes else jnp.asarray)
+    wpad_dev = _as(np.concatenate([words, np.zeros(stride, dtype=np.uint32)]))
+    flat_dev = _as(flat)
     arena = _expand_arena(wpad_dev, flat_dev, stride)
 
     return IndexSnapshot(
-        keys=jnp.asarray(t.keys),
+        keys=_as(t.keys),
         blocks=jnp.asarray(arena),
-        term_block_start=jnp.asarray(t.tbs),
-        counts=jnp.asarray(t.counts),
-        removed=jnp.asarray(t.removed),
+        term_block_start=_as(t.tbs),
+        counts=_as(t.counts),
+        removed=_as(t.removed),
         width=t.width,
-        hash_slots=jnp.asarray(t.slots),
+        hash_slots=_as(t.slots),
         max_probes=t.max_probes,
         max_count=t.max_count,
         host_counts=t.counts,

@@ -291,12 +291,12 @@ def test_warm_checkpoint_serves_during_upload_window(tmp_path, rng, monkeypatch)
     gate = threading.Event()
     orig_upload = qe_mod.upload_tables
 
-    def gated_upload(t, stride_align=None):
+    def gated_upload(t, stride_align=None, chunk_bytes=None):
         # hold only the warm-start BACKGROUND upload (fresh engine builds
         # in this test go through the same module function)
         if threading.current_thread().name == "tpi-ckpt-upload":
             gate.wait(timeout=120)
-        return orig_upload(t, stride_align)
+        return orig_upload(t, stride_align, chunk_bytes)
 
     monkeypatch.setattr(qe_mod, "upload_tables", gated_upload)
     warm = QueryEngine.from_checkpoint(path, L=256, q_bucket=8)
@@ -362,3 +362,22 @@ def test_warm_checkpoint_drift_waits_for_swap(tmp_path, rng):
     warm = QueryEngine.from_checkpoint(path, index=ii, L=256, q_bucket=8)
     assert warm.device_ready()  # drift forced the wait-then-refresh
     assert warm.lookup([b"drifted"])[0].tolist() == [999]
+
+
+def test_upload_tables_chunked_bit_identical(tmp_path, rng):
+    """The warm-start background upload ships arrays in bounded pieces
+    (GIL-handoff chunking, snapshot._dev_chunked); the resulting device
+    snapshot must be bit-identical to the monolithic upload — including
+    the expanded arena, whose source words arrive as a device-side
+    concat of many small transfers."""
+    from inverted_index_2_tpu.models.query_engine import upload_tables
+
+    ii, _ = build_index(tmp_path, rng)
+    t = snapshot_tables(ii)
+    a = upload_tables(t)
+    b = upload_tables(t, chunk_bytes=64)  # absurdly small: many pieces
+    for name in ("keys", "blocks", "term_block_start", "counts",
+                 "removed", "hash_slots"):
+        va, vb = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        assert np.array_equal(va, vb), name
+    assert a.width == b.width and a.max_probes == b.max_probes

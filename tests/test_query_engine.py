@@ -1497,6 +1497,9 @@ def test_staged_dedup_zipf_mix_bit_identical(tmp_path, rng, monkeypatch):
                                  stride_align=128)
     monkeypatch.setenv("TPI_HOST_BOOL", "0")      # pin the device route
     monkeypatch.setenv("TPI_FUSED_AND", "interp")  # fused kernel off-TPU
+    # "force" skips the BENEFIT gate (test batches are far too small to
+    # clear the ~ms-scale crossover) but never the shrink check
+    monkeypatch.setenv("TPI_STAGED_DEDUP", "force")
     assert eng._use_fused()
     rng2 = np.random.default_rng(11)
     batches = []
@@ -1530,7 +1533,7 @@ def test_staged_dedup_zipf_mix_bit_identical(tmp_path, rng, monkeypatch):
         ref_cols = eng.boolean_staged(batches, "and", columnar=True,
                                       filter_removed=fr)
         ref_rows = eng.boolean_staged(batches, "and", filter_removed=fr)
-        monkeypatch.delenv("TPI_STAGED_DEDUP")
+        monkeypatch.setenv("TPI_STAGED_DEDUP", "force")
         for (va, oa), (vb, ob) in zip(ded_cols, ref_cols):
             assert np.array_equal(va, vb) and np.array_equal(oa, ob)
         for ba, bb in zip(ded_rows, ref_rows):
