@@ -630,14 +630,22 @@ void tpi_encode_bulk_fill(const uint32_t* values, const int64_t* voffs,
       const int b = block_width(v + s, n_blk, byte_align);
       words[pos] = static_cast<uint32_t>(b) | (static_cast<uint32_t>(n_blk) << 8);
       words[pos + 1] = v[s];
-      uint32_t* packed = words + pos + 2;
-      int64_t bitpos = 0;
-      for (int64_t j = 0; j + 1 < n_blk; ++j, bitpos += b) {
-        const uint64_t d = v[s + j + 1] - v[s + j] - 1;
-        const uint64_t c = d << (bitpos & 31);
-        packed[bitpos >> 5] |= static_cast<uint32_t>(c);
-        const uint32_t hi = static_cast<uint32_t>(c >> 32);
-        if (hi) packed[(bitpos >> 5) + 1] |= hi;
+      if (b > 0) {
+        // b == 0 (all-consecutive values) has ZERO packed words — the
+        // delta loop's read-modify-write `packed[0] |= 0` would touch one
+        // word past the allocation when this is the final block (OOB
+        // write-back: harmless value-wise but a lost-update race against
+        // whatever neighbors the buffer, and a page-fault risk on
+        // mmap-backed arrays; caught by ASAN fuzzing, round 5)
+        uint32_t* packed = words + pos + 2;
+        int64_t bitpos = 0;
+        for (int64_t j = 0; j + 1 < n_blk; ++j, bitpos += b) {
+          const uint64_t d = v[s + j + 1] - v[s + j] - 1;
+          const uint64_t c = d << (bitpos & 31);
+          packed[bitpos >> 5] |= static_cast<uint32_t>(c);
+          const uint32_t hi = static_cast<uint32_t>(c >> 32);
+          if (hi) packed[(bitpos >> 5) + 1] |= hi;
+        }
       }
       pos += 2 + packed_words(n_blk, b);
     }

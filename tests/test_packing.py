@@ -178,3 +178,24 @@ def test_compression_ratio_vs_intcomp_oracle(rng):
     # within one word of each other (ours 12B vs model 12B)
     one = np.array([12345], dtype=np.uint32)
     assert ours_bytes(one, np.array([0, 1])) <= intcomp_size_bytes(one) + 4
+
+
+def test_encode_bulk_b0_final_block_stays_in_bounds():
+    """Regression (r5, ASAN-caught): a final block of all-CONSECUTIVE
+    values packs at bit-width 0 with ZERO packed words; the native
+    encoder's delta loop used to read-modify-write `packed[0] |= 0` one
+    word past the allocation (a lost-update race against whatever
+    neighbors the buffer, and a page-fault risk on mmap-backed arrays).
+    The loop is now skipped for b == 0. Oracle: every such stream
+    round-trips bit-exact, and the native encoding matches the numpy
+    encoder word-for-word (same sizes -> nothing written out of plan)."""
+    for n in (2, 3, 16, 127, 128, 129, 130, 256):
+        for start in (0, 7, 2**31):
+            v = np.arange(start, start + n, dtype=np.uint32)
+            voffs = np.array([0, n], dtype=np.int64)
+            words, outs = P.encode_bulk(v, voffs, byte_align=2)
+            wnp, onp = P._encode_bulk_np(v, voffs, byte_align=2)
+            assert words.tolist() == wnp.tolist(), (n, start)
+            assert list(outs) == list(onp), (n, start)
+            dv, _, doffs = P.decode_bulk(words, np.asarray(outs, np.int64))
+            assert dv[doffs[0]:doffs[1]].tolist() == v.tolist(), (n, start)
