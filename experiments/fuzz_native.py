@@ -36,15 +36,17 @@ def main(iters: int = 1200) -> None:
         words, _ = packing.encode_bulk(v, voffs, byte_align=2)
         return words, v
 
-    for it in range(iters):
-        nl = int(rng.integers(1, 9))
+    def gen_tier(nl, big):
         lists, words_parts, offs = [], [], []
         pos = 0
         for _ in range(nl):
-            n = int(rng.integers(0, 300))
+            # `big` rounds stress the 16-lane bitonic merge levels + the
+            # fused final merge_dedupe_out (config-3 lists are ~1k-5k;
+            # short lists never leave the scalar heads/tails)
+            n = int(rng.integers(0, 5000 if big else 300))
             r = rng.random()
             if r < 0.25:
-                base = rng.integers(0, 50, size=n)       # heavy overlap
+                base = rng.integers(0, max(2 * n, 50), size=n)  # overlap
             elif r < 0.45:
                 start = int(rng.integers(0, 1000))
                 base = np.arange(start, start + n)        # b=0 blocks
@@ -57,19 +59,36 @@ def main(iters: int = 1200) -> None:
             pos += len(w)
         words = (np.concatenate(words_parts) if words_parts
                  else np.zeros(0, np.uint32))
+        return lists, words, offs
+
+    for it in range(iters):
+        big = rng.random() < 0.3
+        nl = int(rng.integers(1, 9))
+        lists, words, offs = gen_tier(nl, big)
+        # dual (delta) tier on half the rounds: per-term union BEFORE the
+        # set op — the serve path the single-tier fuzz never touched
+        dual = rng.random() < 0.5
+        if dual:
+            lists2, words2, offs2 = gen_tier(nl, big)
         Q = int(rng.integers(1, 12))
-        s1, koffs, picks = [], [0], []
+        s1, s2, koffs, picks = [], [], [0], []
         for _ in range(Q):
-            k = int(rng.integers(0, 5))
+            k = int(rng.integers(0, 9))
             qp = []
             for _ in range(k):
                 if rng.random() < 0.15:
                     s1.append(-1)
+                    s2.append(-1)
                     qp.append(None)                       # miss
                 else:
                     li = int(rng.integers(0, nl))
-                    s1.append(offs[li])
-                    qp.append(li)
+                    # a term can live in one tier, the other, or both
+                    # (delta-only terms are FOUND: miss = both tiers -1)
+                    hit2 = dual and rng.random() < 0.7
+                    hit1 = (not hit2) or rng.random() < 0.7
+                    s1.append(offs[li] if hit1 else -1)
+                    s2.append(offs2[li] if hit2 else -1)
+                    qp.append((li, hit1, hit2))
             koffs.append(len(s1))
             picks.append(qp)
         removed = None
@@ -78,18 +97,27 @@ def main(iters: int = 1200) -> None:
                 0, 100000, size=int(rng.integers(0, 30)))).astype(np.uint32)
         for is_or in (False, True):
             vals, voffs2 = native.boolean_serve(
-                words, np.array(s1, dtype=np.int64), None, None,
+                words, np.array(s1, dtype=np.int64),
+                words2 if dual else None,
+                np.array(s2, dtype=np.int64) if dual else None,
                 np.array(koffs, dtype=np.int64), removed, is_or)
             for q, qp in enumerate(picks):
                 got = vals[voffs2[q]:voffs2[q + 1]].tolist()
-                sets = [lists[li] if li is not None else set() for li in qp]
+                sets = []
+                for e in qp:
+                    if e is None:
+                        sets.append(set())
+                        continue
+                    li, hit1, hit2 = e
+                    sets.append((lists[li] if hit1 else set())
+                                | (lists2[li] if hit2 else set()))
                 if not sets:
                     want = set()
                 elif is_or:
                     want = set().union(*sets)
                 else:
                     want = (set.intersection(*sets)
-                            if all(li is not None for li in qp) else set())
+                            if all(e is not None for e in qp) else set())
                 if removed is not None:
                     want -= set(removed.tolist())
                 assert got == sorted(want), (it, q, is_or)
