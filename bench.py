@@ -37,12 +37,18 @@ import numpy as np
 # program measures 3 s to 25 min — and one storm inside a phase can eat
 # the whole BENCH_BUDGET_S (a 42-minute `query` phase skipped every later
 # phase in one round-4 run). With the cache, any program any prior run
-# compiled is immune. Must be set before jax initializes.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
+# compiled is immune. MUST go through jax.config.update: this image's
+# sitecustomize preimports jax at interpreter startup, so jax env vars set
+# in this file are read too late and silently ignored (the same trap
+# CLAUDE.md documents for JAX_PLATFORMS — an empty .jax_cache after full
+# runs was the tell).
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _SPREADS = {}  # metric -> [min, median, max] over within-process reps
 
@@ -943,6 +949,44 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
             or_p_stream, "or", columnar=True, prefix_p=32, depth=4),
             reps=5),
     )
+    if tables is not None:
+        # Zipf query-mix A/B for FULL-RESULT OR (r5): the host route's
+        # cross-query dedup serves each distinct query once and fans the
+        # union out with one gather (~4 us output copy vs ~15 us
+        # decode+union at this shape) — the algorithmic lever that takes
+        # the output-bound op past the physics ceiling the uniform mix
+        # proves (PERFORMANCE.md r5: ~100k unreachable for unique-query
+        # full OR on this 1-vCPU host). Same rank-Zipf(s=1) methodology
+        # as the AND dedup A/B: 4096-distinct pool, ~2.2k unique/8192.
+        zorng = np.random.default_rng(31)
+        zpool = [
+            [terms[i] for i in zorng.choice(
+                len(terms), size=int(zorng.integers(2, 9)),
+                replace=False)]
+            for _ in range(4096)
+        ]
+        zow = 1.0 / np.arange(1, len(zpool) + 1, dtype=np.float64)
+        zow /= zow.sum()
+        zor_stream = [
+            [zpool[i] for i in zorng.choice(len(zpool), size=sq, p=zow)]
+            for _ in range(2)
+        ]
+        eng.boolean_staged(zor_stream, "or", columnar=True)  # warm faults
+        out[f"{name}_staged_or_zipf_qps"] = _qps_stat(
+            f"{name}_staged_or_zipf_qps", len(zor_stream) * sq,
+            _reps(lambda: eng.boolean_staged(zor_stream, "or",
+                                             columnar=True), reps=5),
+        )
+        os.environ["TPI_HOST_DEDUP"] = "0"
+        try:
+            eng.boolean_staged(zor_stream, "or", columnar=True)
+            out[f"{name}_staged_or_zipf_nodedup_qps"] = _qps_stat(
+                f"{name}_staged_or_zipf_nodedup_qps", len(zor_stream) * sq,
+                _reps(lambda: eng.boolean_staged(zor_stream, "or",
+                                                 columnar=True), reps=5),
+            )
+        finally:
+            del os.environ["TPI_HOST_DEDUP"]
     # staged stream lookup: the END-TO-END analogue of the scan-based
     # lookup_qps (exact at any posting length). With tables retained (the
     # from_index default, passed above) this serves HOST-side — native
@@ -1443,6 +1487,8 @@ _HEADLINE_KEYS = (
     # Zipf query-mix A/B: cross-query dedup on (production default) vs off
     "api_postlen1k_staged_and_dev_zipf_qps",
     "api_postlen1k_staged_and_dev_zipf_nodedup_qps",
+    "api_postlen1k_staged_or_zipf_qps",
+    "api_postlen1k_staged_or_zipf_nodedup_qps",
     # BASELINE config 5 scale (10M terms / 100M postings), device staged
     "scale_staged_and_dev_qps", "scale_staged_or_prefix_dev_qps",
     "scale_staged_lookup_dev_qps", "scale_staged_lookup_host_qps",
@@ -1461,6 +1507,7 @@ _FLOOR_KEYS = (
     "api_postlen1k_staged_and_dev_qps",
     "or_qps_postlen1k",
     "api_postlen1k_staged_or_prefix_qps",
+    "api_postlen1k_staged_or_zipf_qps",
 )
 
 _MAX_LINE = 1500  # driver tail window is 2000 chars; leave headroom
