@@ -124,6 +124,10 @@ def _bind(lib):
             ctypes.c_int32, i64p, ctypes.c_int64, u32p, ctypes.c_int64,
             ctypes.c_int32, u32p, i64p,
         ]
+        lib.tpi_fanout_u32.restype = None
+        lib.tpi_fanout_u32.argtypes = [
+            u32p, i64p, i64p, ctypes.c_int64, i64p, u32p,
+        ]
     except AttributeError:
         # stale shared object (symbol set changed): fall back to numpy
         return None
@@ -433,6 +437,26 @@ def hash_probe(keys: np.ndarray, slots: np.ndarray, max_probes: int,
             qkeys, qkeys.shape[0], out,
         )
     return out
+
+
+def fanout_u32(uvals: np.ndarray, uvoffs: np.ndarray, gid: np.ndarray,
+               out: np.ndarray, voffs: np.ndarray) -> None:
+    """Dedup fan-out (codec.cpp tpi_fanout_u32): out row i = unique group
+    gid[i]'s row — one memcpy per output row, the duplicate-query cost
+    floor. voffs MUST be the exact cumsum of uvoffs-diff mapped by gid
+    (the caller computes it; out is sized voffs[-1])."""
+    lib = _load()
+    assert lib is not None
+    assert len(voffs) == len(gid) + 1 and len(out) == int(voffs[-1])
+    if len(gid):
+        lib.tpi_fanout_u32(
+            np.ascontiguousarray(uvals, dtype=np.uint32),
+            np.ascontiguousarray(uvoffs, dtype=np.int64),
+            np.ascontiguousarray(gid, dtype=np.int64),
+            len(gid),
+            np.ascontiguousarray(voffs, dtype=np.int64),
+            out,
+        )
 
 
 def hash_build(hashes: np.ndarray) -> np.ndarray:

@@ -13,6 +13,7 @@ QueryEngine (_host_boolean_route).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, TYPE_CHECKING
 
 import numpy as np
@@ -26,6 +27,29 @@ from ..codec import native as _native
 from ..codec import packing
 from .snapshot import HostTables
 from .steps import _narrow_keys, _rows_to_columnar
+
+
+def _fanout_columnar(uvals: np.ndarray, uvoffs: np.ndarray,
+                     gid: np.ndarray):
+    """Expand a deduped columnar result (uvals, uvoffs) back to the full
+    batch through the query->group map: output row i is group gid[i]'s
+    row. Native path is one memcpy per row (tpi_fanout_u32) — the
+    obligatory output write IS the whole duplicate cost. The numpy
+    fallback is a slice-copy loop, NOT a flat fancy gather: at the
+    config-3 OR shape (8192 queries x ~5k values) the gather's int64
+    index array alone is 2x the output bytes."""
+    ucnt = np.diff(uvoffs)
+    counts = ucnt[gid]
+    voffs = np.zeros(len(gid) + 1, dtype=np.int64)
+    np.cumsum(counts, out=voffs[1:])
+    out = np.empty(int(voffs[-1]), dtype=uvals.dtype)
+    if _native.available() and uvals.dtype == np.uint32:
+        _native.fanout_u32(uvals, uvoffs, gid, out, voffs)
+    else:
+        for i in range(len(gid)):
+            g = gid[i]
+            out[voffs[i]: voffs[i + 1]] = uvals[uvoffs[g]: uvoffs[g + 1]]
+    return out, voffs
 
 
 class HostServingMixin:
@@ -218,7 +242,6 @@ class HostServingMixin:
         one C++ pass) with the numpy loop kept as the bit-identical fallback
         oracle (tests force it via TPI_DISABLE_NATIVE)."""
         st = st if st is not None else self._state
-        rem = st.removed_host() if filter_removed else None
         if isinstance(queries, tuple) and len(queries) == 3:
             # columnar (blob, offsets, qoffs) batch: pack straight off the
             # wire form — no per-query Python lists (same fast path as
@@ -241,6 +264,92 @@ class HostServingMixin:
             if not flat_terms:
                 return np.zeros(0, np.uint32), koffs * 0
             qk = keys_mod.pack_terms(flat_terms, width=st.host_q_width())
+        dd = self._host_dedup_group(qk, koffs, op)
+        if dd is not None:
+            # cross-query dedup (r5, extending VERDICT r4 #5's lever to the
+            # host route — the one serving full-result OR, the output-bound
+            # op): serve each distinct (term-sequence) query once, fan the
+            # columnar results back out with one vectorized gather. A
+            # duplicate query is the same pure function of (state, query),
+            # so fan-out is bit-identical; a dup costs ~the output copy
+            # (~4 us/query at config-3 OR) instead of the full decode +
+            # k-way union (~15 us).
+            qk_u, koffs_u, gid = dd
+            uvals, uvoffs = self._host_serve_columnar(qk_u, koffs_u, op,
+                                                      filter_removed, st)
+            return _fanout_columnar(uvals, uvoffs, gid)
+        return self._host_serve_columnar(qk, koffs, op, filter_removed, st)
+
+    def _host_dedup_group(self, qk: np.ndarray, koffs: np.ndarray, op: str):
+        """Group identical queries in a packed host batch. Returns
+        (qk_u, koffs_u, gid) — unique queries in first-occurrence order plus
+        the query->group map — or None when dedup does not pay: fewer than
+        256 queries, TPI_HOST_DEDUP=0, or the estimated serve saving
+        (removed queries x per-query serve cost) under ~2x the grouping
+        cost. Exactness matches _dedup_batch: the 64-bit row hash only
+        MERGES candidate groups and the adjacent full-row verify re-splits
+        them, so grouping never conflates distinct queries.
+
+        Unlike the fused-AND stream's fixed-K rows, host queries are ragged
+        (k varies 1..8+); each query canonicalizes to one padded int64 row
+        [k, key words..., 0-pad] — zero-padding cannot collide because k
+        leads the row. ~2.7 MB and ~1-2 ms for an 8192x8-term batch,
+        against a ~33 ms full-OR serve (measured r5)."""
+        nq = len(koffs) - 1
+        mode = os.environ.get("TPI_HOST_DEDUP", "1")
+        if mode == "0" or nq < 256:
+            return None
+        k = np.diff(koffs)
+        mk = int(k.max()) if nq else 0
+        Wc = qk.shape[1]
+        M = np.zeros((nq, 1 + mk * Wc), dtype=np.int64)
+        M[:, 0] = k
+        T = qk.shape[0]
+        if T:
+            qidx = np.repeat(np.arange(nq), k)
+            tpos = np.arange(T) - np.repeat(koffs[:-1], k)
+            cols = 1 + tpos[:, None] * Wc + np.arange(Wc)[None, :]
+            M[qidx[:, None], cols] = qk.astype(np.int64)
+        mults = self._dedup_mults(M.shape[1])
+        h = M @ mults
+        nu_h = len(np.unique(h))
+        saved = nq - nu_h
+        # benefit gate (same shape as _dedup_batch's): saved queries x
+        # measured per-query serve cost must clear ~2x the ~2 ms grouping +
+        # fan-out overhead. Host serve costs (config-3, r5): OR ~15 us
+        # (decode+union+output), AND ~3.3 us (block-skip intersect).
+        cost_us = 12.0 if op == "or" else 3.0
+        if mode != "force" and saved * cost_us < 2 * 2000.0:
+            return None
+        order = np.argsort(h, kind="stable")
+        sm = M[order]
+        neq = np.empty(nq, dtype=bool)
+        neq[0] = True
+        np.any(sm[1:] != sm[:-1], axis=1, out=neq[1:])
+        nu = int(neq.sum())
+        if nu >= nq:
+            return None  # hash dups were collisions; nothing to save
+        first = order[neq]
+        gidx = np.cumsum(neq) - 1
+        gid = np.empty(nq, dtype=np.int64)
+        gid[order] = gidx
+        ku = k[first]
+        koffs_u = np.zeros(nu + 1, dtype=np.int64)
+        np.cumsum(ku, out=koffs_u[1:])
+        tidx = (
+            np.repeat(koffs[:-1][first], ku)
+            + np.arange(koffs_u[-1])
+            - np.repeat(koffs_u[:-1], ku)
+        )
+        return qk[tidx], koffs_u, gid
+
+    def _host_serve_columnar(self, qk: np.ndarray, koffs: np.ndarray,
+                             op: str, filter_removed: bool,
+                             st: ServingState):
+        """The packed serve core behind _boolean_host_columnar (native
+        fused serve + numpy oracle fallback), operating on an already
+        packed (qk, koffs) batch."""
+        rem = st.removed_host() if filter_removed else None
         dual = st.delta is not None
         if _native.available():
             # fused native serve: decode + set op + tombstone filter run in

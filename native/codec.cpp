@@ -1503,6 +1503,25 @@ void tpi_hash_probe(const uint32_t* keys, int64_t W1, const int32_t* slots,
   }
 }
 
+// Dedup fan-out (r5): expand a deduped columnar result back to the full
+// batch — out row i is unique-group gid[i]'s row. One memcpy per output
+// row, i.e. the floor any duplicate query can cost (the obligatory output
+// write); the numpy alternatives are a per-row Python slice loop (~1 us
+// overhead/row) or a gather whose int64 index array alone is 2x the
+// output bytes. voffs must be the exact cumsum of the gid-mapped counts
+// (the Python caller builds it; asserted there).
+void tpi_fanout_u32(const uint32_t* uvals, const int64_t* uvoffs,
+                    const int64_t* gid, int64_t n, const int64_t* voffs,
+                    uint32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t g = gid[i];
+    const int64_t s = uvoffs[g];
+    const int64_t cnt = uvoffs[g + 1] - s;
+    if (cnt) std::memcpy(out + voffs[i], uvals + s,
+                         static_cast<size_t>(cnt) * sizeof(uint32_t));
+  }
+}
+
 // Build + longest-probe-chain in one call (the numpy post-pass cost ~0.1s
 // per million terms at snapshot build). Returns max probe length (final
 // displacement + 1), >= 1.
