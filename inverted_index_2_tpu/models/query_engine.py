@@ -1206,7 +1206,7 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
             qk_sub, kv_sub,
         )
 
-    def _dedup_batch(self, nq: int, qk, kv):
+    def _dedup_batch(self, nq: int, qk, kv, row_cost_us: float = None):
         """Cross-query dedup for a staged fused-AND batch (VERDICT r4 #5):
         Zipf-distributed traffic repeats whole (term-set) queries — the
         top term pair alone can recur hundreds of times per 8k batch — and
@@ -1253,8 +1253,11 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
         # fan-out overhead with margin (2x). "force" (tests / known-hot
         # traffic) skips the gate, never the shrink check.
         saved_rows = _round_up(nq, grid) - target
-        if (mode != "force"
-                and saved_rows * self.L * 0.003 < 2 * 2000.0):  # us
+        # row_cost_us overrides the fused-kernel cost model for other
+        # streams (the concat OR/pagination rows cost ~10-17 us at
+        # config-3 regardless of the engine's L)
+        rc = row_cost_us if row_cost_us is not None else self.L * 0.003
+        if mode != "force" and saved_rows * rc < 2 * 2000.0:  # us
             return nq, qk, kv, None
         order = np.argsort(h, kind="stable")
         sc = comb[order]

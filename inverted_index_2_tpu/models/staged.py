@@ -522,13 +522,26 @@ class StagedStreamsMixin:
         def stage_resolve(bi):
             nq, qk, kv = self._batch_pack(st, batches[bi])
             if nq == 0:
-                resq.append((bi, 0, None, None))
+                resq.append((bi, 0, None, None, None))
                 return
+            # cross-query dedup (r5): Zipfian mixes repeat whole queries —
+            # serve each distinct (term-set, k) row once through the
+            # resolve/classes/harvest pipeline (compute AND wire volume
+            # scale with the unique count) and fan out at harvest. The
+            # padded unique rows are zero (k=0 -> miss -> count 0), the
+            # same convention as the fused stream's grid pad; the flat
+            # ~10 us/row cost stands in for the fused L-model (a concat
+            # OR/pagination row costs ~9-17 us at config-3 independent of
+            # the engine's L).
+            nu, qk_u, kv_u, inv = self._dedup_batch(nq, qk, kv,
+                                                    row_cost_us=10.0)
+            if inv is not None:
+                nq, qk, kv = nu, qk_u, kv_u
             if host_res:
                 idxs, _, sb = _host_resolve_sb(st.tables, qk)
                 idx_dev, found_dev = _JIT_SPLIT_IDX(jnp.asarray(idxs))
                 resq.append(
-                    (bi, nq, (kv, jnp.asarray(kv)),
+                    (bi, nq, inv, (kv, jnp.asarray(kv)),
                      (idx_dev, found_dev, sb))
                 )
                 return
@@ -541,12 +554,12 @@ class StagedStreamsMixin:
                 s.keys, s.counts, jnp.asarray(qk), s.hash_slots, s.max_probes
             )
             r[2].copy_to_host_async()
-            resq.append((bi, nq, (kv, jnp.asarray(kv)), r))
+            resq.append((bi, nq, inv, (kv, jnp.asarray(kv)), r))
 
         def stage_classes(item):
-            bi, nq, kvs, r = item
+            bi, nq, inv, kvs, r = item
             if nq == 0:
-                clsq.append((bi, 0, [], {}))
+                clsq.append((bi, 0, None, [], {}))
                 return
             kv, kv_dev = kvs
             idx_dev, found_dev, sb_dev = r
@@ -629,15 +642,15 @@ class StagedStreamsMixin:
                     # overflow-row escape (see _pack_p_step)
                     pk = _JIT_PACK_P(obuf)
                     pk.copy_to_host_async()
-                    clsq.append((bi, nq, (pk, obuf), singles))
+                    clsq.append((bi, nq, inv, (pk, obuf), singles))
                     return
                 obuf.copy_to_host_async()
-                clsq.append((bi, nq, (obuf, None), singles))
+                clsq.append((bi, nq, inv, (obuf, None), singles))
                 return
-            clsq.append((bi, nq, dispatches, singles))
+            clsq.append((bi, nq, inv, dispatches, singles))
 
         def stage_harvest(item):
-            bi, nq, dispatches, singles = item
+            bi, nq, inv, dispatches, singles = item
             if nq == 0:
                 if columnar:
                     empty = (np.zeros(0, np.uint32), np.zeros(1, np.int64))
@@ -682,6 +695,13 @@ class StagedStreamsMixin:
                             obuf_dev, jnp.asarray(sel)))[: len(ovr)]
                         vals[ovr] = raw[:, :P]
                         counts[ovr] = raw[:, P].astype(np.int64)
+                if inv is not None:
+                    # dedup fan-out: row i of the full batch is unique
+                    # group inv[i]'s row (bounded P-slice, so the gather
+                    # is ~P*4 B per query — trivial next to the serve)
+                    counts = counts[inv]
+                    vals = vals[inv]
+                    nq = len(inv)
                 kept = np.minimum(counts, P)
                 pvoffs = np.zeros(nq + 1, dtype=np.int64)
                 np.cumsum(kept, out=pvoffs[1:])
@@ -702,6 +722,12 @@ class StagedStreamsMixin:
                     rows[qi] = _dedup_adjacent(row) if wd else row
             for qi, (c, v) in singles.items():
                 rows[qi] = v
+            if inv is not None:
+                # dedup fan-out (full results): duplicates share the
+                # unique row here; both output forms below copy per row
+                # (_rows_to_columnar packs, np.array copies), so callers
+                # never alias
+                rows = [rows[int(u)] for u in inv]
             if columnar:
                 vals, voffs = _rows_to_columnar(rows)
                 out_all[bi] = (vals, voffs)
