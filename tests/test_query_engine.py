@@ -1557,3 +1557,178 @@ def test_staged_dedup_zipf_mix_bit_identical(tmp_path, rng, monkeypatch):
         ded = sum(served_rows[base: base + 2 * n])
         ref = sum(served_rows[base + 2 * n: base + 4 * n])
         assert ded < ref, served_rows
+
+
+def test_host_dedup_zipf_mix_bit_identical(tmp_path, monkeypatch):
+    """Cross-query dedup on the HOST serving route (r5, extending the
+    staged-stream lever to the route that serves full-result OR): a
+    Zipf-style batch repeating whole queries serves each distinct
+    term-sequence ONCE through the packed serve core and fans the columnar
+    results back out — bit-identical to the dedup-disabled serve for both
+    ops, both native and numpy-oracle paths, with a delta tier live,
+    tombstones under filter_removed, misses, and ragged k (1..4 incl. an
+    empty query). Covers boolean_host rows, the columnar core, wire-form
+    columnar input, and the staged host route."""
+    ii = InvertedIndex(str(tmp_path))
+    rng2 = np.random.default_rng(7)
+    for i in range(40):
+        t = b"t%02d" % i
+        for d in np.unique(rng2.integers(1, 400, size=30)):
+            ii.put([t], int(d))
+    ii.put_removed([5, 17, 200])
+    eng = QueryEngine.from_index(ii, L=64, q_bucket=64, keep_tables=True)
+    for d in range(500, 520):  # additive window -> delta tier live
+        ii.put([b"t01", b"delta0"], d)
+    assert eng.refresh(ii) is True
+    assert eng.delta is not None
+    # distinct-query pool: ragged k, misses, an empty query, delta term
+    pool = [[b"t%02d" % int(i) for i in rng2.choice(40, size=k, replace=False)]
+            for k in (1, 2, 2, 3, 3, 4) for _ in range(4)]
+    pool += [[b"nope"], [b"t05", b"nope"], [], [b"delta0", b"t01"]]
+    zw = 1.0 / np.arange(1, len(pool) + 1)
+    zw /= zw.sum()
+    batch = [pool[i] for i in rng2.choice(len(pool), size=300, p=zw)]
+    # wire-form twin of the same batch
+    blob = b"".join(t for q in batch for t in q)
+    toffs = np.zeros(sum(len(q) for q in batch) + 1, np.int64)
+    np.cumsum([len(t) for q in batch for t in q], out=toffs[1:])
+    qoffs = np.zeros(len(batch) + 1, np.int64)
+    np.cumsum([len(q) for q in batch], out=qoffs[1:])
+    wire = (blob, toffs, qoffs)
+
+    served_nq = []
+    orig_core = QueryEngine._host_serve_columnar
+
+    def spy_core(self, qk, koffs, op, filter_removed, st):
+        served_nq.append(len(koffs) - 1)
+        return orig_core(self, qk, koffs, op, filter_removed, st)
+
+    monkeypatch.setattr(QueryEngine, "_host_serve_columnar", spy_core)
+    n_unique = len({tuple(q) for q in batch})
+    real_avail = qe_mod._native.available
+    for native_on in (real_avail(), False):
+        monkeypatch.setattr(qe_mod._native, "available",
+                            (lambda: True) if native_on else (lambda: False))
+        for op in ("or", "and"):
+            for fr in (False, True):
+                monkeypatch.setenv("TPI_HOST_DEDUP", "force")
+                ded_rows = eng.boolean_host(batch, op, filter_removed=fr)
+                ded_cols = eng._boolean_host_columnar(wire, op, fr)
+                assert served_nq[-2:] == [n_unique, n_unique]
+                monkeypatch.setenv("TPI_HOST_DEDUP", "0")
+                ref_rows = eng.boolean_host(batch, op, filter_removed=fr)
+                ref_cols = eng._boolean_host_columnar(wire, op, fr)
+                assert served_nq[-2:] == [len(batch), len(batch)]
+                for x, y in zip(ded_rows, ref_rows):
+                    assert np.array_equal(x, y)
+                assert np.array_equal(ded_cols[0], ref_cols[0])
+                assert np.array_equal(ded_cols[1], ref_cols[1])
+    # staged host route (the production entry for full-result OR): pinned
+    # host via TPI_HOST_BOOL=all, dedup on vs off, columnar contract
+    monkeypatch.setattr(qe_mod._native, "available", real_avail)
+    monkeypatch.setenv("TPI_HOST_BOOL", "all")
+    monkeypatch.setenv("TPI_HOST_DEDUP", "force")
+    a = eng.boolean_staged([batch, batch[::-1]], "or", columnar=True)
+    monkeypatch.setenv("TPI_HOST_DEDUP", "0")
+    b = eng.boolean_staged([batch, batch[::-1]], "or", columnar=True)
+    for (va, oa), (vb, ob) in zip(a, b):
+        assert np.array_equal(va, vb) and np.array_equal(oa, ob)
+
+
+def test_host_dedup_gate_and_shrink_check(tmp_path, monkeypatch):
+    """The host dedup engages only when it can pay: small batches (<256)
+    and all-unique batches serve straight through even under force; the
+    auto gate rejects savings below the grouping-cost crossover."""
+    ii = InvertedIndex(str(tmp_path))
+    for i in range(20):
+        for d in range(1, 6):
+            ii.put([b"g%02d" % i], d)
+    eng = QueryEngine.from_index(ii, L=64, q_bucket=64, keep_tables=True)
+    st = eng._state
+    import inverted_index_2_tpu.codec.keys as keys_mod
+
+    def packed(batch):
+        qk = keys_mod.pack_terms([t for q in batch for t in q],
+                                 width=st.host_q_width())
+        koffs = np.zeros(len(batch) + 1, np.int64)
+        np.cumsum([len(q) for q in batch], out=koffs[1:])
+        return qk, koffs
+    monkeypatch.setenv("TPI_HOST_DEDUP", "force")
+    small = [[b"g00"], [b"g00"]] * 64  # 128 rows < 256
+    assert eng._host_dedup_group(*packed(small), "or") is None
+    uniq = [[b"g%02d" % (i % 20), b"g%02d" % ((i // 20) % 20)]
+            for i in range(400)]
+    assert eng._host_dedup_group(*packed(uniq), "or") is None  # no shrink
+    dup = [[b"g00", b"g01"]] * 400
+    got = eng._host_dedup_group(*packed(dup), "or")
+    assert got is not None
+    qk_u, koffs_u, gid = got
+    assert len(koffs_u) - 1 == 1 and np.all(gid == 0)
+    # auto mode: 400 dup queries save ~4.8 ms of OR serve -> engages;
+    # the same batch as AND (~3 us/query) does not clear the ~4 ms bar
+    monkeypatch.setenv("TPI_HOST_DEDUP", "1")
+    assert eng._host_dedup_group(*packed(dup), "or") is not None
+    assert eng._host_dedup_group(*packed(dup), "and") is None
+
+
+def test_concat_stream_dedup_zipf_bit_identical(tmp_path, monkeypatch):
+    """Cross-query dedup in the staged CONCAT stream (r5) — the device
+    route serving OR (full + prefix_p pagination) and off-TPU staged AND:
+    a Zipf mix serves unique rows once and fans out at harvest, cutting
+    compute AND wire volume by the duplicate factor. Bit-identical to the
+    dedup-disabled stream in every output form, tombstones included
+    (full-result OR with removed=None also exercises the wire-dedup
+    fan-out; prefix_p exercises the row-gather)."""
+    ii = InvertedIndex(str(tmp_path))
+    truth = {}
+    rng2 = np.random.default_rng(23)
+    for i in range(24):
+        t = b"w%02d" % i
+        for d in np.unique(rng2.integers(1, 300, size=40)):
+            ii.put([t], int(d))
+            truth.setdefault(t, set()).add(int(d))
+    ii.put_removed([7, 30])
+    eng = QueryEngine.from_index(ii, L=64, q_bucket=64, keep_tables=True,
+                                 stride_align=128)
+    monkeypatch.setenv("TPI_HOST_BOOL", "0")       # pin the device route
+    monkeypatch.setenv("TPI_STAGED_DEDUP", "force")
+    pool = [[b"w%02d" % int(i) for i in rng2.choice(24, size=k,
+                                                    replace=False)]
+            for k in (1, 2, 2, 3, 4) for _ in range(4)]
+    zw = 1.0 / np.arange(1, len(pool) + 1)
+    zw /= zw.sum()
+    batches = [[pool[i] for i in rng2.choice(len(pool), size=96, p=zw)]
+               for _ in range(3)]
+
+    served_nq = []
+    orig = QueryEngine._dedup_batch
+
+    def spy(self, nq, qk, kv, row_cost_us=None):
+        r = orig(self, nq, qk, kv, row_cost_us)
+        served_nq.append((nq, r[0], r[3] is not None))
+        return r
+
+    monkeypatch.setattr(QueryEngine, "_dedup_batch", spy)
+    for kwargs in (dict(columnar=True), dict(),
+                   dict(columnar=True, prefix_p=8),
+                   dict(columnar=True, filter_removed=True),
+                   dict(columnar=True, prefix_p=8, filter_removed=True)):
+        ded = eng.boolean_staged(batches, "or", depth=2, **kwargs)
+        assert served_nq and all(e[2] and e[1] < e[0]
+                                 for e in served_nq[-3:])
+        monkeypatch.setenv("TPI_STAGED_DEDUP", "0")
+        ref = eng.boolean_staged(batches, "or", depth=2, **kwargs)
+        monkeypatch.setenv("TPI_STAGED_DEDUP", "force")
+        for a, b in zip(ded, ref):
+            if isinstance(a, tuple):
+                for x, y in zip(a, b):
+                    assert np.array_equal(x, y)
+            else:
+                for x, y in zip(a, b):
+                    assert np.array_equal(x, y)
+    # oracle vs ground truth on one columnar batch (dedup on): full OR
+    vals, voffs = eng.boolean_staged(batches[:1], "or", columnar=True,
+                                     depth=2)[0]
+    for q, want_terms in enumerate(batches[0]):
+        want = sorted(set().union(*(truth[t] for t in want_terms)))
+        assert vals[voffs[q]: voffs[q + 1]].tolist() == want
