@@ -62,6 +62,7 @@ from .snapshot import (  # noqa: F401
     _collect_removed,
     _empty_snapshot,
     _empty_tables,
+    _empty_snapshot_host,
     _expand_arena,
     _expand_arena_step,
     _index_fingerprint,
@@ -558,7 +559,10 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
                 eng.refresh(index, apply_removed=bool(meta["apply_removed"]))
             return eng
         # warm start: host tables serve NOW, the arena uploads behind
-        eng = cls(upload_tables(_empty_tables(t.width)), L=L, tables=t, **kw)
+        # HOST placeholder snapshot — zero device touches in the
+        # foreground: the first device contact (backend init on the tunnel
+        # alone measured ~4 s) happens in the background upload thread
+        eng = cls(_empty_snapshot_host(t.width or 1), L=L, tables=t, **kw)
         host_st = eng._state.replace(fingerprint=fp, main_fp=fp,
                                      device_ready=False)
         eng._publish(host_st)
@@ -568,8 +572,12 @@ class QueryEngine(HostServingMixin, StagedStreamsMixin):
             # array holds the GIL for the whole tunnel send (~seconds),
             # starving the host-route serving thread this warm start
             # exists for (r5 probe: first query 3.5 s contended vs 0.29 s
-            # solo). 4 MB pieces bound each GIL hold to ~100 ms.
-            snap = upload_tables(t, chunk_bytes=4 << 20)
+            # solo). 1 MB pieces + 10 ms handoff gaps bound each GIL hold
+            # to one chunk RPC and give serving real windows (4 MB pieces
+            # with 1 ms gaps still measured first-query 2.9 s in-bench —
+            # every serving-thread GIL acquisition queued behind a
+            # ~400 ms chunk send).
+            snap = upload_tables(t, chunk_bytes=1 << 20)
             # block until the arena is resident so the swap never serves a
             # half-uploaded device state
             jax.block_until_ready(snap.counts)

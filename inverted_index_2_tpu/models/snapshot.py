@@ -60,6 +60,29 @@ class IndexSnapshot:
         return int(sum(a.size * a.dtype.itemsize for a in arrs if a is not None))
 
 
+def _empty_snapshot_host(width: int = 1) -> IndexSnapshot:
+    """Placeholder snapshot with HOST (numpy) arrays — zero device touches.
+    Used as the warm-checkpoint window's stand-in snapshot: during the
+    window every serve path routes host-side (ServingState.device_ready is
+    False), so materializing the placeholder on device would only serve to
+    pay the backend init + a handful of remote compiles in the FOREGROUND
+    (measured 4.0 s of a 4.2 s first query on the tunnel — the whole cost
+    the warm start exists to avoid). The background upload publishes the
+    real device snapshot; nothing reads these arrays on device."""
+    return IndexSnapshot(
+        keys=np.zeros((0, width + 1), dtype=np.uint32),
+        blocks=np.zeros((1, 4), dtype=np.uint32),
+        term_block_start=np.zeros((1,), dtype=np.int32),
+        counts=np.zeros((0,), dtype=np.int32),
+        removed=np.zeros((0,), dtype=np.uint32),
+        width=width,
+        hash_slots=np.full((8,), -1, dtype=np.int32),
+        max_probes=1,
+        max_count=0,
+        host_counts=np.zeros(0, dtype=np.int32),
+    )
+
+
 def _empty_snapshot(width: int = 1) -> IndexSnapshot:
     return IndexSnapshot(
         keys=jnp.zeros((0, width + 1), dtype=jnp.uint32),
@@ -219,7 +242,13 @@ def _dev_chunked(a: np.ndarray, chunk_bytes: int) -> jnp.ndarray:
     parts = []
     for c in range(0, n, step):
         parts.append(jnp.asarray(a[c: c + step]))
-        time.sleep(0.001)  # explicit GIL handoff point
+        # real handoff, not a token one: jnp.asarray holds the GIL for the
+        # WHOLE per-chunk RPC (C extension — Python cannot preempt it), so
+        # a 1 ms gap let the serving thread start but stall on its next
+        # GIL acquisition behind the following chunk; the r5 bench
+        # measured first-query 2.9 s against a 0.29 s solo probe. 10 ms
+        # gaps cost <1 s on the full upload and give serving real windows.
+        time.sleep(0.01)
     return jnp.concatenate(parts, axis=0)
 
 
