@@ -1505,6 +1505,9 @@ _HEADLINE_KEYS = (
     "api_postlen1k_and_qps", "api_postlen1k_and_dev_qps",
     "api_postlen1k_and_dev_bulk_qps",
     "api_postlen1k_staged_lookup_qps",
+    # checkpoint warm-start deliverables (VERDICT r4 #8) — ahead of the
+    # A/B pairs so line shedding can never drop them
+    "checkpoint_first_query_s", "checkpoint_warm_start_s",
     # Zipf query-mix A/B: cross-query dedup on (production default) vs off
     "api_postlen1k_staged_and_dev_zipf_qps",
     "api_postlen1k_staged_and_dev_zipf_nodedup_qps",
@@ -1518,7 +1521,6 @@ _HEADLINE_KEYS = (
     # mesh + host-contention + checkpoint diagnostics
     "mesh_overhead_x", "mesh_lookup_qps",
     "host_contended_and_qps", "host_contended_or_qps",
-    "checkpoint_warm_start_s", "checkpoint_first_query_s",
     "checkpoint_cold_build_s",
 )
 
@@ -1532,7 +1534,9 @@ _FLOOR_KEYS = (
     "api_postlen1k_staged_or_zipf_wire_qps",
 )
 
-_MAX_LINE = 1500  # driver tail window is 2000 chars; leave headroom
+_MAX_LINE = 1780  # driver tail window is 2000 chars; leave headroom
+# (1500 shed the checkpoint keys once the r5 Zipf A/B pairs landed —
+# the driver parses the LAST line, so the only hard bound is 2000)
 
 
 def _emit(details, Q):
